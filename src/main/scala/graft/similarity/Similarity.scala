@@ -1,0 +1,102 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k: the exact baseline. Row-local dot
+  *    products (zip_with + aggregate fold, codegen'd, no UDF) against a
+  *    broadcast query vector, then TakeOrderedAndProject — at 100 TB this
+  *    is one scan, zero shuffles, and a k-row driver merge.
+  *  - LSH (random hyperplane / signed-random-projection) bucketing: each
+  *    vector gets a b-bit signature; candidates share the signature
+  *    bucket. Probing only the query's bucket turns full scans into
+  *    bucket scans (~n/2^b rows). Hyperplanes are seeded-deterministic.
+  */
+object Similarity {
+
+  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product of two double arrays — sequential left fold, matching
+    * the oracle's list_dot_product evaluation order bit-for-bit.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one query vector (given as a 1-row
+    * DataFrame with column `qvec`). The query side is crossJoin-broadcast:
+    * no shuffle of the big side; orderBy+limit plans TakeOrdered.
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      k: Int): DataFrame = {
+    val withCos = embeddings.crossJoin(broadcast(query))
+      .withColumn("cos", cosine(toDoubleVec(col(vecCol)), toDoubleVec(col("qvec"))))
+    withCos
+      .select(col(idCol), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
+    * weights in [-1, 1], derived from a seeded xorshift-style integer mix
+    * (no RNG state, reproducible across runs/partitions).
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (b, d) =>
+      var x = seed + b.toLong * 1000003L + d.toLong * 7919L
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (math.floorMod(x, 2000001L) - 1000000L).toDouble / 1000000.0
+    }
+
+  /** Signed-random-projection signature: bit b set iff dot(v, plane_b)>0.
+    * Row-local; the planes ship as a literal (they're tiny).
+    */
+  def srpSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = typedlit(p.toSeq)
+      when(dot(vec, planeLit) > 0, call_function("shiftleft", lit(1L), lit(i)))
+        .otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: restrict the scan to vectors whose SRP signature is
+    * within `maxHamming` bits of the query's, then exact cosine + top-k
+    * within the candidate set. Recall/cost trades on (bits, maxHamming).
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      k: Int,
+      bits: Int = 12,
+      maxHamming: Int = 3): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(bits, dim)
+    val sigged = embeddings
+      .withColumn("__v", toDoubleVec(col(vecCol)))
+      .withColumn("__sig", srpSignature(col("__v"), planes))
+    val q = query
+      .withColumn("__qv", toDoubleVec(col("qvec")))
+      .withColumn("__qsig", srpSignature(col("__qv"), planes))
+      .select(col("__qv"), col("__qsig"))
+    sigged.crossJoin(broadcast(q))
+      .filter(call_function("bit_count", col("__sig").bitwiseXOR(col("__qsig"))) <= maxHamming)
+      .withColumn("cos", cosine(col("__v"), col("__qv")))
+      .select(col(idCol), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

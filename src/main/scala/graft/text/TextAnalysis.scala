@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document
+  * fingerprinting. All row-local Column expressions (no shuffle, no UDF,
+  * whole-stage-codegen'd) — at 100 TB these run at scan speed and
+  * column-prune down to the text column.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; blank text → 0. (`split` on a blank string
+    * yields [""] in both Spark and DuckDB — the guard keeps semantics
+    * sane and oracle-aligned.)
+    */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: runs of ≤4 letters, digits, or single
+    * non-alphanumeric glyphs — a cheap, deterministic proxy for tokenizer
+    * cost (real BPE needs a vocab file; the regex keeps it engine-native).
+    */
+  def subwordCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Count of regex matches of `word` as a whole word. */
+  def wordCount(c: Column, word: String): Column =
+    regexp_count(c, lit("\\b" + word + "\\b")).cast("long")
+
+  private def charClassCount(c: Column, cls: String): Column =
+    (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+
+  def alphaCount(c: Column): Column = charClassCount(c, "[A-Za-z]")
+  def digitCount(c: Column): Column = charClassCount(c, "[0-9]")
+  def spaceCount(c: Column): Column = charClassCount(c, "[ ]")
+  def punctCount(c: Column): Column = charClassCount(c, "[^A-Za-z0-9\\s]")
+
+  /** Stopword profiles for the language-ID heuristic (function words that
+    * rarely overlap across these languages).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "las")
+  )
+
+  def langScore(c: Column, words: Seq[String]): Column =
+    words.map(w => wordCount(c, w)).reduce(_ + _)
+
+  /** n-gram-heuristic language ID: stopword vote with a fixed priority
+    * chain (first profile wins ties); no votes at all → "und".
+    */
+  def langId(c: Column): Column = {
+    val scores = langProfiles.map { case (lang, words) => lang -> langScore(c, words) }
+    val anyVote = scores.map(_._2).reduce(_ + _) > 0
+    // `when` chain checks profiles in declaration order, so the first
+    // profile with a maximal score wins ties — mirror the same CASE order
+    // in any SQL oracle.
+    val chain = scores.zipWithIndex.foldLeft[Option[Column]](None) {
+      case (acc, ((lang, s), i)) =>
+        val others = scores.zipWithIndex.filter(_._2 != i).map(_._1._2)
+        val cond = others.map(s >= _).foldLeft(lit(true))(_ && _)
+        acc match {
+          case None => Some(when(cond, lang))
+          case Some(w) => Some(w.when(cond, lang))
+        }
+    }.get
+    when(!anyVote, "und").otherwise(chain.otherwise("und"))
+  }
+
+  /** Heuristic quality score ∈ [0,1]: alphabetic density, stopword
+    * presence, and length saturation, equally weighted. Deterministic
+    * arithmetic (same expression shape as the SQL oracle).
+    */
+  def qualityScore(c: Column): Column = {
+    val len = greatest(length(c), lit(1)).cast("double")
+    val toks = greatest(tokenCount(c), lit(1L)).cast("double")
+    val alphaRatio = alphaCount(c) / len
+    val stopRatio = least(langScore(c, langProfiles.head._2) * lit(5.0) / toks, lit(1.0))
+    val lenSat = least(toks / lit(100.0), lit(1.0))
+    round(alphaRatio * 0.4 + stopRatio * 0.3 + lenSat * 0.3, 6)
+  }
+
+  /** Normalization fingerprint: md5 of the sorted distinct token set —
+    * catches reordered / repeated-content duplicates. (A rolling-hash
+    * shingle fingerprint lives in Dedup.shingles + minhash.)
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(trim(c), "\\s+")))))
+}

@@ -32,7 +32,7 @@ object Dedup {
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, k))))
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
   /** MinHash signature: p pseudo-permutations h_i(s) = xxhash64(i, s);

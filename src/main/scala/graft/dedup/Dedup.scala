@@ -90,62 +90,146 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Full MinHash near-dup dedup: returns the surviving rows of `df`
-    * (a doc is dropped iff it has jaccard ≥ threshold with a
-    * LOWER-id doc — deterministic keep-first policy).
-    * candidates → exact-jaccard verify → anti-join.
+  /** Jaccard-verified near-duplicate pairs: MinHash-LSH candidates, then
+    * exact shingle-jaccard on candidate pairs only. Returns
+    * (id_a, id_b, jac) with id_a < id_b and jac ≥ threshold.
+    *
+    * Recall is governed by the (bands, rows) S-curve
+    * `P(candidate) = 1-(1-j^rows)^bands`; the defaults (p=64, bands=16,
+    * rows=4) put the curve's knee near j≈0.5, so pairs at j ≥ 0.8 are
+    * caught with probability > 1-1e-6 while j < 0.3 pairs rarely reach
+    * verification. Precision is exact (jaccard is recomputed).
+    */
+  def neardupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      p: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(p % bands == 0, "p must divide into bands evenly")
+    val rows = p / bands
+    val withSig = df
+      .withColumn("__sh", shingles(col(textCol), shingleK))
+      .withColumn("__sig", minhashSignature(col("__sh"), p))
+    val cands = lshCandidatePairs(withSig, idCol, "__sig", bands, rows, maxBucketSize)
+    val sh = withSig.select(col(idCol).as("__jid"), col("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__sh", "sh_a"), cands("id_a") === sh("__jid")).drop("__jid")
+      .join(sh.withColumnRenamed("__sh", "sh_b"), cands("id_b") === sh("__jid")).drop("__jid")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Full MinHash near-dup dedup: returns the surviving rows of `df`.
+    * A doc is dropped iff it has jaccard ≥ threshold with ANY lower-id
+    * doc — a deterministic keep-lowest-id policy. NOTE this is
+    * per-pair, not connected-component: if A~B and B~C but A≁C, both B
+    * and C are dropped (C for matching the already-dropped B). That is
+    * the documented semantics (it matches the DuckDB oracle's
+    * "drop id_b of every qualifying pair" exactly and needs no
+    * iterative connectivity pass at scale).
     */
   def minhashDedup(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleK: Int = 3,
-      p: Int = 32,
-      bands: Int = 8,
+      p: Int = 64,
+      bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    require(p % bands == 0, "p must divide into bands evenly")
-    val rows = p / bands
-    val withSig = df
-      .withColumn("__sh", shingles(col(textCol), shingleK))
-      .withColumn("__sig", minhashSignature(col("__sh"), p))
-    val cands = lshCandidatePairs(withSig, idCol, "__sig", bands, rows)
-    val sh = withSig.select(col(idCol).as("__jid"), col("__sh"))
-    val verified = cands
-      .join(sh.withColumnRenamed("__sh", "sh_a"), cands("id_a") === sh("__jid")).drop("__jid")
-      .join(sh.withColumnRenamed("__sh", "sh_b"), cands("id_b") === sh("__jid")).drop("__jid")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jac") >= threshold)
+    val verified = neardupPairs(df, idCol, textCol, shingleK, p, bands, threshold)
     val drops = verified.select(col("id_b").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash over the token set: per-token 64-bit hash votes ±1
-    * on each bit; the sign of the vote sum sets the output bit.
-    * Entirely row-local higher-order functions (fold over tokens with a
-    * 64-slot vote array) — no shuffle, no UDF.
+  /** Oracle-replicable 60-bit hash: top 15 hex digits of md5, parsed to
+    * long (always positive, < 2^60). DuckDB computes the identical value
+    * via `CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT)`, so
+    * simhash results built on it can be verified exactly. xxhash64 stays
+    * the default production hash (cheaper, full 64 bits).
     */
-  def simhash(c: Column): Column = {
-    val toks = array_distinct(split(trim(c), "\\s+"))
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over an element array: each element's `bits`-bit hash votes
+    * ±1 per bit position; the sign of the vote sum sets the output bit.
+    * Entirely row-local higher-order functions (fold over elements with a
+    * `bits`-slot vote array) — no shuffle, no UDF.
+    */
+  def simhashOf(elems: Column, hashFn: Column => Column, bits: Int): Column = {
     val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
+      elems,
+      array_repeat(lit(0L), bits),
       (acc, t) => {
-        val h = xxhash64(t)
+        val h = hashFn(t)
         zip_with(
           acc,
-          transform(sequence(lit(0), lit(63)),
+          transform(sequence(lit(0), lit(bits - 1)),
             i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, lit(1L))
               .otherwise(lit(-1L))),
           (a, v) => a + v)
       })
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
         (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Default 64-bit SimHash of a text column over its distinct
+    * whitespace tokens (xxhash64 element hash).
+    */
+  def simhash(c: Column): Column =
+    simhashOf(array_distinct(split(trim(c), "\\s+")), xxhash64(_), 64)
+
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("long")
+
+  /** Split a `bits`-bit simhash into `bands` contiguous chunks (first
+    * `bits % bands` bands get the extra bit). Returns an array of band
+    * keys; join on (band index, key) via posexplode.
+    */
+  def simhashBandKeys(sig: Column, bands: Int, bits: Int): Column = {
+    val base = bits / bands
+    val rem = bits % bands
+    val sizes = Seq.tabulate(bands)(i => if (i < rem) base + 1 else base)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    array(Seq.tabulate(bands) { i =>
+      val mask = (1L << sizes(i)) - 1L
+      shiftright(sig, offsets(i)).bitwiseAND(lit(mask))
+    }: _*)
+  }
+
+  /** SimHash near-dup pairs (Manku et al.'s banded search): with
+    * `bands = maxHamming + 1`, any pair within `maxHamming` bit flips has
+    * at least one untouched band (pigeonhole), so band-bucket collision
+    * candidates have FULL recall — the verify step (exact popcount on two
+    * longs) then makes precision exact. The only shuffle is the band-key
+    * exchange on uniformly-hashed keys. Returns (id_a, id_b, hamming),
+    * id_a < id_b, hamming ≤ maxHamming.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      bits: Int = 64): DataFrame = {
+    val bands = maxHamming + 1
+    val keyed = df
+      .select(col(idCol).as("id"), col(sigCol).as("sig"),
+        simhashBandKeys(col(sigCol), bands, bits).as("bk"))
+      .select(col("id"), col("sig"), posexplode(col("bk")).as(Seq("band", "bucket")))
+    val a = keyed.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = keyed.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDist(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -36,4 +36,41 @@ object TopK {
     */
   def global(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** Nested multi-level terms top-k — OpenSearch's `terms ⊗ terms ⊗ terms`
+    * (SURVEY §2.2 B11: top-5 appId ⊗ top-5 jobId ⊗ top-5 stageId ordered
+    * by a sub-aggregated metric, reference data-skew.ndjson line 10).
+    *
+    * `levels` is (keyColumn, k) from outermost to innermost; the metric at
+    * each level is `max(metricCol)` over that level's subtree. Each level
+    * ranks ONLY within the parent level's surviving buckets (desc metric,
+    * asc key tie-break) — child buckets of pruned parents are never
+    * ranked, which is the dashboards' nested-bucket semantics and differs
+    * from ranking all buckets then filtering.
+    *
+    * Scale: ONE leaf-granularity aggregation shuffles the fact table;
+    * every later step re-aggregates that already-small frame, and
+    * survivor joins are broadcast. Output: level keys + `m1..mn` metric
+    * columns + `rk1..rkn` rank columns at leaf granularity.
+    */
+  def nested(df: DataFrame, levels: Seq[(String, Int)], metricCol: String): DataFrame = {
+    require(levels.nonEmpty, "need at least one level")
+    val leafKeys = levels.map(_._1)
+    val leaf = df.groupBy(leafKeys.map(col): _*).agg(max(col(metricCol)).as("__m"))
+    var survivors: DataFrame = null
+    levels.zipWithIndex.foreach { case ((key, k), i) =>
+      val prefix = levels.take(i + 1).map(_._1)
+      val agg = leaf.groupBy(prefix.map(col): _*).agg(max(col("__m")).as(s"m${i + 1}"))
+      val scoped =
+        if (i == 0) agg
+        else agg.join(broadcast(survivors), levels.take(i).map(_._1))
+      val w = Window
+        .partitionBy(levels.take(i).map(c => col(c._1)): _*)
+        .orderBy(col(s"m${i + 1}").desc, col(key))
+      survivors = scoped
+        .withColumn(s"rk${i + 1}", row_number().over(w).cast("long"))
+        .filter(col(s"rk${i + 1}") <= k)
+    }
+    survivors
+  }
 }

@@ -1,0 +1,306 @@
+package graft.queries
+
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.operators.{DateHistogram, TopK}
+import graft.similarity.Similarity
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** Training-data-pipeline + remaining dashboard queries (q15-q24), each
+  * with an exact DuckDB oracle. Covers SURVEY §2.2 B11's nested terms,
+  * the auto date-histogram, and the LLM-pipeline operator families:
+  * dedup (exact / MinHash-LSH / SimHash), text analysis, similarity
+  * search (brute-force + SRP-LSH ANN), multimodal metadata.
+  *
+  * Oracle-determinism notes:
+  *  - all hash-bearing queries use md5 (DuckDB-identical); xxhash64
+  *    stays the production default where no oracle is needed;
+  *  - doubles only flow through expressions with IDENTICAL operation
+  *    order on both engines (sequential left folds == list_dot_product,
+  *    verified), then round(6);
+  *  - integer outputs are cast to LongType (DuckDB BIGINT).
+  */
+object PipelineQueries {
+
+  // B11: nested 3-level terms top-k — top-2 regions by max supplier
+  // balance, top-3 nations within those, top-2 suppliers within those.
+  // One leaf aggregation shuffles; everything after is broadcast-sized.
+  def q15NestedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"n_name", $"s_name", $"s_acctbal")
+    TopK.nested(base, Seq(("r_name", 2), ("n_name", 3), ("s_name", 2)), "s_acctbal")
+      .select($"r_name", $"n_name", $"s_name", $"m1", $"m2", $"m3", $"rk1", $"rk2", $"rk3")
+      .orderBy($"rk1", $"rk2", $"rk3")
+  }
+
+  // B13 auto-interval variant: pick the histogram rung from the data's
+  // time span (OpenSearch auto date-histogram), then bucket. The span
+  // probe is one tiny min/max agg job.
+  def q16AutoHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+    val spanSec = (mm.getLong(1) - mm.getLong(0)) / 1000L
+    val step = DateHistogram.autoIntervalSeconds(Duration.ofSeconds(spanSec), 100)
+    ev.groupBy(
+        date_format(DateHistogram.bucket($"ts", step), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket_start"))
+      .agg(count(lit(1)).as("n_events"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"bucket_start")
+  }
+
+  // Exact dedup: one surviving (lowest) id per key group + copy count.
+  def q17ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exact(Tables.documents(s, dir), Seq("lang", "source"), "doc_id")
+      .orderBy($"lang", $"source")
+  }
+
+  // MinHash-LSH near-dup pairs, jaccard-verified. The oracle brute-forces
+  // all pairs (fine at sf0.01); the engine only verifies band-bucket
+  // collisions — same result because the (p=64, bands=16) S-curve has
+  // ~1-1e-6 recall at the 0.8 threshold (and precision is exact).
+  def q18NeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.neardupPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, p = 64, bands = 16, threshold = 0.8)
+      .select($"id_a", $"id_b", round($"jac", 6).as("jac"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // SimHash near-dup pairs over 3-shingles (md5-based 60-bit hash so the
+  // oracle can recompute signatures exactly); Manku-style banded search
+  // with guaranteed recall at maxHamming=10 (11 bands).
+  def q19SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigged = Tables.documents(s, dir).select(
+      $"doc_id",
+      Dedup.simhashOf(Dedup.shingles($"text", 3), Dedup.md5Hash60, 60).as("sig"))
+    Dedup.simhashNearDupPairs(sigged, "doc_id", "sig", maxHamming = 10, bits = 60)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // Text analysis: token/subword/char-class counts + normalization
+  // fingerprint. All row-local codegen'd Column expressions.
+  def q20TextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").as("n_tokens"),
+      TextAnalysis.subwordCount($"text").as("n_subwords"),
+      TextAnalysis.alphaCount($"text").as("n_alpha"),
+      TextAnalysis.digitCount($"text").as("n_digit"),
+      TextAnalysis.punctCount($"text").as("n_punct"),
+      TextAnalysis.fingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  // Language-ID heuristic + quality score per document.
+  def q21LangQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      $"lang",
+      TextAnalysis.langId($"text").as("lang_id"),
+      TextAnalysis.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  // Brute-force cosine top-k against one query vector: single scan, zero
+  // shuffles (broadcast 1-row query + TakeOrderedAndProject).
+  def q22CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+  }
+
+  // SRP-LSH ANN top-k: signature prefilter (bit_count ≤ 3 of 12 bits ⇒
+  // ~7% of rows reach the exact cosine), dim inferred from the data.
+  def q23AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.filter(col("vec_id") === 1).select(col("embedding").as("qvec"))
+    Similarity.lshTopK(emb, "vec_id", "embedding", query, k = 10,
+      bits = annBits, maxHamming = annMaxHamming)
+  }
+
+  // Multimodal metadata: binary payload + mapPartitions decode (stub
+  // codec, real batch shape) + row-local digest.
+  def q24MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      Tables.documents(s, dir), "doc_id", "text", "image")
+    val meta = Multimodal.decodeMeta(media).toDF()
+    val digest = media.select(col("media_id"), md5(col("content")).as("digest"))
+    meta.select(
+        col("mediaId").as("media_id"),
+        col("modality"),
+        col("nBytes").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+      .join(digest, Seq("media_id"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_nested_topk" -> q15NestedTopK _,
+    "q16_auto_histogram" -> q16AutoHistogram _,
+    "q17_exact_dedup" -> q17ExactDedup _,
+    "q18_neardup_pairs" -> q18NeardupPairs _,
+    "q19_simhash_pairs" -> q19SimhashPairs _,
+    "q20_text_stats" -> q20TextStats _,
+    "q21_lang_quality" -> q21LangQuality _,
+    "q22_cosine_topk" -> q22CosineTopK _,
+    "q23_ann_topk" -> q23AnnTopK _,
+    "q24_multimodal_meta" -> q24MultimodalMeta _
+  )
+
+  private val annBits = 12
+  private val annMaxHamming = 3
+
+  /** DuckDB word-3-shingle expression over `text` (mirrors
+    * Dedup.shingles: slice-of-3 concat, distinct, clamped at the end).
+    */
+  private val shingleSql: String =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')
+      |                 FOR i IN range(1, greatest(len(tk) - 1, 2))]) sh
+      | FROM toks)""".stripMargin
+
+  /** DuckDB mirror of TextAnalysis.langScore for one profile. */
+  private def langScoreSql(words: Seq[String]): String =
+    words.map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
+
+  private lazy val q21Sql: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      s"${langScoreSql(words)} AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langProfiles.map(_._1)
+    val anyVote = langs.map(l => s"s_$l").mkString(" + ") + " > 0"
+    val chain = langs.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n      ")
+    // qualityScore mirror: identical operation order (see TextAnalysis).
+    s"""WITH scored AS (
+       | SELECT doc_id, lang, text,
+       |  $scores,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_toks,
+       |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha
+       | FROM documents)
+       |SELECT doc_id, lang,
+       | CASE WHEN NOT ($anyVote) THEN 'und'
+       |      $chain
+       |      ELSE 'und' END AS lang_id,
+       | round(n_alpha / CAST(greatest(length(text), 1) AS DOUBLE) * 0.4
+       |     + least(s_en * 5.0 / CAST(greatest(n_toks, 1) AS DOUBLE), 1.0) * 0.3
+       |     + least(CAST(greatest(n_toks, 1) AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** SRP-LSH oracle: embed the engine's deterministic hyperplanes as SQL
+    * literals so DuckDB recomputes the identical signatures.
+    */
+  private lazy val q23Sql: String = {
+    val planes = Similarity.hyperplanes(annBits, 64)
+      .map(p => "[" + p.map(_.toString).mkString(",") + "]")
+    def sigTerms(v: String) = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, $p) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |q AS (SELECT v qv FROM e WHERE vec_id = 1),
+       |sig AS (SELECT vec_id, v, ${sigTerms("v")} AS s FROM e),
+       |qs AS (SELECT qv, ${sigTerms("qv")} AS qsig FROM q)
+       |SELECT vec_id,
+       | round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+       |FROM sig, qs
+       |WHERE bit_count(xor(s, qsig)) <= $annMaxHamming
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q15_nested_topk" ->
+      """WITH base AS (
+        | SELECT r_name, n_name, s_name, s_acctbal FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey),
+        |leaf AS (SELECT r_name, n_name, s_name, max(s_acctbal) m FROM base GROUP BY 1,2,3),
+        |l1 AS (SELECT r_name, max(m) m1 FROM leaf GROUP BY 1),
+        |r1 AS (SELECT r_name, m1, row_number() OVER (ORDER BY m1 DESC, r_name) rk1 FROM l1),
+        |s1 AS (SELECT * FROM r1 WHERE rk1 <= 2),
+        |l2 AS (SELECT r_name, n_name, max(m) m2 FROM leaf GROUP BY 1,2),
+        |r2 AS (SELECT r_name, n_name, m2, row_number() OVER (PARTITION BY r_name ORDER BY m2 DESC, n_name) rk2 FROM l2),
+        |s2 AS (SELECT r2.r_name, r2.n_name, r2.m2, r2.rk2, s1.m1, s1.rk1 FROM r2 JOIN s1 USING (r_name) WHERE rk2 <= 3),
+        |l3 AS (SELECT r_name, n_name, s_name, max(m) m3 FROM leaf GROUP BY 1,2,3),
+        |r3 AS (SELECT r_name, n_name, s_name, m3, row_number() OVER (PARTITION BY r_name, n_name ORDER BY m3 DESC, s_name) rk3 FROM l3)
+        |SELECT s2.r_name, s2.n_name, r3.s_name, s2.m1, s2.m2, r3.m3, s2.rk1, s2.rk2, r3.rk3
+        |FROM r3 JOIN s2 ON r3.r_name = s2.r_name AND r3.n_name = s2.n_name
+        |WHERE rk3 <= 2 ORDER BY rk1, rk2, rk3""".stripMargin,
+    "q16_auto_histogram" ->
+      """WITH mm AS (SELECT (epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000 AS span FROM events),
+        |need AS (SELECT greatest(1, span // 100) AS n FROM mm),
+        |rung AS (SELECT coalesce(min(v), 604800) AS r
+        |         FROM (VALUES (1),(5),(30),(60),(300),(1800),(3600),(10800),(43200),(86400),(604800)) t(v), need
+        |         WHERE v >= n)
+        |SELECT strftime(epoch_ms((epoch_ms(ts) // (r * 1000)) * (r * 1000)), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events, rung GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_exact_dedup" ->
+      """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q18_neardup_pairs" ->
+      s"""WITH $shingleSql,
+         |pairs AS (
+         | SELECT a.doc_id id_a, b.doc_id id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) jac
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(jac, 6) AS jac
+         |FROM pairs WHERE jac >= 0.8 ORDER BY 1, 2""".stripMargin,
+    "q19_simhash_pairs" ->
+      s"""WITH $shingleSql,
+         |tokh AS (SELECT doc_id, CAST(concat('0x', substring(md5(unnest(sh)), 1, 15)) AS BIGINT) hv FROM sh),
+         |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) vote
+         |         FROM tokh, range(0, 60) r(b) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) s FROM bits GROUP BY 1)
+         |SELECT a.doc_id id_a, b.doc_id id_b, CAST(bit_count(xor(a.s, b.s)) AS BIGINT) hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 10 ORDER BY 1, 2""".stripMargin,
+    "q20_text_stats" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords,
+        | length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        | length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        | length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        | md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_lang_quality" -> q21Sql,
+    "q22_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |q AS (SELECT v qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        | round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+        |FROM e, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q23_ann_topk" -> q23Sql,
+    "q24_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        | octet_length(encode(text)) AS n_bytes,
+        | CAST(160 + (octet_length(encode(text)) * 40503) % 1920 AS BIGINT) AS width,
+        | CAST(120 + (octet_length(encode(text)) * 2654435761) % 1080 AS BIGINT) AS height,
+        | CAST(3 AS BIGINT) AS channels,
+        | md5(text) AS digest
+        |FROM documents ORDER BY 1""".stripMargin
+  )
+}

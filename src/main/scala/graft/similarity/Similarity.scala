@@ -71,9 +71,19 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Infer the (constant) embedding dimension from the data: one-row
+    * scan, driver-side. Pass the known dim explicitly at scale to avoid
+    * the extra job.
+    */
+  def dimOf(embeddings: DataFrame, vecCol: String): Int =
+    embeddings.select(size(col(vecCol))).head().getInt(0)
+
   /** ANN top-k: restrict the scan to vectors whose SRP signature is
     * within `maxHamming` bits of the query's, then exact cosine + top-k
     * within the candidate set. Recall/cost trades on (bits, maxHamming).
+    * `dim` must match the embedding width (≤ 0 → inferred via `dimOf`);
+    * a mismatched plane width would zip_with-pad with nulls and
+    * silently break the signature.
     */
   def lshTopK(
       embeddings: DataFrame,
@@ -82,9 +92,10 @@ object Similarity {
       query: DataFrame,
       k: Int,
       bits: Int = 12,
-      maxHamming: Int = 3): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(bits, dim)
+      maxHamming: Int = 3,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else dimOf(embeddings, vecCol)
+    val planes = hyperplanes(bits, d)
     val sigged = embeddings
       .withColumn("__v", toDoubleVec(col(vecCol)))
       .withColumn("__sig", srpSignature(col("__v"), planes))

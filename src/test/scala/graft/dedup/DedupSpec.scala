@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark shuffle partitions and joins"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val got = Dedup.exact(docs, Seq("text"), "doc_id")
+      .orderBy($"keep_id")
+      .select($"keep_id", $"n_copies")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("shingles produce k-grams, distinct, clamped at the tail") {
+    val got = Seq("a b c d", "x", "").toDF("t")
+      .select(Dedup.shingles($"t", 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("x"))
+  }
+
+  test("neardupPairs finds planted near-dups only, with exact jaccard") {
+    val pairs = Dedup.neardupPairs(docs, "doc_id", "text", shingleK = 3,
+        p = 64, bands = 16, threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    // 0~1 (one token differs), 0~3 (identical), 1~3; never 2.
+    assert(pairs == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("minhashDedup drops every doc matching a lower id (keep-first policy)") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 2L))
+  }
+
+  test("simhash: identical texts hash equal; near-dups within small hamming") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) <= 10)
+    assert(ham(sigs(0L), sigs(2L)) > 10)
+  }
+
+  test("simhashNearDupPairs banded search equals brute-force at maxHamming") {
+    val sigged = docs.select($"doc_id",
+      Dedup.simhashOf(Dedup.shingles($"text", 3), Dedup.md5Hash60, 60).as("sig"))
+    val banded = Dedup.simhashNearDupPairs(sigged, "doc_id", "sig", maxHamming = 10, bits = 60)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sigs = sigged.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 10
+    } yield (a, b)).toSet
+    assert(banded == brute && brute.nonEmpty)
+  }
+
+  test("md5Hash60 is positive and below 2^60 (oracle-replicable range)") {
+    val vals = Seq("a", "b", "xyz").toDF("t")
+      .select(Dedup.md5Hash60($"t").as("h")).as[Long].collect()
+    assert(vals.forall(v => v >= 0L && v < (1L << 60)))
+    assert(vals.distinct.length == 3)
+  }
+}

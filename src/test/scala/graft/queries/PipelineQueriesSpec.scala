@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.TopK
+
+class PipelineQueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("TopK.nested ranks children only within surviving parents") {
+    val df = Seq(
+      // (region, nation, val): region B's max beats A's; nation ranks nest.
+      ("A", "a1", 10), ("A", "a2", 50), ("A", "a3", 30),
+      ("B", "b1", 90), ("B", "b2", 20),
+      ("C", "c1", 5)
+    ).toDF("r", "n", "v")
+    val got = TopK.nested(df, Seq(("r", 2), ("n", 2)), "v")
+      .select($"r", $"n", $"rk1", $"rk2")
+      .orderBy($"rk1", $"rk2")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // top-2 regions by max(v): B (90), A (50); top-2 nations within each.
+    assert(got == Seq(
+      ("B", "b1", 1L, 1L), ("B", "b2", 1L, 2L),
+      ("A", "a2", 2L, 1L), ("A", "a3", 2L, 2L)))
+  }
+
+  for ((name, fn) <- PipelineQueries.all.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001") {
+      assert(fn(spark, sfSmoke).count() > 0)
+    }
+  }
+
+  test("every pipeline query has a DuckDB oracle") {
+    assert(PipelineQueries.oracle.keySet == PipelineQueries.all.keySet)
+  }
+}

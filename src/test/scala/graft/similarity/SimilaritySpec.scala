@@ -1,0 +1,50 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 8-dim vectors — would have broken the old hardcoded dim=64 silently.
+  private def vecs8 = Seq(
+    (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+    (2L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+    (3L, Array(-1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with the query itself first") {
+    val q = vecs8.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val got = Similarity.bruteForceTopK(vecs8, "vec_id", "embedding", q, 3)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L))
+  }
+
+  test("lshTopK works on non-64-dim vectors (dim inference regression)") {
+    val q = vecs8.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val got = Similarity.lshTopK(vecs8, "vec_id", "embedding", q, k = 4,
+        bits = 8, maxHamming = 8) // maxHamming=bits → no filtering, pure dim test
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got.take(2) == Seq(0L, 1L))
+  }
+
+  test("ANN candidate set contains the brute-force top-k on driver embeddings") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val q = emb.filter($"vec_id" === 1).select($"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select($"vec_id").as[Long].collect().toSet
+    val ann = Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 50,
+        bits = 12, maxHamming = 6)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(brute.subsetOf(ann),
+      s"ANN candidates missing ${brute.diff(ann)} of brute-force top-5")
+  }
+
+  test("dimOf infers the embedding width from data") {
+    assert(Similarity.dimOf(vecs8, "embedding") == 8)
+    assert(Similarity.dimOf(Tables.embeddings(spark, sfSmoke), "embedding") == 64)
+  }
+}

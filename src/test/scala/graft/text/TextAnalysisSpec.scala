@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("tokenCount: whitespace runs, trimmed, blank → 0") {
+    val got = Seq("a b  c", "  x ", "", "   ").toDF("t")
+      .select(TextAnalysis.tokenCount($"t").as("n")).as[Long].collect().toSeq
+    assert(got == Seq(3L, 1L, 0L, 0L))
+  }
+
+  test("char-class counts split the string completely") {
+    val s = "ab1 2c!?"
+    val row = Seq(s).toDF("t").select(
+      TextAnalysis.alphaCount($"t").as("a"),
+      TextAnalysis.digitCount($"t").as("d"),
+      TextAnalysis.spaceCount($"t").as("sp"),
+      TextAnalysis.punctCount($"t").as("p")).as[(Long, Long, Long, Long)].head()
+    assert(row == ((3L, 2L, 1L, 2L)))
+    assert(row._1 + row._2 + row._3 + row._4 == s.length)
+  }
+
+  test("subwordCount: ≤4-letter runs, digits, single glyphs") {
+    val got = Seq("hello world9!").toDF("t")
+      .select(TextAnalysis.subwordCount($"t")).as[Long].head()
+    // hell+o, worl+d, 9, ! = 6
+    assert(got == 6L)
+  }
+
+  test("langId votes by stopword profile with priority tie-break") {
+    val got = Seq(
+      "the cat and the dog of a house",
+      "der hund und die katze und das haus",
+      "le chat et la maison et les chiens",
+      "el gato y los perros y las casas",
+      "xyzzy plugh 42").toDF("t")
+      .select(TextAnalysis.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("qualityScore is in [0,1] and rewards clean English text") {
+    val rows = Seq(
+      "the quick brown fox and the lazy dog of a farm " * 10,
+      "@@@@ #### $$$$ %%%%").toDF("t")
+      .select(TextAnalysis.qualityScore($"t")).as[Double].collect()
+    assert(rows.forall(v => v >= 0.0 && v <= 1.0))
+    assert(rows(0) > rows(1))
+  }
+
+  test("fingerprint collapses token order and repetition") {
+    val fps = Seq("b a a b", "a b", "a c").toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) != fps(2))
+  }
+}

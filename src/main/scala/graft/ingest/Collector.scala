@@ -1,0 +1,187 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.logging.log4j.core.LogEvent
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.logging.log4j.core.config.Property
+import org.apache.spark.scheduler._
+
+/** In-process collectors — the self-observation plane (SURVEY §7.1 item
+  * 6). Parity with the reference's two extension points:
+  *
+  *  - [[CollectorListener]] ≙ CustomMetricsListener
+  *    (source/collector/.../CustomMetricsListener.scala:16): SparkListener
+  *    on the scheduler bus; A3 projection of TaskEnd (:111-134), A4
+  *    stageId→jobId map (:31,59-65,81,115), A7 dual size/time buffer
+  *    (ObservabilityClient.scala:299-306), flush on job/app end (:41-44,70-72).
+  *  - [[CollectorAppender]] ≙ CollectorAppender
+  *    (source/collector/.../CollectorAppender.scala:26-45): Log4j2
+  *    appender capturing log events + MDC taskName.
+  *
+  * Where the reference POSTs signed JSON arrays to OSI, these spool JSON
+  * line batches to a directory that [[Pipelines]] ingests as a file
+  * stream — same decoupling (the app never blocks on the sink), with the
+  * file-source checkpoint giving exactly-once downstream.
+  *
+  * The per-stage skew aggregation deliberately does NOT happen here: the
+  * pipeline computes it grouped by (appId, jobId, stageId), which fixes
+  * the reference's shared-buffer cross-contamination under concurrent
+  * stages (SURVEY §2.1 A6 notes) and keeps the listener allocation-light.
+  */
+object Collector {
+
+  private[ingest] def jstr(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Size/time dual-trigger spool buffer (A7; defaults mirror
+    * Utils.scala:103-113 — 100 records / 10 s).
+    */
+  final class SpoolBuffer(
+      spoolDir: String,
+      prefix: String,
+      batchSize: Int,
+      timeThresholdMs: Long,
+      clock: () => Long) {
+    private val buf = mutable.ListBuffer.empty[String]
+    private var lastFlush = clock()
+    private val seq = new AtomicLong(0)
+    Files.createDirectories(Paths.get(spoolDir))
+
+    def add(line: String): Unit = synchronized {
+      buf += line
+      val now = clock()
+      if (buf.size >= batchSize || now - lastFlush >= timeThresholdMs) flushLocked(now)
+    }
+
+    def flush(): Unit = synchronized { flushLocked(clock()) }
+
+    private def flushLocked(now: Long): Unit = {
+      if (buf.nonEmpty) {
+        val tmp = Paths.get(spoolDir, s".$prefix-${seq.getAndIncrement()}.json.tmp")
+        Files.write(tmp, buf.mkString("\n").getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        // atomic rename so the streaming file source never reads partials
+        Files.move(tmp, Paths.get(spoolDir,
+          tmp.getFileName.toString.stripPrefix(".").stripSuffix(".tmp")))
+        buf.clear()
+      }
+      lastFlush = now
+    }
+  }
+}
+
+/** SparkListener collector: task metrics → spool (A1/A3/A4/A5/A7). */
+final class CollectorListener(
+    spoolDir: String,
+    appNameDefault: String = "unknown",
+    appIdDefault: String = "unknown",
+    batchSize: Int = 100,
+    timeThresholdMs: Long = 10000L,
+    clock: () => Long = () => System.currentTimeMillis())
+  extends SparkListener {
+
+  import Collector.jstr
+
+  private val spool = new Collector.SpoolBuffer(
+    spoolDir, "metrics", batchSize, timeThresholdMs, clock)
+  // stageId → jobId, built on job start, evicted on stage completion
+  // (CustomMetricsListener.scala:31,59-65,81)
+  private val stageToJob = mutable.HashMap.empty[Int, String]
+  @volatile private var appName = appNameDefault
+  @volatile private var appId = appIdDefault
+
+  override def onApplicationStart(e: SparkListenerApplicationStart): Unit = {
+    appName = e.appName
+    e.appId.foreach(appId = _)
+  }
+
+  override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
+    e.stageIds.foreach(stageToJob(_) = e.jobId.toString)
+  }
+
+  override def onStageCompleted(e: SparkListenerStageCompleted): Unit = synchronized {
+    stageToJob.remove(e.stageInfo.stageId)
+  }
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null && e.taskInfo != null) {
+      val jobId = synchronized(stageToJob.get(e.stageId)).getOrElse("unknown")
+      val line =
+        s"""{"metricsType":"taskMetrics","appName":${jstr(appName)},""" +
+        s""""appId":${jstr(appId)},"jobId":${jstr(jobId)},""" +
+        s""""stageId":${e.stageId},"stageAttemptId":${e.stageAttemptId},""" +
+        s""""taskId":${jstr(e.taskInfo.id)},"executorId":${jstr(e.taskInfo.executorId)},""" +
+        s""""partitionId":${e.taskInfo.index},""" +
+        s""""inputBytesRead":${m.inputMetrics.bytesRead},""" +
+        s""""inputRecordsRead":${m.inputMetrics.recordsRead},""" +
+        s""""runTime":${m.executorRunTime},"executorCpuTime":${m.executorCpuTime},""" +
+        s""""peakExecutionMemory":${m.peakExecutionMemory},""" +
+        s""""outputRecordsWritten":${m.outputMetrics.recordsWritten},""" +
+        s""""outputBytesWritten":${m.outputMetrics.bytesWritten},""" +
+        s""""shuffleRecordsRead":${m.shuffleReadMetrics.recordsRead},""" +
+        s""""shuffleBytesRead":${m.shuffleReadMetrics.totalBytesRead},""" +
+        s""""shuffleRecordsWritten":${m.shuffleWriteMetrics.recordsWritten},""" +
+        s""""shuffleBytesWritten":${m.shuffleWriteMetrics.bytesWritten},""" +
+        s""""metricTime":${clock()}}"""
+      spool.add(line)
+    }
+  }
+
+  // flush at job + app end (CustomMetricsListener.scala:41-44,70-72)
+  override def onJobEnd(e: SparkListenerJobEnd): Unit = spool.flush()
+  override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = spool.flush()
+  def flush(): Unit = spool.flush()
+}
+
+/** Log4j2 appender collector: log events + MDC → spool (A2/A10 input).
+  * Programmatic (no plugin descriptor needed): instantiate, `start()`,
+  * and attach to a logger config.
+  */
+final class CollectorAppender(
+    spoolDir: String,
+    batchSize: Int = 100,
+    timeThresholdMs: Long = 10000L,
+    appName: String = "unknown",
+    appId: String = "unknown",
+    executorId: String = "driver",
+    clock: () => Long = () => System.currentTimeMillis())
+  extends AbstractAppender("graft-collector", null, null, true, Property.EMPTY_ARRAY) {
+
+  import Collector.jstr
+
+  private val spool = new Collector.SpoolBuffer(
+    spoolDir, "logs", batchSize, timeThresholdMs, clock)
+
+  override def append(event: LogEvent): Unit = {
+    val lvl = event.getLevel
+    val thrown = Option(event.getThrown)
+    val mdcTaskName = Option(event.getContextData)
+      .flatMap(cd => Option(cd.getValue[String]("taskName"))).orNull
+    val line =
+      s"""{"appName":${jstr(appName)},"appId":${jstr(appId)},""" +
+      s""""executorId":${jstr(executorId)},"logTime":${event.getTimeMillis},""" +
+      s""""loggerName":${jstr(event.getLoggerName)},""" +
+      s""""threadName":${jstr(event.getThreadName)},""" +
+      s""""message":${jstr(event.getMessage.getFormattedMessage)},""" +
+      s""""level":{"intLevel":${lvl.intLevel()},"name":${jstr(lvl.name())},""" +
+      s""""standardLevel":${jstr(lvl.getStandardLevel.name())}},""" +
+      s""""mdcTaskName":${jstr(mdcTaskName)},""" +
+      s""""thrownName":${jstr(thrown.map(_.getClass.getName).orNull)},""" +
+      s""""thrownMessage":${jstr(thrown.map(t => String.valueOf(t.getMessage)).orNull)}}"""
+    spool.add(line)
+  }
+
+  def flush(): Unit = spool.flush()
+}

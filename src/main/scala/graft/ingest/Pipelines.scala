@@ -1,0 +1,197 @@
+package graft.ingest
+
+import scala.concurrent.duration.{DurationInt, FiniteDuration}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Schemas
+import graft.operators.Skewness
+
+/** Structured Streaming ingestion pipelines — the Spark-native
+  * re-expression of the reference's collector→OSI→OpenSearch dataflow
+  * (SURVEY §3):
+  *
+  *  - file JSON source ≙ the OSI HTTP push endpoint (events land as
+  *    JSON batches; `maxFilesPerTrigger` ≙ collector batchSize,
+  *    `Trigger.ProcessingTime` ≙ timeThreshold — the reference's dual
+  *    size/time flush, ObservabilityClient.scala:299-306)
+  *  - route on metricsType → separate sinks ≙ metrics-pipeline.yaml:9-28
+  *  - parquet sinks with checkpointing: the file-source + file-sink pair
+  *    gives EXACTLY-ONCE (source tracks processed files, sink commits
+  *    through the _spark_metadata log) — strictly stronger than the
+  *    reference's retry/at-least-once HTTP delivery (A14,
+  *    ObservabilityClient.scala:160-201)
+  *  - sinks are dt-partitioned (A16): dashboards' global time filter
+  *    (B19) becomes partition pruning at read
+  *
+  * Scale: every stage before the sink is a narrow projection/filter or a
+  * broadcast join — no shuffle in the hot path; the only stateful query
+  * is the windowed stage aggregation, whose state is bounded by
+  * (live stages × window) and evicted by watermark.
+  */
+object Pipelines {
+
+  final case class Config(
+      sourceDir: String,
+      sinkRoot: String,
+      checkpointRoot: String,
+      maxFilesPerTrigger: Int = 100,
+      timeThreshold: FiniteDuration = 10.seconds,
+      availableNow: Boolean = false,
+      watermarkDelay: String = "5 minutes",
+      stageWindow: String = "1 minute") {
+    def tablePath(name: String): String = s"$sinkRoot/$name"
+  }
+
+  private def trigger(conf: Config): Trigger =
+    if (conf.availableNow) Trigger.AvailableNow()
+    else Trigger.ProcessingTime(conf.timeThreshold.toMillis)
+
+  private def fileSink(df: DataFrame, conf: Config, table: String,
+      partitionCols: Seq[String]): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .partitionBy(partitionCols: _*)
+      .option("path", conf.tablePath(table))
+      .option("checkpointLocation", s"${conf.checkpointRoot}/$table")
+      .trigger(trigger(conf))
+      .start()
+
+  /** Metrics pipeline: one source, routed to the task table and the
+    * stage-agg passthrough table, plus a derived stateful stage-skewness
+    * aggregation (the engine-side version of the reference's in-driver
+    * stage aggregation — grouping by the full key fixes its
+    * concurrent-stage cross-contamination bug by construction).
+    * Returns the started queries (task, stageAggPassthrough, stageAggDerived).
+    */
+  def startMetrics(spark: SparkSession, conf: Config): Seq[StreamingQuery] = {
+    val raw = spark.readStream
+      .schema(Transforms.rawMetricSchema)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .json(conf.sourceDir)
+
+    val tasks = Transforms.withDt(
+      Transforms.projectTaskMetrics(Transforms.route(raw, Transforms.TaskMetricsType)),
+      "metricTime")
+    val taskQ = fileSink(tasks, conf, Schemas.TaskMetricsTable, Seq("dt"))
+
+    val passthrough = Transforms.withDt(
+      Transforms.projectStageAgg(Transforms.route(raw, Transforms.StageAggMetricsType)),
+      "metricTime")
+    val passQ = fileSink(passthrough, conf, Schemas.StageAggMetricsTable, Seq("dt"))
+
+    // Derived stage aggregation: event-time windowed, append-mode (rows
+    // emit when the watermark closes the window — the stream-native
+    // equivalent of "stage completed", SURVEY §7.4). Partial/final agg
+    // shape mirrors §3.2; state is evicted by the watermark.
+    val agg = Transforms.projectTaskMetrics(
+        Transforms.route(raw, Transforms.TaskMetricsType))
+      .withWatermark("metricTime", conf.watermarkDelay)
+      .groupBy(
+        window(col("metricTime"), conf.stageWindow),
+        col("appName"), col("appId"), col("jobId"), col("stageId"))
+      .agg(
+        max(col("inputBytesRead")).as("max_in"),
+        min(col("inputBytesRead")).as("min_in"),
+        avg(col("inputBytesRead")).as("avg_in"),
+        max(col("shuffleBytesRead")).as("max_sh"),
+        min(col("shuffleBytesRead")).as("min_sh"),
+        avg(col("shuffleBytesRead")).as("avg_sh"),
+        max(col("metricTime")).as("maxMetricTime"))
+      .select(
+        col("appName"), col("appId"), col("jobId"), col("stageId"),
+        Skewness.skewFromStats(col("max_in"), col("min_in"), col("avg_in"))
+          .as("inputBytesReadSkewness"),
+        col("max_in").as("maxInputBytesRead"),
+        Skewness.skewFromStats(col("max_sh"), col("min_sh"), col("avg_sh"))
+          .as("shuffleBytesReadSkewness"),
+        col("max_sh").as("maxShuffleBytesRead"),
+        col("maxMetricTime").as("metricTime"))
+    val aggQ = Transforms.withDt(agg, "metricTime")
+      .writeStream
+      .format("parquet")
+      .partitionBy("dt")
+      .option("path", conf.tablePath(Schemas.StageAggMetricsTable + "_derived"))
+      .option("checkpointLocation", s"${conf.checkpointRoot}/stage_agg_derived")
+      .outputMode("append")
+      .trigger(trigger(conf))
+      .start()
+
+    Seq(taskQ, passQ, aggQ)
+  }
+
+  /** Alternative derived-agg delivery: foreachBatch recompute-upsert.
+    * Each micro-batch appends its task rows, then recomputes the stage
+    * aggregation ONLY for the (appId) partitions the batch touched and
+    * dynamic-partition-overwrites them — exact recompute semantics
+    * (identical to batch Skewness.stageAgg) with work bounded by the
+    * batch's key set. This is the §7.4 "recompute-on-upsert first"
+    * variant; the windowed query above is the stateful one.
+    */
+  def startMetricsUpsert(spark: SparkSession, conf: Config): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Transforms.rawMetricSchema)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .json(conf.sourceDir)
+    val tasks = Transforms.withDt(
+      Transforms.projectTaskMetrics(Transforms.route(raw, Transforms.TaskMetricsType)),
+      "metricTime")
+    val taskPath = conf.tablePath(Schemas.TaskMetricsTable)
+    val aggPath = conf.tablePath(Schemas.StageAggMetricsTable + "_upsert")
+    tasks.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${conf.checkpointRoot}/metrics_upsert")
+      .trigger(trigger(conf))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        batch.write.mode("append").partitionBy("dt").parquet(taskPath)
+        val touched = batch.select("appId").distinct().collect().map(_.getString(0))
+        if (touched.nonEmpty) {
+          val all = s.read.parquet(taskPath).where(col("appId").isin(touched: _*))
+          val agg = Skewness.stageAgg(all).withColumn("appIdPart", col("appId"))
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          agg.write.mode("overwrite").partitionBy("appIdPart").parquet(aggPath)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Logs pipeline: JSON log events → MDC parse → LogRecord table,
+    * dt-partitioned (logs-pipeline.yaml:5-15 has no routing).
+    */
+  def startLogs(spark: SparkSession, conf: Config): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Transforms.rawLogSchema)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .json(conf.sourceDir)
+    val logs = Transforms.withDt(Transforms.projectLogRecords(raw), "logTime")
+    fileSink(logs, conf, Schemas.LogsTable, Seq("dt"))
+  }
+
+  /** Generic content-routed ingest of an arbitrary keyed stream into a
+    * partitioned table — used by the correctness harness to replay the
+    * driver `events` table through a real checkpointed streaming write
+    * (source→sink exactly-once), proving the sink path end-to-end.
+    */
+  def ingestPartitioned(
+      spark: SparkSession,
+      sourceGlob: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCol: String,
+      conf: Config): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .parquet(sourceGlob)
+    raw.writeStream
+      .format("parquet")
+      .partitionBy(partitionCol)
+      .option("path", conf.tablePath("ingested"))
+      .option("checkpointLocation", s"${conf.checkpointRoot}/ingested")
+      .trigger(trigger(conf))
+      .start()
+  }
+}

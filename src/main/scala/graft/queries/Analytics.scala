@@ -55,8 +55,9 @@ object Analytics {
   }
 
   // B1-B3: cardinality (exact count-distinct for the oracle; the approx
-  // HLL variant — OpenSearch `cardinality` semantics — is exercised in
-  // the Dashboards module/specs since approx values have no DuckDB twin).
+  // HLL variant — OpenSearch `cardinality` semantics — is
+  // Dashboards.approxCardinality (q26, rows-only + error-bound spec,
+  // DashboardsSpec) since approx sketches have no DuckDB twin).
   // count(distinct) over 2 keys = two-phase agg (expand + 2 shuffles);
   // fine at scale because keyspace is bounded.
   def q02Cardinality(s: SparkSession, dir: String): DataFrame = {
@@ -349,7 +350,7 @@ object Analytics {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q12_regex_extract" ->
-      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+      """SELECT CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k,
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_json_parse" ->

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Approximate dashboard variants + log-table search — the OpenSearch
+  * semantics the exact oracle queries deliberately avoid (SURVEY §7.4):
+  *
+  *  - B1-B3 `cardinality` is HLL → `approx_count_distinct` (HLL++ in
+  *    Spark, relative error default 5%)
+  *  - B12 `percentiles` is t-digest → `percentile_approx`
+  *    (Greenwald-Khanna)
+  *  - B17 log search over the ingested spark_logs table
+  *  - B19 relative time filter (`from: now-6M to: now`)
+  *
+  * Approx results have no cross-engine oracle (different sketches), so
+  * these are verified by error-bound ScalaTests against the exact
+  * values, and exposed as rows-only queries. At 100 TB the approx forms
+  * are the ones you actually run: HLL++ partial aggregation means the
+  * shuffle carries fixed-size sketches instead of distinct-key expansion
+  * (no two-phase distinct expand), and percentile_approx carries bounded
+  * quantile summaries.
+  */
+object Dashboards {
+
+  /** B1-B3 (HLL cardinality), approx form of q02. */
+  def approxCardinality(orders: DataFrame, rsd: Double = 0.05): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd).as("n_cust"),
+        approx_count_distinct(col("o_orderkey"), rsd).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("o_orderpriority"))
+
+  /** B12 (t-digest percentiles), approx form of q06. `accuracy` is
+    * Spark's GK accuracy knob (10000 default ⇒ ~1/10000 rank error).
+    */
+  def approxPercentiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.25), lit(accuracy)).as("p25"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("l_quantity"), lit(0.75), lit(accuracy)).as("p75"),
+        percentile_approx(col("l_quantity"), lit(0.99), lit(accuracy)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** B17 over the ingested spark_logs table: severity filter (Log4j2
+    * intLevel — smaller is MORE severe, ERROR=200 < WARN=300 < INFO=400)
+    * + full-text contains + the saved search's projection, sorted,
+    * limited.
+    */
+  def searchLogs(logs: DataFrame, contains: String, maxIntLevel: Long = 400L,
+      limit: Int = 1000): DataFrame =
+    logs
+      .filter(col("message").contains(contains) &&
+        col("level.intLevel") <= maxIntLevel)
+      .select(col("appName"), col("appId"), col("executorId"),
+        col("taskId"), col("stageId"), col("level.name").as("level"),
+        col("message"), col("logTime"))
+      .orderBy(col("logTime"), col("taskId"))
+      .limit(limit)
+
+  /** B19: relative time-range predicate (`now-<interval> .. now`); the
+    * caller supplies `now` for determinism (SURVEY §7.4 clock injection).
+    */
+  def relativeTimeFilter(ts: Column, now: java.sql.Timestamp, interval: String): Column =
+    ts >= lit(now) - expr(s"INTERVAL $interval") && ts <= lit(now)
+
+  /** Rows-only query entries (no DuckDB twin for HLL/GK sketches). */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_approx_cardinality" ->
+      ((s, dir) => approxCardinality(Tables.orders(s, dir))),
+    "q27_approx_percentiles" ->
+      ((s, dir) => approxPercentiles(Tables.lineitem(s, dir)))
+  )
+}

@@ -82,9 +82,12 @@ object PipelineQueries {
   // with guaranteed recall at maxHamming=10 (11 bands).
   def q19SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigged = Tables.documents(s, dir).select(
-      $"doc_id",
-      Dedup.simhashOf(Dedup.shingles($"text", 3), Dedup.md5Hash60, 60).as("sig"))
+    val sigged = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // parallelize sig compute (1-file input)
+      .select($"doc_id",
+        Dedup.simhashOf(Dedup.shingles($"text", 3), Dedup.md5Hash60, 60).as("sig"))
+      // materialized once — both sides of the band join consume it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.simhashNearDupPairs(sigged, "doc_id", "sig", maxHamming = 10, bits = 60)
       .orderBy($"id_a", $"id_b")
   }
@@ -150,8 +153,45 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  // A13/A14 end-to-end: replay the events table through a REAL
+  // checkpointed Structured Streaming write (file source → routed
+  // partitioned parquet sink, exactly-once), then aggregate the sink.
+  // The oracle aggregates the source directly — any lost/duplicated row
+  // in the streaming path breaks the hash match.
+  def q25StreamIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q25")
+    // the streaming file source wants a drop DIRECTORY (like a real
+    // ingest spool) — link the source file into one
+    val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))
+    java.nio.file.Files.createSymbolicLink(
+      spool.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val conf = graft.ingest.Pipelines.Config(
+      sourceDir = spool.toString,
+      sinkRoot = s"$tmp/tables",
+      checkpointRoot = s"$tmp/ckpt",
+      availableNow = true)
+    graft.ingest.Pipelines
+      .ingestPartitioned(s, spool.toString, schema, "event_type", conf)
+      .awaitTermination()
+    s.read.parquet(conf.tablePath("ingested"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        max($"value").as("max_value"))
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
+    "q25_stream_ingest" -> q25StreamIngest _,
     "q16_auto_histogram" -> q16AutoHistogram _,
     "q17_exact_dedup" -> q17ExactDedup _,
     "q18_neardup_pairs" -> q18NeardupPairs _,
@@ -229,6 +269,10 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q25_stream_ingest" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_nested_topk" ->
       """WITH base AS (
         | SELECT r_name, n_name, s_name, s_acctbal FROM supplier

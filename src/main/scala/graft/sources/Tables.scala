@@ -31,17 +31,25 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS) which Spark
-    * has no native type for; read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong) and floor-convert to
-    * microseconds — the same truncation DuckDB applies when it reads
-    * nanos into its microsecond timestamps, so oracle results align.
+    * has no native type for; with `spark.sql.legacy.parquet.nanosAsLong`
+    * (set once at session bootstrap — Verify/Bench/test builders — NOT
+    * mutated here) the column arrives as nano longs, floor-converted to
+    * microseconds — the same conversion DuckDB applies reading nanos into
+    * its microsecond timestamps, so oracle results align. Floor (not
+    * truncate-toward-zero) so pre-epoch nanos would still bucket left.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Defensive set-if-absent for externally-built sessions (the nanos
+    // flag is required to read this file at all); our own entry points
+    // set it at session build so this is a no-op there.
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
       case _ => df
     }
   }

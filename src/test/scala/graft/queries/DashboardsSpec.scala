@@ -1,0 +1,71 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class DashboardsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("approxCardinality is within the configured HLL error of exact") {
+    val exact = Analytics.q02Cardinality(spark, sfSmoke)
+      .select($"o_orderpriority", $"n_cust", $"n_orders")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = Dashboards.approxCardinality(Tables.orders(spark, sfSmoke), rsd = 0.05)
+      .select($"o_orderpriority", $"n_cust", $"n_orders")
+      .as[(String, Long, Long)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (k, cust, orders) =>
+      val (ec, eo) = exact(k)
+      // 4 standard errors at rsd=0.05 — deterministic sketch, generous bound
+      assert(math.abs(cust - ec) <= math.max(2, ec * 0.2), s"$k cust $cust vs $ec")
+      assert(math.abs(orders - eo) <= math.max(2, eo * 0.2), s"$k orders $orders vs $eo")
+    }
+  }
+
+  test("approxPercentiles lands within one rank-error of exact percentiles") {
+    val exact = Analytics.q06Percentiles(spark, sfSmoke)
+      .select($"l_returnflag", $"p50", $"p99")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = Dashboards.approxPercentiles(Tables.lineitem(spark, sfSmoke))
+      .select($"l_returnflag", $"p50", $"p99")
+      .as[(String, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (k, p50, p99) =>
+      val (e50, e99) = exact(k)
+      // GK returns an actual element; exact interpolates — allow one unit
+      assert(math.abs(p50 - e50) <= 1.0, s"$k p50 $p50 vs $e50")
+      assert(math.abs(p99 - e99) <= 1.0, s"$k p99 $p99 vs $e99")
+    }
+  }
+
+  test("relativeTimeFilter keeps exactly the trailing interval") {
+    val now = Timestamp.valueOf("2025-06-30 00:00:00")
+    val df = Seq("2025-06-29 23:00:00", "2025-06-01 00:00:00", "2025-07-01 00:00:00")
+      .toDF("s").select(to_timestamp($"s").as("ts"))
+    val kept = df.filter(Dashboards.relativeTimeFilter($"ts", now, "7 DAYS"))
+      .as[Timestamp].collect()
+    assert(kept.map(_.toString).toSeq == Seq("2025-06-29 23:00:00.0"))
+  }
+
+  test("searchLogs filters severity ≤ maxIntLevel and projects the saved-search columns") {
+    val logs = Seq(
+      ("a", "app", "1", "1.0", "2.0", 200L, "ERROR", "task failed: oom",
+        Timestamp.valueOf("2026-01-01 00:00:01")),
+      ("a", "app", "1", "1.0", "2.0", 400L, "INFO", "task failed retry scheduled",
+        Timestamp.valueOf("2026-01-01 00:00:02")),
+      ("a", "app", "1", "2.0", "2.0", 200L, "ERROR", "all good",
+        Timestamp.valueOf("2026-01-01 00:00:03"))
+    ).toDF("appName", "appId", "executorId", "taskId", "stageId",
+        "intLevel", "levelName", "message", "logTime")
+      .withColumn("level", struct($"intLevel", $"levelName".as("name")))
+    val got = Dashboards.searchLogs(logs, "task failed", maxIntLevel = 300L)
+    assert(got.columns.toSeq == Seq("appName", "appId", "executorId",
+      "taskId", "stageId", "level", "message", "logTime"))
+    val rows = got.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("message") == "task failed: oom")
+  }
+}

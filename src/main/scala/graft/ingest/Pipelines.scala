@@ -159,6 +159,35 @@ object Pipelines {
       .start()
   }
 
+  /** A14: retry with exponential backoff for NON-transactional external
+    * sinks — the reference's delivery envelope (ObservabilityClient
+    * .scala:28-33,271-292: initial 5 s, ×2 per attempt, capped 60 s, 5
+    * retries, retryable-error classification, reset on success). The
+    * parquet sinks here don't need it (file-source checkpoint + sink
+    * commit log are exactly-once); wrap external writes inside
+    * `foreachBatch` with it.
+    */
+  def withRetries[T](
+      maxRetries: Int = 5,
+      initialBackoffMs: Long = 5000L,
+      capMs: Long = 60000L,
+      retryable: Throwable => Boolean = _ => true,
+      sleep: Long => Unit = Thread.sleep)(fn: => T): T = {
+    var attempt = 0
+    var backoff = initialBackoffMs
+    while (true) {
+      try return fn
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt > maxRetries || !retryable(e)) throw e
+          sleep(math.min(backoff, capMs))
+          backoff = math.min(backoff * 2, capMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Logs pipeline: JSON log events → MDC parse → LogRecord table,
     * dt-partitioned (logs-pipeline.yaml:5-15 has no routing).
     */

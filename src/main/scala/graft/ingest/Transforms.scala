@@ -164,6 +164,20 @@ object Transforms {
   def withDt(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
 
+  /** A15 (dormant `date` processor): server-side ingest timestamp. The
+    * clock is injected for determinism (SURVEY §7.4); pass
+    * `current_timestamp()`-derived value at the call site in production.
+    */
+  def serverTimestamp(df: DataFrame, now: java.sql.Timestamp,
+      colName: String = "ingestTime"): DataFrame =
+    df.withColumn(colName, lit(now))
+
+  /** A15 (dormant `delete_entries` processor): drop noise fields (the
+    * reference lists threadId/threadName/threadPriority).
+    */
+  def dropFields(df: DataFrame, fields: String*): DataFrame =
+    df.drop(fields: _*)
+
   /** Discriminator constants re-exported for routing call sites. */
   val TaskMetricsType: String = Schemas.TaskMetricsType
   val StageAggMetricsType: String = Schemas.StageAggMetricsType

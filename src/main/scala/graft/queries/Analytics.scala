@@ -230,13 +230,18 @@ object Analytics {
 
   // A12: content routing — predicate dispatch by record type; the routed
   // branch is a pushed-down filter + projection (partition pruning when
-  // the sink table is partitioned by the route key).
+  // the sink table is partitioned by the route key). The deterministic
+  // order is BOUNDED (orderBy+limit ⇒ TakeOrderedAndProject, a
+  // per-partition heap + driver merge) — an unbounded global sort of
+  // every matched row would become a full range-partition exchange at
+  // 100 TB for no analytic value.
   def q14Route(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
       .filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"value")
       .orderBy($"event_id")
+      .limit(100000)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -359,6 +364,6 @@ object Analytics {
     "q14_route" ->
       """SELECT event_id, user_id, value
         |FROM events WHERE event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id LIMIT 100000""".stripMargin
   )
 }

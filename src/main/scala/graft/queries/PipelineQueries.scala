@@ -189,9 +189,22 @@ object PipelineQueries {
       .orderBy($"event_type")
   }
 
+  // A8, serialize direction: struct → JSON payload (the reference
+  // Gson-serializes each record at flush; from_json is q13). Long/string
+  // fields only — float textual formats differ across engines.
+  def q28JsonSerialize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        to_json(struct($"event_id", $"user_id", $"event_type")).as("payload"))
+      .orderBy($"event_id")
+      .limit(1000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
+    "q28_json_serialize" -> q28JsonSerialize _,
     "q16_auto_histogram" -> q16AutoHistogram _,
     "q17_exact_dedup" -> q17ExactDedup _,
     "q18_neardup_pairs" -> q18NeardupPairs _,
@@ -269,6 +282,11 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q28_json_serialize" ->
+      """SELECT event_id,
+        | to_json(struct_pack(event_id := event_id, user_id := user_id,
+        |                     event_type := event_type))::VARCHAR AS payload
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
     "q25_stream_ingest" ->
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT user_id) AS n_users, max(value) AS max_value

@@ -110,4 +110,74 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Driver-side SRP signature of one vector (same planes/semantics as
+    * [[srpSignature]]) — used to target index partitions before any
+    * Spark job runs.
+    */
+  def srpSignatureLocal(vec: Array[Double], planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      var d = 0.0
+      var j = 0
+      while (j < p.length && j < vec.length) { d += vec(j) * p(j); j += 1 }
+      if (d > 0) acc | (1L << i) else acc
+    }
+
+  /** All signatures within `maxHamming` bit flips of `sig` (the probe
+    * set). |ball| = Σ C(bits, r) for r ≤ maxHamming — e.g. 79 buckets
+    * for bits=12, maxHamming=2.
+    */
+  def hammingBall(sig: Long, bits: Int, maxHamming: Int): Seq[Long] =
+    (0 to maxHamming).flatMap {
+      case 0 => Seq(sig)
+      case r => (0 until bits).combinations(r).map(
+        _.foldLeft(sig)((s, b) => s ^ (1L << b))).toSeq
+    }
+
+  /** THE 100 TB shape: write the embedding table PARTITIONED BY its SRP
+    * signature — the signature is the physical cluster key, so an ANN
+    * probe prunes partitions at file-listing time instead of scanning
+    * and filtering (the non-indexed [[lshTopK]] filter is still a full
+    * scan; this one reads only the probed buckets).
+    */
+  def writeLshIndex(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      bits: Int = 12,
+      dim: Int = -1): Unit = {
+    val d = if (dim > 0) dim else dimOf(embeddings, vecCol)
+    val planes = hyperplanes(bits, d)
+    embeddings
+      .withColumn("sig_bucket", srpSignature(toDoubleVec(col(vecCol)), planes))
+      .write.mode("overwrite").partitionBy("sig_bucket").parquet(path)
+  }
+
+  /** ANN top-k against a written LSH index: compute the query signature
+    * driver-side, enumerate the Hamming probe ball, and read ONLY those
+    * partitions (`sig_bucket IN (...)` is a partition filter — check
+    * `PartitionFilters` in the scan node). Exact cosine re-ranks the
+    * candidates.
+    */
+  def queryLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      bits: Int = 12,
+      maxHamming: Int = 2): DataFrame = {
+    val planes = hyperplanes(bits, queryVec.length)
+    val qsig = srpSignatureLocal(queryVec, planes)
+    val ball = hammingBall(qsig, bits, maxHamming)
+    val qlit = typedlit(queryVec.toSeq)
+    spark.read.parquet(path)
+      .filter(col("sig_bucket").isin(ball: _*))
+      .withColumn("cos", cosine(toDoubleVec(col(vecCol)), qlit))
+      .select(col(idCol), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -47,4 +47,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.dimOf(vecs8, "embedding") == 8)
     assert(Similarity.dimOf(Tables.embeddings(spark, sfSmoke), "embedding") == 64)
   }
+
+  test("hammingBall enumerates Σ C(bits,r) distinct signatures") {
+    val ball = Similarity.hammingBall(0b1010L, bits = 12, maxHamming = 2)
+    assert(ball.length == 1 + 12 + 66)
+    assert(ball.distinct.length == ball.length)
+    assert(ball.forall(s => java.lang.Long.bitCount(s ^ 0b1010L) <= 2))
+  }
+
+  test("LSH index probe prunes partitions and matches the scan-based ANN") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString + "/idx"
+    Similarity.writeLshIndex(emb, "vec_id", "embedding", path, bits = 12)
+
+    val qv = emb.filter($"vec_id" === 1).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val got = Similarity.queryLshIndex(spark, path, "vec_id", "embedding",
+      qv, k = 5, bits = 12, maxHamming = 2)
+
+    // partition pruning visible in the scan (sig_bucket is a partition col)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sig_bucket"))
+
+    // same result as the scan-based ANN at the same probe radius
+    val q = emb.filter($"vec_id" === 1).select($"embedding".as("qvec"))
+    val scanned = Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 5,
+        bits = 12, maxHamming = 2)
+      .select($"vec_id").as[Long].collect().toSeq
+    val indexed = got.select($"vec_id").as[Long].collect().toSeq
+    assert(indexed == scanned && indexed.nonEmpty)
+  }
 }

@@ -20,10 +20,18 @@ object Similarity {
 
   def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product of two double arrays — sequential left fold, matching
-    * the oracle's list_dot_product evaluation order bit-for-bit.
+  /** Dot product of two double arrays — a native codegen'd expression
+    * (graft.plans.ArrayDotProduct) computing the strict sequential left
+    * fold, bit-identical to the oracle's list_dot_product and to
+    * [[dotHof]], but running as a primitive loop inside whole-stage
+    * codegen instead of interpreted lambda evaluation.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.plans.GraftFunctions.dot(a, b)
+
+  /** Reference higher-order-function form (interpreted); kept as the
+    * cross-check twin for the native expression's spec.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -41,7 +41,8 @@ object Pipelines {
       timeThreshold: FiniteDuration = 10.seconds,
       availableNow: Boolean = false,
       watermarkDelay: String = "5 minutes",
-      stageWindow: String = "1 minute") {
+      stageWindow: String = "1 minute",
+      dedupeDelivery: Boolean = false) {
     def tablePath(name: String): String = s"$sinkRoot/$name"
   }
 
@@ -72,9 +73,20 @@ object Pipelines {
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .json(conf.sourceDir)
 
-    val tasks = Transforms.withDt(
-      Transforms.projectTaskMetrics(Transforms.route(raw, Transforms.TaskMetricsType)),
-      "metricTime")
+    val projected =
+      Transforms.projectTaskMetrics(Transforms.route(raw, Transforms.TaskMetricsType))
+    // A14 hardening: an at-least-once upstream (the reference retries
+    // whole batches on failure) can deliver duplicates; the task key is
+    // unique per attempt, so a watermark-bounded dedup restores
+    // exactly-once CONTENT (state is evicted past the watermark).
+    val deduped =
+      if (conf.dedupeDelivery)
+        projected
+          .withWatermark("metricTime", conf.watermarkDelay)
+          .dropDuplicatesWithinWatermark(
+            "appId", "jobId", "stageId", "stageAttemptId", "taskId")
+      else projected
+    val tasks = Transforms.withDt(deduped, "metricTime")
     val taskQ = fileSink(tasks, conf, Schemas.TaskMetricsTable, Seq("dt"))
 
     val passthrough = Transforms.withDt(

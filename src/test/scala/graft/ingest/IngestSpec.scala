@@ -122,6 +122,24 @@ class IngestSpec extends SparkTestBase {
     assert(s2.getAs[Double]("inputBytesReadSkewness") == (98000000.0 - (1000000.0 + 1000000.0 + 98000000.0) / 3) / 97000000.0)
   }
 
+  test("dedupeDelivery drops at-least-once duplicate task events") {
+    val root = Files.createTempDirectory("graft-dedup-delivery")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    val dup = taskJson(2, "10.0", 1000000L, 0L, 1000L)
+    // the same task delivered twice (retry replay) + one distinct task
+    Files.writeString(src.resolve("b0.json"),
+      Seq(dup, dup, taskJson(2, "11.0", 2000000L, 0L, 2000L)).mkString("\n"))
+    val conf = Pipelines.Config(
+      sourceDir = src.toString,
+      sinkRoot = root.resolve("tables").toString,
+      checkpointRoot = root.resolve("ckpt").toString,
+      availableNow = true,
+      dedupeDelivery = true)
+    Pipelines.startMetrics(spark, conf).foreach(_.awaitTermination())
+    val tasks = spark.read.parquet(conf.tablePath(Schemas.TaskMetricsTable))
+    assert(tasks.count() == 2, "duplicate delivery should collapse to one row per task")
+  }
+
   test("logs pipeline: MDC parse + enrichment into the LogRecord table") {
     val root = Files.createTempDirectory("graft-logs")
     val src = root.resolve("src"); Files.createDirectories(src)

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Plan-shape audits: the properties that make these queries survive a
+  * 100× scale-up, asserted so a regression (lost pushdown, lost
+  * broadcast, unbounded sort) fails CI rather than a cluster.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+
+  test("q10: filter-control predicates reach the parquet scan") {
+    val p = plan("q10_filtered_agg")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderstatus"),
+      s"expected pushed o_orderstatus filter:\n$p")
+  }
+
+  test("q09: log-search equality predicate is pushed; projection pruned") {
+    val p = plan("q09_log_search")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(lang,en)"), p)
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>")
+      || p.contains("text"), "text needed for contains(); other cols pruned")
+  }
+
+  test("q14: routed output is heap-bounded, not globally sorted") {
+    val p = plan("q14_route")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), s"no full sort expected:\n$p")
+  }
+
+  test("q22: brute-force ANN is broadcast + TakeOrdered (zero shuffle)") {
+    val p = plan("q22_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q01: grouped sums run partial (map-side) aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("q11: every dimension join is broadcast — fact side never shuffles") {
+    val p = plan("q11_join_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}

@@ -201,10 +201,35 @@ object PipelineQueries {
       .limit(1000)
   }
 
+  // Batched k-NN similarity join: top-3 neighbors for each of 5 query
+  // vectors in one pass (broadcast queries, one window shuffle).
+  def q29KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.knnJoin(emb, "vec_id", "embedding", queries, 3)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  // Multimodal frame sampling: stride-sampled binary slices per payload
+  // (ASCII docs only — the oracle's VARCHAR substring is char-indexed,
+  // Spark's BINARY substring is byte-indexed; they coincide on ASCII).
+  def q30FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      Tables.documents(s, dir).filter(col("lang") === "en"), "doc_id", "text", "video")
+    Multimodal.sampleFrames(media, 3)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        // hex-encode: raw binary is opaque to the driver's row hasher
+        lower(hex(col("frame_bytes"))).as("frame_hex"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
     "q28_json_serialize" -> q28JsonSerialize _,
+    "q29_knn_join" -> q29KnnJoin _,
+    "q30_frame_sample" -> q30FrameSample _,
     "q16_auto_histogram" -> q16AutoHistogram _,
     "q17_exact_dedup" -> q17ExactDedup _,
     "q18_neardup_pairs" -> q18NeardupPairs _,
@@ -282,6 +307,22 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q29_knn_join" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT qid, vec_id,
+        |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) cos
+        | FROM e, q),
+        |r AS (SELECT qid, vec_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rk FROM c)
+        |SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "q30_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |  greatest(octet_length(encode(text)) // 3, 1) AS step
+        | FROM documents WHERE lang = 'en')
+        |SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+        | lower(hex(encode(substring(text, CAST(i * step + 1 AS BIGINT), 16)))) AS frame_hex
+        |FROM m, range(0, 3) r(i) ORDER BY media_id, frame_idx""".stripMargin,
     "q28_json_serialize" ->
       """SELECT event_id,
         | to_json(struct_pack(event_id := event_id, user_id := user_id,

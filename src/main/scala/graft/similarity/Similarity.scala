@@ -142,6 +142,61 @@ object Similarity {
         _.foldLeft(sig)((s, b) => s ^ (1L << b))).toSeq
     }
 
+  /** Batched k-NN join: exact top-k neighbors for EVERY query vector in
+    * `queries` (qid, qvec). The query side broadcasts (it's the small
+    * side by construction); ranking is one window shuffle on qid. At
+    * larger query cardinality, swap the crossJoin for per-query probes
+    * of the partitioned LSH index ([[queryLshIndex]]).
+    */
+  def knnJoin(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    // rank on the ROUNDED cosine so rank order is engine-portable
+    // (unrounded ranking could disagree with an oracle that rounds)
+    val withCos = embeddings.crossJoin(broadcast(queries))
+      .withColumn("cos", round(cosine(toDoubleVec(col(vecCol)), toDoubleVec(col("qvec"))), 6))
+    graft.operators.TopK.perGroup(
+        withCos, Seq(col("qid")), Seq(col("cos").desc, col(idCol)), k)
+      .select(col("qid"), col(idCol), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Embedding near-duplicate pairs: SRP signatures + Manku-style banded
+    * candidate search (bands = maxHamming+1 ⇒ pigeonhole recall over the
+    * Hamming ball) + exact cosine verification. At 100 TB the band-key
+    * exchange is the only shuffle and the n² never materializes. Note
+    * the guarantee is over SIGNATURE hamming; pick (bits, maxHamming)
+    * so the cosine threshold's hamming distribution is safely inside
+    * the ball (E[h] = bits·θ/π).
+    */
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 16,
+      maxHamming: Int = 7,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else dimOf(embeddings, vecCol)
+    val planes = hyperplanes(bits, d)
+    val sigged = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__sig", srpSignature(col("__v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = graft.dedup.Dedup.simhashNearDupPairs(
+      sigged, "id", "__sig", maxHamming, bits)
+    val side = sigged.select(col("id").as("__jid"), col("__v"))
+    cands
+      .join(side.withColumnRenamed("__v", "v_a"), cands("id_a") === side("__jid")).drop("__jid")
+      .join(side.withColumnRenamed("__v", "v_b"), cands("id_b") === side("__jid")).drop("__jid")
+      .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+  }
+
   /** THE 100 TB shape: write the embedding table PARTITIONED BY its SRP
     * signature — the signature is the physical cluster key, so an ANN
     * probe prunes partitions at file-listing time instead of scanning

@@ -48,6 +48,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.dimOf(Tables.embeddings(spark, sfSmoke), "embedding") == 64)
   }
 
+  test("cosineNearDupPairs finds planted high-cosine pairs and nothing else") {
+    val dim = 16
+    def unit(i: Int) = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val nearly = Array.tabulate(dim)(j =>
+      if (j == 0) 1f else if (j == 1) 0.05f else 0f) // cos(v0, nearly) ≈ 0.9988
+    val vecs = Seq(
+      (0L, unit(0)), (1L, nearly), (2L, unit(2)), (3L, unit(3))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.95, bits = 16, maxHamming = 7, dim = dim)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("knnJoin returns each query's exact top-k with itself first") {
+    val q = vecs8.filter($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Similarity.knnJoin(vecs8, "vec_id", "embedding", q, 2)
+      .orderBy($"qid", $"rk")
+      .select($"qid", $"vec_id", $"rk").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 1L), (1L, 0L, 2L)))
+  }
+
   test("hammingBall enumerates Σ C(bits,r) distinct signatures") {
     val ball = Similarity.hammingBall(0b1010L, bits = 12, maxHamming = 2)
     assert(ball.length == 1 + 12 + 66)

@@ -33,6 +33,28 @@ object DateHistogram {
     ladderSeconds.find(_ >= need).getOrElse(ladderSeconds.last)
   }
 
+  /** Calendar rungs above the fixed ladder (OpenSearch auto continues
+    * month → quarter → year for long spans). Approximate second-lengths
+    * are only used for rung SELECTION; bucketing is true calendar
+    * `date_trunc`.
+    */
+  val calendarLadder: Seq[(String, Long)] = Seq(
+    "month" -> 30L * 86400L,
+    "quarter" -> 91L * 86400L,
+    "year" -> 365L * 86400L)
+
+  /** Full auto-interval: Left(seconds) for fixed rungs, Right(unit) for
+    * calendar rungs when even 7d would overflow `targetBuckets`.
+    */
+  def autoInterval(span: Duration, targetBuckets: Int = 50): Either[Long, String] = {
+    val need = math.max(1L, span.getSeconds / math.max(1, targetBuckets))
+    ladderSeconds.find(_ >= need) match {
+      case Some(s) => Left(s)
+      case None =>
+        Right(calendarLadder.find(_._2 >= need).map(_._1).getOrElse("year"))
+    }
+  }
+
   /** Bucket a timestamp column to a fixed interval of `seconds`. */
   def bucket(ts: Column, seconds: Long): Column = {
     val step = seconds * 1000L
@@ -41,4 +63,11 @@ object DateHistogram {
 
   /** Calendar bucketing (day/week/month/...) via date_trunc. */
   def truncate(ts: Column, unit: String): Column = date_trunc(unit, ts)
+
+  /** Bucket by an auto-chosen interval (fixed or calendar). */
+  def autoBucket(ts: Column, span: Duration, targetBuckets: Int = 50): Column =
+    autoInterval(span, targetBuckets) match {
+      case Left(seconds) => bucket(ts, seconds)
+      case Right(unit) => truncate(ts, unit)
+    }
 }

@@ -224,12 +224,53 @@ object PipelineQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  // B13 calendar branch: span/targetBuckets lands past the fixed 7d rung
+  // (orders span 6.6 years) → calendar quarter via date_trunc. The auto
+  // choice is recomputed from the data; the oracle pins the rung the
+  // ladder provably picks for this span at every SF.
+  def q31CalendarHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    // o_orderdate is TIMESTAMP_NTZ; session is UTC so the cast is exact
+    val mm = orders.agg(
+      min(unix_millis($"o_orderdate".cast("timestamp"))),
+      max(unix_millis($"o_orderdate".cast("timestamp")))).head()
+    val span = Duration.ofSeconds((mm.getLong(1) - mm.getLong(0)) / 1000L)
+    orders
+      .groupBy(date_format(
+        DateHistogram.autoBucket($"o_orderdate", span, 50), "yyyy-MM").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"bucket")
+  }
+
+  // Hierarchy rollup — subtotals over region → nation (the idiomatic
+  // cube extension of the dashboards' app→job→stage drilldown).
+  def q32Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice".cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("r_name"),
+        coalesce($"n_name", lit("ALL")).as("n_name"),
+        $"revenue", $"n_items")
+      .orderBy($"r_name", $"n_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
     "q28_json_serialize" -> q28JsonSerialize _,
     "q29_knn_join" -> q29KnnJoin _,
     "q30_frame_sample" -> q30FrameSample _,
+    "q31_calendar_histogram" -> q31CalendarHistogram _,
+    "q32_rollup" -> q32Rollup _,
     "q16_auto_histogram" -> q16AutoHistogram _,
     "q17_exact_dedup" -> q17ExactDedup _,
     "q18_neardup_pairs" -> q18NeardupPairs _,
@@ -307,6 +348,19 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q31_calendar_histogram" ->
+      """SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m') AS bucket,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
     "q29_knn_join" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
         |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),

@@ -44,6 +44,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(DateHistogram.autoIntervalSeconds(Duration.ofDays(36500), 10) == 7 * 86400)
   }
 
+  test("DateHistogram.autoInterval escalates to calendar rungs for long spans") {
+    assert(DateHistogram.autoInterval(Duration.ofDays(30), 30) == Left(86400L))
+    assert(DateHistogram.autoInterval(Duration.ofDays(300), 50) == Left(7 * 86400L))
+    assert(DateHistogram.autoInterval(Duration.ofDays(1500), 50) == Right("month"))
+    assert(DateHistogram.autoInterval(Duration.ofDays(2404), 50) == Right("quarter"))
+    assert(DateHistogram.autoInterval(Duration.ofDays(36500), 50) == Right("year"))
+    assert(DateHistogram.autoInterval(Duration.ofDays(365000), 50) == Right("year"))
+  }
+
   test("DateHistogram.bucket floors timestamps to the interval") {
     val df = Seq("2024-01-15 13:47:31").toDF("s")
       .select(to_timestamp($"s").as("ts"))

@@ -263,6 +263,17 @@ object PipelineQueries {
       .orderBy($"r_name", $"n_name")
   }
 
+  // Rolling-hash (winnowing-style) document fingerprint: min of the
+  // char-window polynomial hashes — robust to edits outside the
+  // minimizing window, pure integer math (exact oracle).
+  def q33RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // char-level fold is CPU-heavy
+      .select($"doc_id", TextAnalysis.rollingFingerprint($"text", 16).as("rfp"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -271,6 +282,7 @@ object PipelineQueries {
     "q30_frame_sample" -> q30FrameSample _,
     "q31_calendar_histogram" -> q31CalendarHistogram _,
     "q32_rollup" -> q32Rollup _,
+    "q33_rolling_fingerprint" -> q33RollingFingerprint _,
     "q16_auto_histogram" -> q16AutoHistogram _,
     "q17_exact_dedup" -> q17ExactDedup _,
     "q18_neardup_pairs" -> q18NeardupPairs _,
@@ -348,6 +360,13 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q33_rolling_fingerprint" ->
+      """WITH ch AS (SELECT doc_id, string_split(text, '') cs FROM documents)
+        |SELECT doc_id,
+        | list_min([list_reduce(list_prepend(0::BIGINT, list_transform(cs[i:i+15], x -> ascii(x))),
+        |                       (a, c) -> (a * 31 + c) % 1000000007)
+        |           FOR i IN range(1, greatest(len(cs) - 14, 2))]) AS rfp
+        |FROM ch ORDER BY doc_id""".stripMargin,
     "q31_calendar_histogram" ->
       """SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m') AS bucket,
         | count(*) AS n_orders

@@ -91,4 +91,23 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(trim(c), "\\s+")))))
+
+  /** Rabin-style rolling-hash document fingerprint: the MINIMUM over all
+    * char windows of width `w` of the window's polynomial hash
+    * `fold(h,ch) = (h*31 + ascii(ch)) mod 1e9+7` — winnowing's
+    * content-defined anchor, robust to edits outside the minimizing
+    * window. Pure integer arithmetic, so a DuckDB oracle reproduces it
+    * exactly. Texts shorter than `w` hash their full length.
+    */
+  def rollingFingerprint(c: Column, w: Int = 16): Column = {
+    // split("", limit=-1) keeps a trailing empty element — slice to the
+    // true char count so the oracle's string_split semantics match
+    val chars = slice(split(c, ""), lit(1), length(c))
+    val n = size(chars)
+    array_min(
+      transform(
+        sequence(lit(1), greatest(n - (w - 1), lit(1))),
+        i => aggregate(slice(chars, i, lit(w)), lit(0L),
+          (a, ch) => (a * 31 + ascii(ch)) % 1000000007L)))
+  }
 }

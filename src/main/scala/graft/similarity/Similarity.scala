@@ -243,4 +243,68 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the coarse-quantizer alternative to SRP.
+
+  /** Deterministic unit-norm pseudo-centroids (seeded directions — a
+    * k-means|| refinement can replace them without changing the index
+    * layout or query path).
+    */
+  def ivfCentroids(n: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =
+    hyperplanes(n, dim, seed).map { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      if (norm == 0) c else c.map(_ / norm)
+    }
+
+  /** Cell assignment: index (0-based) of the max-dot centroid; ties go
+    * to the lowest index (array_position finds the first occurrence).
+    */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dots = array(centroids.map(c => dot(vec, typedlit(c.toSeq))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Write the embedding table partitioned by IVF cell — same 100 TB
+    * story as [[writeLshIndex]]: the coarse quantizer is the physical
+    * partition key, probes prune at file listing.
+    */
+  def writeIvfIndex(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCentroids: Int = 16,
+      dim: Int = -1): Unit = {
+    val d = if (dim > 0) dim else dimOf(embeddings, vecCol)
+    val cents = ivfCentroids(nCentroids, d)
+    embeddings
+      .withColumn("ivf_cell", ivfAssign(toDoubleVec(col(vecCol)), cents))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+  }
+
+  /** Probe the `nProbe` nearest cells (computed driver-side), exact
+    * cosine re-rank within them — partition pruning on `ivf_cell`.
+    */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 3): DataFrame = {
+    val cents = ivfCentroids(nCentroids, queryVec.length)
+    val probed = cents.zipWithIndex.map { case (c, i) =>
+      i -> c.zip(queryVec).map { case (a, b) => a * b }.sum
+    }.sortBy { case (i, d) => (-d, i) }.take(nProbe).map(_._1)
+    val qlit = typedlit(queryVec.toSeq)
+    spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probed: _*))
+      .withColumn("cos", cosine(toDoubleVec(col(vecCol)), qlit))
+      .select(col(idCol), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 }

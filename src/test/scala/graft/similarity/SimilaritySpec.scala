@@ -70,6 +70,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 1L), (1L, 0L, 2L)))
   }
 
+  test("IVF index probe prunes to the probed cells and finds the query vector") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 16)
+
+    val qv = emb.filter($"vec_id" === 3).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val got = Similarity.queryIvfIndex(spark, path, "vec_id", "embedding",
+      qv, k = 5, nCentroids = 16, nProbe = 3)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"))
+    // the query vector's own cell is always probed → itself ranks first
+    val top = got.select($"vec_id").as[Long].collect()
+    assert(top.headOption.contains(3L))
+    // probing all cells = exact brute force
+    val all = Similarity.queryIvfIndex(spark, path, "vec_id", "embedding",
+      qv, k = 5, nCentroids = 16, nProbe = 16)
+      .select($"vec_id").as[Long].collect().toSeq
+    val q = emb.filter($"vec_id" === 3).select($"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(all == brute)
+  }
+
   test("hammingBall enumerates Σ C(bits,r) distinct signatures") {
     val ball = Similarity.hammingBall(0b1010L, bits = 12, maxHamming = 2)
     assert(ball.length == 1 + 12 + 66)

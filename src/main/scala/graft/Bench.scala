@@ -26,7 +26,9 @@ object Bench {
           case e: Throwable =>
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // release per-query persisted sig tables
+        name -> dt
       }
     // cold pass warms JVM/codegen/file listing; report steady-state (the
     // cluster-representative number) plus the cold total for honesty

@@ -154,9 +154,11 @@ object Dedup {
     // Verification staging: the signature-agreement estimate (p long
     // compares) kills ~all false band collisions BEFORE the exact
     // set-intersection jaccard runs — the `&&` short-circuits row-wise.
-    // The margin (0.2 ≈ 13σ at p=64) makes a false kill of a true
-    // ≥threshold pair astronomically unlikely; precision stays exact.
-    val estFloor = math.max(0.0, threshold - 0.2)
+    // Estimator sd at p=64 is √(j(1−j)/p) ≈ 0.05, so the 0.3 margin is a
+    // 6σ cut: P(false kill of a true ≥threshold pair) ≈ 1e-9 per pair,
+    // while j<0.3 noise (≥6σ below the floor) still ~never reaches the
+    // exact verify. Precision stays exact (jaccard is recomputed).
+    val estFloor = math.max(0.0, threshold - 0.3)
     cands
       .join(side.withColumnRenamed("__sh", "sh_a").withColumnRenamed("__sig", "sig_a"),
         cands("id_a") === side("__jid")).drop("__jid")
@@ -164,6 +166,10 @@ object Dedup {
         cands("id_b") === side("__jid")).drop("__jid")
       .filter(signatureAgreement(col("sig_a"), col("sig_b")) >= estFloor &&
         jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      // jaccard intentionally recomputed HERE, for survivors only (a
+      // handful of rows): hoisting it into a withColumn would make the
+      // pushed-down predicate evaluate it for every candidate, defeating
+      // the short-circuiting est-prefilter above.
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
   }
 
@@ -238,12 +244,15 @@ object Dedup {
     * keys; join on (band index, key) via posexplode.
     */
   def simhashBandKeys(sig: Column, bands: Int, bits: Int): Column = {
+    require(bands >= 1 && bands <= bits,
+      s"bands ($bands) must be in [1, bits=$bits] — zero-width bands collide everything")
     val base = bits / bands
     val rem = bits % bands
     val sizes = Seq.tabulate(bands)(i => if (i < rem) base + 1 else base)
     val offsets = sizes.scanLeft(0)(_ + _)
     array(Seq.tabulate(bands) { i =>
-      val mask = (1L << sizes(i)) - 1L
+      // (1L << 64) wraps to 1 — a full-width band must mask to all ones
+      val mask = if (sizes(i) >= 64) -1L else (1L << sizes(i)) - 1L
       shiftright(sig, offsets(i)).bitwiseAND(lit(mask))
     }: _*)
   }

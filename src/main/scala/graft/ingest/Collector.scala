@@ -56,6 +56,9 @@ object Collector {
     private val buf = mutable.ListBuffer.empty[String]
     private var lastFlush = clock()
     private val seq = new AtomicLong(0)
+    // unique per-instance token: restarts / concurrent collectors sharing
+    // a spool dir must never collide on batch file names
+    private val runToken = java.util.UUID.randomUUID().toString.take(8)
     Files.createDirectories(Paths.get(spoolDir))
 
     def add(line: String): Unit = synchronized {
@@ -68,7 +71,7 @@ object Collector {
 
     private def flushLocked(now: Long): Unit = {
       if (buf.nonEmpty) {
-        val tmp = Paths.get(spoolDir, s".$prefix-${seq.getAndIncrement()}.json.tmp")
+        val tmp = Paths.get(spoolDir, s".$prefix-$runToken-${seq.getAndIncrement()}.json.tmp")
         Files.write(tmp, buf.mkString("\n").getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
         // atomic rename so the streaming file source never reads partials

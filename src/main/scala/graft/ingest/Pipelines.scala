@@ -156,14 +156,20 @@ object Pipelines {
       .outputMode("append")
       .option("checkpointLocation", s"${conf.checkpointRoot}/metrics_upsert")
       .trigger(trigger(conf))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        batch.write.mode("append").partitionBy("dt").parquet(taskPath)
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // foreachBatch is at-least-once: partitioning the task table by
+        // batch_id and dynamic-OVERWRITING makes a replayed batch replace
+        // its own partitions instead of appending duplicates (idempotent
+        // redelivery — the reference's retry envelope delivers dupes too).
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("dt", "batch_id").parquet(taskPath)
         val touched = batch.select("appId").distinct().collect().map(_.getString(0))
         if (touched.nonEmpty) {
           val all = s.read.parquet(taskPath).where(col("appId").isin(touched: _*))
-          val agg = Skewness.stageAgg(all).withColumn("appIdPart", col("appId"))
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          val agg = Skewness.stageAgg(all.drop("batch_id", "dt"))
+            .withColumn("appIdPart", col("appId"))
           agg.write.mode("overwrite").partitionBy("appIdPart").parquet(aggPath)
         }
         ()

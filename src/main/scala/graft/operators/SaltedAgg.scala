@@ -29,6 +29,13 @@ object SaltedAgg {
 
   /** Aggregate `aggs` of `valueCol` grouped by `keys`, salted over
     * `buckets`. Result columns: keys ++ aggs.map(_.outName).
+    *
+    * The salt comes from ROW IDENTITY (partition id + per-partition
+    * position), not from data values — a hot key whose rows all carry
+    * the same value (the canonical skew case) still spreads over all
+    * buckets. Salt assignment is not stable across retries, which is
+    * fine: algebraic aggregates give the same final result under ANY
+    * row-to-bucket assignment.
     */
   def apply(
       df: DataFrame,
@@ -37,7 +44,8 @@ object SaltedAgg {
       buckets: Int,
       aggs: Seq[Agg]): DataFrame = {
     require(buckets > 0 && aggs.nonEmpty)
-    val salted = df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(buckets)))
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(

@@ -166,6 +166,14 @@ object PipelineQueries {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val tmp = java.nio.file.Files.createTempDirectory("graft-q25")
+    // clean the sink/checkpoint tree up at JVM exit (each invocation
+    // writes a full events-table copy; repeated runs would fill /tmp)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      try F.walk(tmp).iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
     // the streaming file source wants a drop DIRECTORY (like a real
     // ingest spool) — link the source file into one
     val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))

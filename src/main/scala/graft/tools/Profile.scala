@@ -18,6 +18,7 @@ object Profile {
       val t0 = System.nanoTime()
       val cnt = graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(f"[profile] $n: ${(System.nanoTime() - t0) / 1e9}%.1f s, $cnt rows")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -25,15 +25,21 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(salted == direct && direct.nonEmpty)
   }
 
-  test("SaltedAgg phase-1 spreads a hot key over the salt buckets") {
+  test("SaltedAgg phase-1 spreads a hot key even when its values are constant") {
+    // the canonical skew case: one hot key, ALL rows carry the same value
     val hot = Seq.fill(1000)(("hot", 1L)) ++ Seq(("cold", 2L))
-    val df = hot.toDF("k", "v")
-      .withColumn("v", $"v" + monotonically_increasing_id()) // distinct values → salt spreads
+    val df = spark.createDataFrame(hot).toDF("k", "v").repartition(4)
     val phase1Groups = df
-      .withColumn("__salt", pmod(xxhash64($"v"), lit(8)))
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(8)))
       .groupBy($"k", $"__salt").count()
       .filter($"k" === "hot").count()
     assert(phase1Groups > 4, s"hot key only spread over $phase1Groups salt buckets")
+    // and the salted aggregate over constant values is still exact
+    val got = SaltedAgg(df, Seq("k"), "v", buckets = 8,
+        Seq(SaltedAgg.count_(), SaltedAgg.max_("v")))
+      .orderBy($"k").select($"k", $"n", $"max_v")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("cold", 1L, 2L), ("hot", 1000L, 1L)))
   }
 
   test("co-bucketed tables sort-merge-join with zero exchange") {

@@ -177,6 +177,32 @@ object Pipelines {
       .start()
   }
 
+  /** Third derived-agg delivery: the custom-state stage aggregation
+    * ([[StatefulStageAgg]], flatMapGroupsWithState) wired to a parquet
+    * sink — emits exactly one row per stage when the stage goes quiet,
+    * the closest stream-native match to the reference's
+    * "aggregate on stage completion" callback.
+    */
+  def startMetricsStateful(spark: SparkSession, conf: Config,
+      inactivityMs: Long = 60000L): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Transforms.rawMetricSchema)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .json(conf.sourceDir)
+    val tasks = Transforms.projectTaskMetrics(
+      Transforms.route(raw, Transforms.TaskMetricsType))
+    val agg = StatefulStageAgg(tasks, conf.watermarkDelay, inactivityMs).toDF()
+    Transforms.withDt(agg, "metricTime")
+      .writeStream
+      .format("parquet")
+      .partitionBy("dt")
+      .option("path", conf.tablePath(Schemas.StageAggMetricsTable + "_stateful"))
+      .option("checkpointLocation", s"${conf.checkpointRoot}/stage_agg_stateful")
+      .outputMode("append")
+      .trigger(trigger(conf))
+      .start()
+  }
+
   /** A14: retry with exponential backoff for NON-transactional external
     * sinks — the reference's delivery envelope (ObservabilityClient
     * .scala:28-33,271-292: initial 5 s, ×2 per attempt, capped 60 s, 5

@@ -73,8 +73,12 @@ object StatefulStageAgg {
           math.max(s.lastMetricMillis, t.metricTime.getTime))
       }
       state.update(s)
-      // close the stage when the watermark passes last-task + inactivity
-      state.setTimeoutTimestamp(s.lastMetricMillis + inactivityMs)
+      // close the stage when the watermark passes last-task + inactivity;
+      // clamped above the current watermark — a stage whose tasks arrive
+      // LATE (watermark already past them) closes at the next advance
+      // instead of crashing the query
+      state.setTimeoutTimestamp(
+        math.max(s.lastMetricMillis + inactivityMs, state.getCurrentWatermarkMs() + 1))
       Iterator.empty
     }
   }

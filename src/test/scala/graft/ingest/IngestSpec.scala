@@ -52,6 +52,12 @@ class IngestSpec extends SparkTestBase {
       taskJson(99, "90.0", 1L, 0L, 3600L * 1000))
     Files.writeString(src.resolve("batch-2.json"),
       taskJson(99, "91.0", 1L, 0L, 7200L * 1000))
+    // the file source orders by modification time — make it deterministic
+    // (same-millisecond writes tie-break arbitrarily)
+    Seq("batch-0.json", "batch-1.json", "batch-2.json").zipWithIndex.foreach {
+      case (f, i) => Files.setLastModifiedTime(src.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+    }
     val conf = Pipelines.Config(
       sourceDir = src.toString,
       sinkRoot = root.resolve("tables").toString,
@@ -95,6 +101,22 @@ class IngestSpec extends SparkTestBase {
       taskJson(4, "30.0", 42L, 0L, 20000L))
     Pipelines.startMetrics(spark, conf).foreach(_.awaitTermination())
     assert(spark.read.parquet(conf.tablePath(Schemas.TaskMetricsTable)).count() == 8)
+  }
+
+  test("stateful (flatMapGroupsWithState) variant lands exact stage rows in its table") {
+    val (_, base) = fixtureDirs()
+    val conf = base.copy(
+      sinkRoot = base.sinkRoot + "-stateful",
+      checkpointRoot = base.checkpointRoot + "-stateful",
+      watermarkDelay = "1 minute")
+    Pipelines.startMetricsStateful(spark, conf).awaitTermination()
+    val out = spark.read.parquet(
+      conf.tablePath(Schemas.StageAggMetricsTable + "_stateful"))
+    val byStage = out.collect().map(r => r.getAs[Int]("stageId") -> r).toMap
+    assert(byStage.contains(2) && byStage.contains(3)) // sentinel stage 99 still open
+    assert(byStage(2).getAs[Double]("inputBytesReadSkewness") ==
+      (98000000.0 - (1000000.0 + 1000000.0 + 98000000.0) / 3) / 97000000.0)
+    assert(byStage(3).getAs[Double]("inputBytesReadSkewness") == 0.0)
   }
 
   test("foreachBatch upsert variant recomputes exact batch stage aggs") {

@@ -67,6 +67,27 @@ class DedupSpec extends SparkTestBase {
     assert(banded == brute && brute.nonEmpty)
   }
 
+  test("edge inputs: empty and single-token texts survive the whole near-dup path") {
+    val edge = Seq((0L, ""), (1L, "word"), (2L, "   "), (3L, "word")).toDF("doc_id", "text")
+    // identical single-token docs are exact dups (jaccard 1); blanks
+    // produce [""] shingles that only match other blanks
+    val pairs = Dedup.neardupPairs(edge, "doc_id", "text", threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(0L, 1L)))
+  }
+
+  test("simhashBandKeys rejects zero-width bands and masks full-width bands") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashBandKeys($"x", bands = 65, bits = 64)
+    }
+    // bands=1, bits=64: single full-width band key == the signature itself
+    val got = Seq(-1L, 42L).toDF("sig")
+      .select(Dedup.simhashBandKeys($"sig", 1, 64).getItem(0).as("k"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(-1L, 42L))
+  }
+
   test("md5Hash60 is positive and below 2^60 (oracle-replicable range)") {
     val vals = Seq("a", "b", "xyz").toDF("t")
       .select(Dedup.md5Hash60($"t").as("h")).as[Long].collect()

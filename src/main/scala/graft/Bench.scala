@@ -4,11 +4,26 @@ import org.apache.spark.sql.SparkSession
 /** Bench main: one JSON line with per-query wall time. Failures are
   * REPORTED (per-query "err" map + failed count), never silently timed —
   * a broken query must not read as a fast query.
+  *
+  * Measurement design (round-3 fix): the round-2 harness ran two full
+  * sequential passes and reported the SECOND — but JVM state accumulated
+  * across 66 query executions (codegen classes/metaspace, q25's streaming
+  * replays, persist churn) inflated the later pass up to 40× per query,
+  * so "warm" read slower than cold and neither matched a fresh-session
+  * run. Now:
+  *  - headline `value`/`queries` = the COLD pass (fresh JVM, first
+  *    execution — the number a fresh-session Profile run reproduces);
+  *  - `steady_state`/`queries_warm` = per-query MIN over the warm
+  *    passes (min-of-N absorbs accumulated-state noise: any single
+  *    clean execution bounds the query's true steady-state cost);
+  *  - warm passes run in ROTATED query order so accumulation from a
+  *    heavy query doesn't always tax the same successors.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,30 +33,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var errors = Map.empty[String, String]
-    def runAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch {
-          case e: Throwable =>
-            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // release per-query persisted sig tables
-        name -> dt
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
       }
-    // cold pass warms JVM/codegen/file listing; report steady-state (the
-    // cluster-representative number) plus the cold total for honesty
-    val cold = runAll()
-    val coldTotal = cold.map(_._2).sum
-    errors = Map.empty
-    val results = runAll()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // release per-query persisted sig tables
+      dt
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val cold = ordered.map { case (n, fn) => n -> runOne(n, fn) }
+    val coldErrors = errors
+    // warm passes: rotate the start offset so pass-order position doesn't
+    // systematically couple a query to its predecessors' leftover state
+    val warm = scala.collection.mutable.Map.empty[String, Double]
+    for (p <- 1 to warmPasses) {
+      errors = Map.empty
+      val off = (p * ordered.size / (warmPasses + 1)) % math.max(ordered.size, 1)
+      val rotated = ordered.drop(off) ++ ordered.take(off)
+      rotated.foreach { case (n, fn) =>
+        val dt = runOne(n, fn)
+        if (!errors.contains(n)) warm(n) = math.min(warm.getOrElse(n, Double.MaxValue), dt)
+      }
+    }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    def jmap(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = jmap(cold)
+    val qsWarm = jmap(cold.map { case (n, c) => n -> warm.getOrElse(n, c) })
+    val errJson = coldErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = cold.map(_._2).sum
+    val steady = cold.map { case (n, c) => warm.getOrElse(n, c) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"queries_warm":$qsWarm,"failed":${coldErrors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,7 +72,10 @@ object Dedup {
     *
     * `maxBucketSize` drops degenerate buckets (boilerplate/empty docs
     * that would explode quadratically) — at scale this is what keeps the
-    * self-join bounded.
+    * self-join bounded. The drop is NOT silent: an observed guard metric
+    * ([[graft.operators.GuardMetrics]]) rides the action and logs a
+    * warning whenever memberships were dropped, so recall loss on
+    * degenerate content is visible without an extra job.
     */
   def lshCandidatePairs(
       df: DataFrame,
@@ -84,9 +87,10 @@ object Dedup {
     val keyed = df
       .select(col(idCol).as("id"), lshBandKeys(col(sigCol), bands, rows).as("bk"))
       .select(col("id"), posexplode(col("bk")).as(Seq("band", "bucket")))
-    val sized = keyed
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+    val sized = graft.operators.GuardMetrics.observeLshDrops(
+        keyed.withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket")))),
+        maxBucketSize)
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
     val a = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -117,9 +121,14 @@ object Dedup {
     *
     * Recall is governed by the (bands, rows) S-curve
     * `P(candidate) = 1-(1-j^rows)^bands`; the defaults (p=64, bands=16,
-    * rows=4) put the curve's knee near j≈0.5, so pairs at j ≥ 0.8 are
-    * caught with probability > 1-1e-6 while j < 0.3 pairs rarely reach
-    * verification. Precision is exact (jaccard is recomputed).
+    * rows=4) put the curve's knee near j≈0.5. The boundary is NOT free:
+    * at exactly j=0.8 the miss probability is (1-0.8^4)^16 ≈ 2.2e-4
+    * (it drops below 1e-6 only for j ≳ 0.87), while j < 0.3 pairs
+    * rarely reach verification. The actual recall gate is therefore
+    * EMPIRICAL per dataset (the repo convention: verify against the
+    * brute-force oracle at every SF — the planted near-dup pairs sit
+    * well above the boundary). Precision is exact (jaccard is
+    * recomputed).
     */
   def neardupPairs(
       df: DataFrame,

@@ -150,7 +150,10 @@ object Pipelines {
     val tasks = Transforms.withDt(
       Transforms.projectTaskMetrics(Transforms.route(raw, Transforms.TaskMetricsType)),
       "metricTime")
-    val taskPath = conf.tablePath(Schemas.TaskMetricsTable)
+    // own table name: the upsert layout carries an extra batch_id
+    // partition level, so sharing startMetrics' task path would mix two
+    // incompatible partition schemas in one directory
+    val taskPath = conf.tablePath(Schemas.TaskMetricsTable + "_upsert")
     val aggPath = conf.tablePath(Schemas.StageAggMetricsTable + "_upsert")
     tasks.writeStream
       .outputMode("append")
@@ -158,19 +161,29 @@ object Pipelines {
       .trigger(trigger(conf))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         // foreachBatch is at-least-once: partitioning the task table by
         // batch_id and dynamic-OVERWRITING makes a replayed batch replace
         // its own partitions instead of appending duplicates (idempotent
         // redelivery — the reference's retry envelope delivers dupes too).
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("dt", "batch_id").parquet(taskPath)
-        val touched = batch.select("appId").distinct().collect().map(_.getString(0))
-        if (touched.nonEmpty) {
-          val all = s.read.parquet(taskPath).where(col("appId").isin(touched: _*))
+        // partitionOverwriteMode is a per-WRITER option so the dynamic
+        // semantics never leak to other writes on the shared session.
+        // isEmpty is a limit-1 probe (not a key collect): an empty
+        // trigger must not write an empty-schema task dir or re-read it
+        if (!batch.isEmpty) {
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dt", "batch_id").parquet(taskPath)
+          // recompute only the (appId) groups this batch touched — the
+          // touched set stays on executors as a broadcast semi-join (no
+          // driver collect in the hot loop)
+          val touched = broadcast(batch.select("appId").distinct())
+          val all = s.read.parquet(taskPath).join(touched, Seq("appId"), "left_semi")
           val agg = Skewness.stageAgg(all.drop("batch_id", "dt"))
             .withColumn("appIdPart", col("appId"))
-          agg.write.mode("overwrite").partitionBy("appIdPart").parquet(aggPath)
+          agg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("appIdPart").parquet(aggPath)
         }
         ()
       }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.slf4j.LoggerFactory
+
+/** Observed-metric watchdog for silent-degradation guards (e.g. the LSH
+  * oversized-bucket drop): metrics ride the existing action through
+  * `Dataset.observe` (a CollectMetrics node — ZERO extra jobs), and a
+  * per-session QueryExecutionListener logs a warning whenever a guard
+  * fires, so recall loss is observable instead of silent.
+  *
+  * The membership counts are a PRESENCE signal, not an exact tally:
+  * when the observed frame feeds both sides of a self-join the metric
+  * node sits in two plan branches and rows may be counted twice.
+  */
+object GuardMetrics {
+
+  /** Metric name for LSH band buckets dropped by the maxBucketSize skew
+    * guard (see [[graft.dedup.Dedup.lshCandidatePairs]]).
+    */
+  val LshDroppedMetric = "graft_lsh_dropped"
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  // one listener per session; WeakHashMap so dead sessions don't pin
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Attach the guard metrics (dropped band-membership count + largest
+    * bucket seen) to `sizedMemberships` — a frame carrying a `bsz`
+    * bucket-size column — and ensure this session logs when the guard
+    * trips.
+    */
+  def observeLshDrops(sizedMemberships: DataFrame, maxBucketSize: Int): DataFrame = {
+    ensureListener(sizedMemberships.sparkSession)
+    import org.apache.spark.sql.functions._
+    sizedMemberships.observe(
+      LshDroppedMetric,
+      sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_memberships"),
+      max(col("bsz")).as("max_bucket_size"))
+  }
+
+  def ensureListener(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.get(LshDroppedMetric).foreach { row =>
+            val dropped = Option(row.getAs[java.lang.Long]("dropped_memberships"))
+              .map(_.longValue).getOrElse(0L)
+            if (dropped > 0) {
+              val maxBsz = Option(row.getAs[java.lang.Long]("max_bucket_size"))
+                .map(_.longValue).getOrElse(0L)
+              log.warn(
+                s"LSH skew guard dropped ~$dropped band memberships " +
+                  s"(largest bucket: $maxBsz rows) — near-dup recall is " +
+                  "reduced for degenerate/boilerplate content; raise " +
+                  "maxBucketSize or pre-filter such documents if this is unexpected")
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+      })
+    }
+}

@@ -125,8 +125,8 @@ class IngestSpec extends SparkTestBase {
       sinkRoot = base.sinkRoot + "-upsert",
       checkpointRoot = base.checkpointRoot + "-upsert")
     Pipelines.startMetricsUpsert(spark, conf).awaitTermination()
-    val tasks = spark.read.parquet(conf.tablePath(Schemas.TaskMetricsTable))
-    val expected = Skewness.stageAgg(tasks.drop("dt"))
+    val tasks = spark.read.parquet(conf.tablePath(Schemas.TaskMetricsTable + "_upsert"))
+    val expected = Skewness.stageAgg(tasks.drop("dt", "batch_id"))
       .orderBy($"appId", $"jobId", $"stageId")
       .collect().map(_.toString).toSeq
     val got = spark.read

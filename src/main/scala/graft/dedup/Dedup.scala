@@ -215,10 +215,19 @@ object Dedup {
 
   /** SimHash over an element array: each element's `bits`-bit hash votes
     * ±1 per bit position; the sign of the vote sum sets the output bit.
-    * Entirely row-local higher-order functions (fold over elements with a
-    * `bits`-slot vote array) — no shuffle, no UDF.
+    * Row-local, no shuffle, no UDF. The vote fold runs as a native
+    * codegen'd expression ([[graft.plans.SimHashVotes]]) — the HOF form
+    * ([[simhashOfHof]]) carries O(elements × bits) interpreted lambda
+    * frames and measured ~5× slower at bench scale; only the per-element
+    * hash (`hashFn`) remains a composable Column transform.
     */
-  def simhashOf(elems: Column, hashFn: Column => Column, bits: Int): Column = {
+  def simhashOf(elems: Column, hashFn: Column => Column, bits: Int): Column =
+    graft.plans.GraftFunctions.simhash(transform(elems, hashFn), bits)
+
+  /** Interpreted higher-order-function twin of [[simhashOf]] — kept as
+    * the bit-equality cross-check for the native expression's spec.
+    */
+  def simhashOfHof(elems: Column, hashFn: Column => Column, bits: Int): Column = {
     val votes = aggregate(
       elems,
       array_repeat(lit(0L), bits),

@@ -99,12 +99,23 @@ object GraftFunctions {
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashVotes].getName, "graft_simhash"),
+      (args: Seq[Expression]) => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _) =>
+          SimHashVotes(args(0), b)
+        case other => throw new IllegalArgumentException(
+          s"graft_simhash bits argument must be an integer literal, got $other")
+      }))
 
   /** Column-level constructor — no registration needed. */
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       ArrayDotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** SimHash of an array of element hashes (see [[SimHashVotes]]). */
+  def simhash(hashes: Column, bits: Int): Column = SimHashVotes.simhash(hashes, bits)
 
   /** Imperative registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = functions.foreach {

@@ -232,6 +232,55 @@ object PipelineQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Self-cleaning temp dir (q25 pattern: hook reaps the tree at JVM
+    * exit so repeated bench/verify invocations don't fill /tmp).
+    */
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      try F.walk(tmp).iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
+    tmp
+  }
+
+  /** Driver-side fetch of one query vector (float→double, same cast as
+    * toDoubleVec) — a 1-row probe job, like q16's span probe.
+    */
+  private def fetchVec(emb: DataFrame, id: Long): Array[Double] =
+    emb.filter(col("vec_id") === id).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  // THE 100 TB ANN shape, oracle-gated: build the SRP-partitioned index
+  // (signature = physical partition key), then probe it — the read
+  // prunes to the Hamming-ball partitions at file listing
+  // (PartitionFilters asserted in SimilaritySpec). The oracle recomputes
+  // signatures from the same plane literals and applies the equivalent
+  // hamming predicate to ALL rows — identical result set because
+  // "sig_bucket IN ball(qsig, r)" ⇔ "hamming(sig, qsig) ≤ r".
+  def q34AnnLshIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val idx = tempDir("graft-q34").resolve("lsh_index").toString
+    Similarity.writeLshIndex(emb, "vec_id", "embedding", idx, bits = idxBits)
+    Similarity.queryLshIndex(s, idx, "vec_id", "embedding",
+      fetchVec(emb, 2L), k = 10, bits = idxBits, maxHamming = idxMaxHamming)
+  }
+
+  // IVF variant of the same story: coarse-quantizer cell = partition
+  // key; probe the nProbe nearest cells (driver-side centroid ranking),
+  // exact cosine re-rank inside them. The oracle assigns every vector
+  // to its argmax-dot cell from the same centroid literals and ranks
+  // cells for the query identically (desc dot, tie → lower cell).
+  def q35AnnIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val idx = tempDir("graft-q35").resolve("ivf_index").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx, nCentroids = ivfCells)
+    Similarity.queryIvfIndex(s, idx, "vec_id", "embedding",
+      fetchVec(emb, 3L), k = 10, nCentroids = ivfCells, nProbe = ivfProbe)
+  }
+
   // B13 calendar branch: span/targetBuckets lands past the fixed 7d rung
   // (orders span 6.6 years) → calendar quarter via date_trunc. The auto
   // choice is recomputed from the data; the oracle pins the rung the
@@ -299,11 +348,19 @@ object PipelineQueries {
     "q21_lang_quality" -> q21LangQuality _,
     "q22_cosine_topk" -> q22CosineTopK _,
     "q23_ann_topk" -> q23AnnTopK _,
-    "q24_multimodal_meta" -> q24MultimodalMeta _
+    "q24_multimodal_meta" -> q24MultimodalMeta _,
+    "q34_ann_lsh_index" -> q34AnnLshIndex _,
+    "q35_ann_ivf_index" -> q35AnnIvfIndex _
   )
 
   private val annBits = 12
   private val annMaxHamming = 3
+  // indexed-ANN parameters: 8 signature bits bound the physical layout
+  // at 256 partitions; the hamming-2 probe ball reads 37 of them
+  private val idxBits = 8
+  private val idxMaxHamming = 2
+  private val ivfCells = 16
+  private val ivfProbe = 3
 
   /** DuckDB word-3-shingle expression over `text` (mirrors
     * Dedup.shingles: slice-of-3 concat, distinct, clamped at the end).
@@ -348,22 +405,52 @@ object PipelineQueries {
   }
 
   /** SRP-LSH oracle: embed the engine's deterministic hyperplanes as SQL
-    * literals so DuckDB recomputes the identical signatures.
+    * literals so DuckDB recomputes the identical signatures. Shared by
+    * the scan-filter form (q23) and the partition-pruned index form
+    * (q34) — "sig_bucket IN hammingBall(qsig, r)" is exactly
+    * "bit_count(xor(s, qsig)) <= r" over all rows.
     */
-  private lazy val q23Sql: String = {
-    val planes = Similarity.hyperplanes(annBits, 64)
+  private def srpOracleSql(bits: Int, queryVecId: Int, maxHamming: Int): String = {
+    val planes = Similarity.hyperplanes(bits, 64)
       .map(p => "[" + p.map(_.toString).mkString(",") + "]")
     def sigTerms(v: String) = planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product($v, $p) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
     }.mkString(" + ")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-       |q AS (SELECT v qv FROM e WHERE vec_id = 1),
+       |q AS (SELECT v qv FROM e WHERE vec_id = $queryVecId),
        |sig AS (SELECT vec_id, v, ${sigTerms("v")} AS s FROM e),
        |qs AS (SELECT qv, ${sigTerms("qv")} AS qsig FROM q)
        |SELECT vec_id,
        | round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
        |FROM sig, qs
-       |WHERE bit_count(xor(s, qsig)) <= $annMaxHamming
+       |WHERE bit_count(xor(s, qsig)) <= $maxHamming
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  private lazy val q23Sql: String = srpOracleSql(annBits, 1, annMaxHamming)
+  private lazy val q34Sql: String = srpOracleSql(idxBits, 2, idxMaxHamming)
+
+  /** IVF oracle: assign every vector to its argmax-dot cell from the
+    * engine's centroid literals (ties → first index, matching
+    * array_position), rank cells for the query the same way the engine's
+    * driver-side probe does (desc dot, tie → lower cell), keep nProbe.
+    */
+  private lazy val q35Sql: String = {
+    val csLit = "[" + Similarity.ivfCentroids(ivfCells, 64)
+      .map(c => "[" + c.map(_.toString).mkString(",") + "]").mkString(",") + "]"
+    s"""WITH cs AS (SELECT $csLit AS cs),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |q AS (SELECT v qv FROM e WHERE vec_id = 3),
+       |ad AS (SELECT vec_id, v, [list_dot_product(v, c) FOR c IN cs.cs] dots FROM e, cs),
+       |assigned AS (SELECT vec_id, v, list_position(dots, list_max(dots)) - 1 AS cell FROM ad),
+       |cd AS (SELECT r.i AS cell, list_dot_product(q.qv, cs.cs[CAST(r.i AS INT) + 1]) d
+       |       FROM q, cs, range(0, $ivfCells) r(i)),
+       |probes AS (SELECT cell FROM (
+       |  SELECT cell, row_number() OVER (ORDER BY d DESC, cell) rk FROM cd) t
+       |  WHERE rk <= $ivfProbe)
+       |SELECT a.vec_id,
+       | round(list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+       |FROM assigned a, probes p, q WHERE a.cell = p.cell
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
@@ -471,6 +558,8 @@ object PipelineQueries {
         | md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_lang_quality" -> q21Sql,
+    "q34_ann_lsh_index" -> q34Sql,
+    "q35_ann_ivf_index" -> q35Sql,
     "q22_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
         |q AS (SELECT v qv FROM e WHERE vec_id = 0)

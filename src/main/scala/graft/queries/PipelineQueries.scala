@@ -281,6 +281,38 @@ object PipelineQueries {
       fetchVec(emb, 3L), k = 10, nCentroids = ivfCells, nProbe = ivfProbe)
   }
 
+  // Full MinHash dedup SURVIVOR set — the non-transitive keep-lowest-id
+  // drop policy is exactly the subtle part worth pinning: the oracle
+  // brute-forces all ≥0.8-jaccard pairs and drops every id_b, which is
+  // the documented per-pair (not connected-component) semantics.
+  def q36MinhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  // Embedding-cosine near-dup pairs over a PLANTED derivation: the
+  // driver embeddings have no ≥0.8-cosine pairs (max ~0.5), so the
+  // query derives one deterministic near-copy per vec_id<10 — a 95/5
+  // mix of the vector with its own reversal (cos ≥ 0.9986 to the
+  // original by construction, while cross-vector cosines move ≤ ~6°,
+  // keeping every non-planted pair far below threshold). The oracle
+  // replays the identical derivation and brute-forces all pairs; the
+  // engine goes through SRP signatures + Manku banding and must find
+  // exactly the planted pairs.
+  def q37CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * lit(0.95) + element_at(col("v"), size(col("v")) - i) * lit(0.05)).as("v"))
+    val derived = base.unionByName(planted)
+    Similarity.cosineNearDupPairs(derived, "vec_id", "v", 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // B13 calendar branch: span/targetBuckets lands past the fixed 7d rung
   // (orders span 6.6 years) → calendar quarter via date_trunc. The auto
   // choice is recomputed from the data; the oracle pins the rung the
@@ -350,7 +382,9 @@ object PipelineQueries {
     "q23_ann_topk" -> q23AnnTopK _,
     "q24_multimodal_meta" -> q24MultimodalMeta _,
     "q34_ann_lsh_index" -> q34AnnLshIndex _,
-    "q35_ann_ivf_index" -> q35AnnIvfIndex _
+    "q35_ann_ivf_index" -> q35AnnIvfIndex _,
+    "q36_minhash_dedup" -> q36MinhashDedup _,
+    "q37_cosine_neardup" -> q37CosineNearDup _
   )
 
   private val annBits = 12
@@ -560,6 +594,31 @@ object PipelineQueries {
     "q21_lang_quality" -> q21Sql,
     "q34_ann_lsh_index" -> q34Sql,
     "q35_ann_ivf_index" -> q35Sql,
+    "q36_minhash_dedup" ->
+      s"""WITH $shingleSql,
+         |drops AS (
+         | SELECT DISTINCT b.doc_id AS id_b
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id_b FROM drops)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q37_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |planted AS (
+        | SELECT vec_id + 1000000 AS vec_id,
+        |  [v[i] * 0.95::DOUBLE + v[len(v) + 1 - i] * 0.05::DOUBLE
+        |   FOR i IN range(1, len(v) + 1)] AS v
+        | FROM e WHERE vec_id < 10),
+        |allv AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+        |pairs AS (
+        | SELECT a.vec_id id_a, b.vec_id id_b,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) cos
+        | FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos
+        |FROM pairs WHERE cos >= 0.8 ORDER BY 1, 2""".stripMargin,
     "q22_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
         |q AS (SELECT v qv FROM e WHERE vec_id = 0)

@@ -257,6 +257,21 @@ object Pipelines {
     fileSink(logs, conf, Schemas.LogsTable, Seq("dt"))
   }
 
+  /** Deep-schema logs pipeline: full Log4j2 JSON (nested level/instant,
+    * MDC map, thrownProxy→causeProxy chain) → structured LogRecord table
+    * with derived cause-chain diagnostics. Same narrow no-shuffle shape
+    * as [[startLogs]]; the nested struct/map columns ride parquet's
+    * nested encoding and prune columnar-ly at read.
+    */
+  def startLogsDeep(spark: SparkSession, conf: Config): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Transforms.rawLogSchemaDeep)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .json(conf.sourceDir)
+    val logs = Transforms.withDt(Transforms.projectLogRecordsDeep(raw), "logTime")
+    fileSink(logs, conf, Schemas.LogsTable + "_deep", Seq("dt"))
+  }
+
   /** Generic content-routed ingest of an arbitrary keyed stream into a
     * partitioned table — used by the correctness harness to replay the
     * driver `events` table through a real checkpointed streaming write

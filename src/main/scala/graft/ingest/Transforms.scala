@@ -81,6 +81,97 @@ object Transforms {
     StructField("thrownMessage", StringType)
   ))
 
+  // ---- Reference-parity deep log schema (spark-logs.json:21-47,126-325)
+
+  /** One extended stack-trace frame (Log4j2 ThrowableProxy JSON). */
+  val stackFrameSchema: StructType = StructType(Seq(
+    StructField("stackTraceElement", StructType(Seq(
+      StructField("classLoaderName", StringType),
+      StructField("declaringClass", StringType),
+      StructField("fileName", StringType),
+      StructField("lineNumber", LongType),
+      StructField("methodName", StringType),
+      StructField("moduleName", StringType),
+      StructField("moduleVersion", StringType)))),
+    StructField("extraClassInfo", StructType(Seq(
+      StructField("exact", BooleanType),
+      StructField("location", StringType),
+      StructField("version", StringType))))))
+
+  /** ThrowableProxy struct; `withCause` adds one causeProxy level (the
+    * reference mapping types exactly thrownProxy → causeProxy; deeper
+    * chains collapse into commonElementCount, and Spark schemas cannot
+    * be recursive anyway).
+    */
+  private def throwableProxySchema(withCause: Boolean): StructType = {
+    val base = Seq(
+      StructField("name", StringType),
+      StructField("message", StringType),
+      StructField("localizedMessage", StringType),
+      StructField("commonElementCount", LongType),
+      StructField("extendedStackTrace", ArrayType(stackFrameSchema)))
+    StructType(
+      if (withCause) base :+ StructField("causeProxy", throwableProxySchema(withCause = false))
+      else base)
+  }
+
+  /** Full-fidelity wire schema of Log4j2 JSON log events: nested
+    * level/instant/message structs, the MDC as a MAP (contextData), and
+    * the thrownProxy→causeProxy chain with typed extendedStackTrace
+    * frames — a real Log4j2 JsonLayout event ingests without losing the
+    * cause chain (the flat [[rawLogSchema]] keeps only name/message).
+    */
+  val rawLogSchemaDeep: StructType = StructType(Seq(
+    StructField("appName", StringType),
+    StructField("appId", StringType),
+    StructField("executorId", StringType),
+    StructField("logTime", LongType),
+    StructField("instant", StructType(Seq(
+      StructField("epochSecond", LongType),
+      StructField("nanoOfSecond", LongType)))),
+    StructField("loggerName", StringType),
+    StructField("threadName", StringType),
+    StructField("threadId", LongType),
+    StructField("threadPriority", LongType),
+    StructField("level", StructType(Seq(
+      StructField("intLevel", LongType),
+      StructField("name", StringType),
+      StructField("standardLevel", StringType)))),
+    StructField("message", StructType(Seq(
+      StructField("message", StringType)))),
+    StructField("contextData", MapType(StringType, StringType)),
+    StructField("thrownProxy", throwableProxySchema(withCause = true))))
+
+  /** Deep raw log event → LogRecord table shape: MDC stays a map (with
+    * taskId/stageId parsed out of its taskName entry), the cause chain
+    * stays structured, and scalar diagnostics (causeDepth, rootCauseName,
+    * first-frame errLine) are derived for cheap slicing at query time.
+    */
+  def projectLogRecordsDeep(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("taskId",
+        nullif(regexp_extract(element_at(col("contextData"), "taskName"),
+          "task (\\d+\\.\\d+)", 1), lit("")))
+      .withColumn("stageId",
+        nullif(regexp_extract(element_at(col("contextData"), "taskName"),
+          "stage (\\d+\\.\\d+)", 1), lit("")))
+      .select(
+        col("appName"), col("appId"), col("executorId"),
+        col("taskId"), col("stageId"),
+        timestamp_millis(col("logTime")).as("logTime"),
+        col("level"), col("level.name").as("levelName"),
+        col("loggerName"), col("threadName"),
+        col("message.message").as("message"),
+        col("contextData").as("mdc"),
+        col("thrownProxy"),
+        when(col("thrownProxy").isNull, lit(0L))
+          .when(col("thrownProxy.causeProxy").isNull, lit(1L))
+          .otherwise(lit(2L)).as("causeDepth"),
+        coalesce(col("thrownProxy.causeProxy.name"), col("thrownProxy.name"))
+          .as("rootCauseName"),
+        element_at(col("thrownProxy.extendedStackTrace"), 1)
+          .getField("stackTraceElement").getField("lineNumber").as("errLine"))
+
   /** A12: content routing — predicate dispatch on the discriminator. */
   def route(df: DataFrame, metricsType: String): DataFrame =
     df.filter(col("metricsType") === metricsType)

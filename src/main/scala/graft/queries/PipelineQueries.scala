@@ -313,6 +313,88 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // Reference-parity deep log ingest, end-to-end: derive full Log4j2
+  // JSON events (nested level/instant structs, MDC map, a
+  // thrownProxy→causeProxy chain with typed stack frames) from the
+  // events table, replay them through a REAL checkpointed streaming
+  // ingest (rawLogSchemaDeep → projectLogRecordsDeep → parquet sink),
+  // then slice the SINK by level.name and cause-chain depth. The oracle
+  // recomputes the same slices from the source directly — a lost field,
+  // broken MDC parse, or flattened cause chain breaks the hash.
+  def q38DeepLogIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val levelName = when($"event_type" === "click", "INFO")
+      .when($"event_type" === "view", "DEBUG")
+      .when($"event_type" === "signup", "TRACE")
+      .when($"event_type" === "purchase", "WARN")
+      .otherwise("ERROR")
+    val intLevel = when($"event_type" === "click", 400L)
+      .when($"event_type" === "view", 500L)
+      .when($"event_type" === "signup", 600L)
+      .when($"event_type" === "purchase", 300L)
+      .otherwise(200L)
+    def frame(line: org.apache.spark.sql.Column) = struct(
+      struct(
+        lit("app").as("classLoaderName"),
+        lit("graft.Job").as("declaringClass"),
+        lit("Job.scala").as("fileName"),
+        line.as("lineNumber"),
+        lit("run").as("methodName"),
+        lit("graft.core").as("moduleName"),
+        lit("1.0").as("moduleVersion")).as("stackTraceElement"),
+      struct(lit(true).as("exact"), lit("graft.jar").as("location"),
+        lit("1.0").as("version")).as("extraClassInfo"))
+    val cause = struct(
+      lit("java.io.IOException").as("name"),
+      concat(lit("io-"), $"user_id").as("message"),
+      concat(lit("io-"), $"user_id").as("localizedMessage"),
+      lit(1L).as("commonElementCount"),
+      array(frame($"user_id" % 200)).as("extendedStackTrace"))
+    val thrown = struct(
+      lit("java.lang.RuntimeException").as("name"),
+      concat(lit("boom-"), $"event_id" % 13).as("message"),
+      concat(lit("boom-"), $"event_id" % 13).as("localizedMessage"),
+      lit(0L).as("commonElementCount"),
+      array(frame($"event_id" % 500)).as("extendedStackTrace"),
+      when($"event_id" % 3 === 0, cause).as("causeProxy"))
+    val line = to_json(struct(
+      lit("graft-app").as("appName"), lit("app-001").as("appId"),
+      lit("driver").as("executorId"),
+      unix_millis($"ts").as("logTime"),
+      struct((unix_millis($"ts") / lit(1000)).cast("long").as("epochSecond"),
+        lit(0L).as("nanoOfSecond")).as("instant"),
+      lit("graft.app").as("loggerName"),
+      concat(lit("worker-"), $"event_id" % 4).as("threadName"),
+      ($"event_id" % 4).as("threadId"), lit(5L).as("threadPriority"),
+      struct(intLevel.as("intLevel"), levelName.as("name"),
+        levelName.as("standardLevel")).as("level"),
+      struct(concat(lit("processed "), $"event_type", lit(" event "), $"event_id")
+        .as("message")).as("message"),
+      map(lit("taskName"),
+        concat(lit("task "), $"event_id" % 7, lit(".0 in stage "),
+          $"user_id" % 5, lit(".0 (TID "), $"event_id", lit(")"))).as("contextData"),
+      when($"event_type" === "error", thrown).as("thrownProxy")))
+    val tmp = tempDir("graft-q38")
+    val spool = tmp.resolve("spool").toString
+    ev.select(line.as("value")).write.mode("overwrite").text(spool)
+    val conf = graft.ingest.Pipelines.Config(
+      sourceDir = spool,
+      sinkRoot = s"$tmp/tables",
+      checkpointRoot = s"$tmp/ckpt",
+      availableNow = true)
+    graft.ingest.Pipelines.startLogsDeep(s, conf).awaitTermination()
+    s.read.parquet(conf.tablePath(graft.model.Schemas.LogsTable + "_deep"))
+      .groupBy($"levelName", $"causeDepth")
+      .agg(
+        count(lit(1)).as("n_logs"),
+        countDistinct($"stageId").as("n_stages"),
+        max($"errLine").as("max_line"))
+      .select($"levelName".as("level_name"), $"causeDepth".as("cause_depth"),
+        $"n_logs", $"n_stages", $"max_line")
+      .orderBy($"level_name", $"cause_depth")
+  }
+
   // B13 calendar branch: span/targetBuckets lands past the fixed 7d rung
   // (orders span 6.6 years) → calendar quarter via date_trunc. The auto
   // choice is recomputed from the data; the oracle pins the rung the
@@ -384,7 +466,8 @@ object PipelineQueries {
     "q34_ann_lsh_index" -> q34AnnLshIndex _,
     "q35_ann_ivf_index" -> q35AnnIvfIndex _,
     "q36_minhash_dedup" -> q36MinhashDedup _,
-    "q37_cosine_neardup" -> q37CosineNearDup _
+    "q37_cosine_neardup" -> q37CosineNearDup _,
+    "q38_deep_log_ingest" -> q38DeepLogIngest _
   )
 
   private val annBits = 12
@@ -592,6 +675,22 @@ object PipelineQueries {
         | md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_lang_quality" -> q21Sql,
+    "q38_deep_log_ingest" ->
+      """WITH lv AS (
+        | SELECT
+        |  CASE event_type WHEN 'click' THEN 'INFO' WHEN 'view' THEN 'DEBUG'
+        |       WHEN 'signup' THEN 'TRACE' WHEN 'purchase' THEN 'WARN'
+        |       ELSE 'ERROR' END AS level_name,
+        |  CASE WHEN event_type = 'error'
+        |       THEN (CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END)
+        |       ELSE 0 END AS cause_depth,
+        |  CASE WHEN event_type = 'error' THEN event_id % 500 ELSE NULL END AS err_line,
+        |  CAST(user_id % 5 AS VARCHAR) || '.0' AS stage_id
+        | FROM events)
+        |SELECT level_name, CAST(cause_depth AS BIGINT) AS cause_depth,
+        | count(*) AS n_logs, count(DISTINCT stage_id) AS n_stages,
+        | max(err_line) AS max_line
+        |FROM lv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q34_ann_lsh_index" -> q34Sql,
     "q35_ann_ivf_index" -> q35Sql,
     "q36_minhash_dedup" ->

@@ -196,6 +196,55 @@ class IngestSpec extends SparkTestBase {
     assert(out.schema("logTime").dataType.typeName == "timestamp")
   }
 
+  test("deep log schema preserves the cause chain, stack frames and MDC map") {
+    // a realistic Log4j2 JsonLayout event with a 2-level proxy chain
+    val json =
+      """{"appName":"a","appId":"app-9","executorId":"2","logTime":1767225600000,
+        |"instant":{"epochSecond":1767225600,"nanoOfSecond":0},
+        |"loggerName":"graft.x","threadName":"w-1","threadId":1,"threadPriority":5,
+        |"level":{"intLevel":200,"name":"ERROR","standardLevel":"ERROR"},
+        |"message":{"message":"boom"},
+        |"contextData":{"taskName":"task 4.0 in stage 7.0 (TID 42)","k":"v"},
+        |"thrownProxy":{"name":"java.lang.RuntimeException","message":"outer",
+        | "localizedMessage":"outer","commonElementCount":0,
+        | "extendedStackTrace":[{"stackTraceElement":{"classLoaderName":"app",
+        |   "declaringClass":"graft.Job","fileName":"Job.scala","lineNumber":33,
+        |   "methodName":"run","moduleName":"m","moduleVersion":"1"},
+        |   "extraClassInfo":{"exact":true,"location":"j.jar","version":"1"}}],
+        | "causeProxy":{"name":"java.io.IOException","message":"inner",
+        |  "localizedMessage":"inner","commonElementCount":1,
+        |  "extendedStackTrace":[{"stackTraceElement":{"classLoaderName":"app",
+        |    "declaringClass":"graft.Io","fileName":"Io.scala","lineNumber":7,
+        |    "methodName":"read","moduleName":"m","moduleVersion":"1"},
+        |    "extraClassInfo":{"exact":false,"location":"j.jar","version":"1"}}]}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val noThrow =
+      """{"appName":"a","appId":"app-9","executorId":"2","logTime":1767225601000,
+        |"level":{"intLevel":400,"name":"INFO","standardLevel":"INFO"},
+        |"message":{"message":"ok"},"contextData":{"taskName":"task 1.0 in stage 2.0 (TID 1)"}}"""
+        .stripMargin.replaceAll("\n", "")
+    import scala.jdk.CollectionConverters._
+    val raw = spark.read.schema(Transforms.rawLogSchemaDeep)
+      .json(Seq(json, noThrow).toDS())
+    val out = Transforms.projectLogRecordsDeep(raw).orderBy($"logTime").collect()
+    val err = out(0); val ok = out(1)
+    assert(err.getAs[String]("levelName") == "ERROR")
+    assert(err.getAs[Long]("causeDepth") == 2L)
+    assert(err.getAs[String]("rootCauseName") == "java.io.IOException")
+    assert(err.getAs[Long]("errLine") == 33L)
+    assert(err.getAs[String]("stageId") == "7.0" && err.getAs[String]("taskId") == "4.0")
+    assert(err.getAs[Map[String, String]]("mdc")("k") == "v")
+    // nested frame fields survive typed
+    val thrown = err.getAs[org.apache.spark.sql.Row]("thrownProxy")
+    val causeFrames = thrown.getAs[org.apache.spark.sql.Row]("causeProxy")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("extendedStackTrace")
+    assert(causeFrames.head.getAs[org.apache.spark.sql.Row]("stackTraceElement")
+      .getAs[String]("declaringClass") == "graft.Io")
+    assert(ok.getAs[Long]("causeDepth") == 0L)
+    assert(ok.isNullAt(ok.fieldIndex("rootCauseName")))
+    assert(ok.isNullAt(ok.fieldIndex("errLine")))
+  }
+
   test("transforms: identity injection and jobId lookup enrichment") {
     val tasks = Seq((null.asInstanceOf[String], null.asInstanceOf[String], 2),
       ("known", "app-x", 3)).toDF("appName", "appId", "stageId")

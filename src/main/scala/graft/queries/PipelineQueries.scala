@@ -395,6 +395,71 @@ object PipelineQueries {
       .orderBy($"level_name", $"cause_depth")
   }
 
+  // The flatMapGroupsWithState stage aggregation, end-to-end and
+  // oracle-gated: derive deterministic task-metric JSON from the events
+  // table, replay it through startMetricsStateful (real checkpointed
+  // stream, custom state, event-time timeouts), and read the SINK. Two
+  // sentinel micro-batches push the watermark past every stage's
+  // inactivity timeout (the watermark used by batch N comes from batch
+  // N-1, so one sentinel is not enough — same shape as the spec
+  // fixtures). The oracle recomputes the per-stage aggregation from the
+  // source: any state-loss, double-count, or premature/missed timeout
+  // emission breaks the hash.
+  def q39StatefulStageAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val line = to_json(struct(
+      lit("taskMetrics").as("metricsType"),
+      lit("graft-app").as("appName"),
+      concat(lit("app-"), $"user_id" % 3).as("appId"),
+      ($"user_id" % 4).cast("string").as("jobId"),
+      ($"user_id" % 10).cast("int").as("stageId"),
+      floor($"value" * 1000).cast("long").as("inputBytesRead"),
+      ($"event_id" % 997).as("shuffleBytesRead"),
+      unix_millis($"ts").as("metricTime")))
+    val tmp = tempDir("graft-q39")
+    val spool = tmp.resolve("spool").toString
+    // ONE events file so the sentinels land in strictly later triggers
+    ev.select(line.as("value")).coalesce(1).write.mode("overwrite").text(spool)
+    val maxMs = ev.agg(max(unix_millis($"ts"))).head().getLong(0)
+    def sentinel(offsetMs: Long): String =
+      s"""{"metricsType":"taskMetrics","appName":"graft-app","appId":"sentinel",""" +
+        s""""jobId":"s","stageId":999,"inputBytesRead":1,"shuffleBytesRead":0,""" +
+        s""""metricTime":${maxMs + offsetMs}}"""
+    val spoolPath = java.nio.file.Paths.get(spool)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(spoolPath).iterator().asScala.toSeq.foreach { p =>
+      java.nio.file.Files.setLastModifiedTime(
+        p, java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    }
+    Seq(3600000L, 7200000L).zipWithIndex.foreach { case (off, i) =>
+      val f = spoolPath.resolve(s"sentinel-$i.json")
+      java.nio.file.Files.writeString(f, sentinel(off))
+      java.nio.file.Files.setLastModifiedTime(
+        f, java.nio.file.attribute.FileTime.fromMillis(1000000001000L + i * 1000L))
+    }
+    val conf = graft.ingest.Pipelines.Config(
+      sourceDir = spool,
+      sinkRoot = s"$tmp/tables",
+      checkpointRoot = s"$tmp/ckpt",
+      maxFilesPerTrigger = 1,
+      availableNow = true,
+      watermarkDelay = "1 minute")
+    graft.ingest.Pipelines.startMetricsStateful(s, conf).awaitTermination()
+    s.read.parquet(conf.tablePath(
+        graft.model.Schemas.StageAggMetricsTable + "_stateful"))
+      .filter($"appId" =!= "sentinel")
+      .select(
+        $"appId".as("app_id"), $"jobId".as("job_id"),
+        $"stageId".cast("long").as("stage_id"),
+        round($"inputBytesReadSkewness", 6).as("in_skew"),
+        $"maxInputBytesRead".as("max_in"),
+        round($"shuffleBytesReadSkewness", 6).as("sh_skew"),
+        $"maxShuffleBytesRead".as("max_sh"),
+        unix_millis($"metricTime").as("last_ms"))
+      .orderBy($"app_id", $"job_id", $"stage_id")
+  }
+
   // B13 calendar branch: span/targetBuckets lands past the fixed 7d rung
   // (orders span 6.6 years) → calendar quarter via date_trunc. The auto
   // choice is recomputed from the data; the oracle pins the rung the
@@ -467,7 +532,8 @@ object PipelineQueries {
     "q35_ann_ivf_index" -> q35AnnIvfIndex _,
     "q36_minhash_dedup" -> q36MinhashDedup _,
     "q37_cosine_neardup" -> q37CosineNearDup _,
-    "q38_deep_log_ingest" -> q38DeepLogIngest _
+    "q38_deep_log_ingest" -> q38DeepLogIngest _,
+    "q39_stateful_stage_agg" -> q39StatefulStageAgg _
   )
 
   private val annBits = 12
@@ -691,6 +757,29 @@ object PipelineQueries {
         | count(*) AS n_logs, count(DISTINCT stage_id) AS n_stages,
         | max(err_line) AS max_line
         |FROM lv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q39_stateful_stage_agg" ->
+      """WITH t AS (
+        | SELECT 'app-' || CAST(user_id % 3 AS VARCHAR) AS app_id,
+        |  CAST(user_id % 4 AS VARCHAR) AS job_id,
+        |  user_id % 10 AS stage_id,
+        |  CAST(floor(value * 1000) AS BIGINT) AS in_b,
+        |  event_id % 997 AS sh_b,
+        |  epoch_ms(ts) AS ms
+        | FROM events),
+        |g AS (
+        | SELECT app_id, job_id, stage_id, count(*) n,
+        |  sum(in_b) sum_in, min(in_b) min_in, max(in_b) max_in,
+        |  sum(sh_b) sum_sh, min(sh_b) min_sh, max(sh_b) max_sh,
+        |  max(ms) last_ms
+        | FROM t GROUP BY 1, 2, 3)
+        |SELECT app_id, job_id, CAST(stage_id AS BIGINT) AS stage_id,
+        | round(greatest(max_in - CAST(sum_in AS DOUBLE) / n, CAST(sum_in AS DOUBLE) / n - min_in)
+        |   / (CASE WHEN max_in = min_in THEN 1 ELSE max_in - min_in END), 6) AS in_skew,
+        | max_in AS max_in,
+        | round(greatest(max_sh - CAST(sum_sh AS DOUBLE) / n, CAST(sum_sh AS DOUBLE) / n - min_sh)
+        |   / (CASE WHEN max_sh = min_sh THEN 1 ELSE max_sh - min_sh END), 6) AS sh_skew,
+        | max_sh AS max_sh, last_ms
+        |FROM g ORDER BY 1, 2, 3""".stripMargin,
     "q34_ann_lsh_index" -> q34Sql,
     "q35_ann_ivf_index" -> q35Sql,
     "q36_minhash_dedup" ->

@@ -538,10 +538,12 @@ object PipelineQueries {
 
   private val annBits = 12
   private val annMaxHamming = 3
-  // indexed-ANN parameters: 8 signature bits bound the physical layout
-  // at 256 partitions; the hamming-2 probe ball reads 37 of them
-  private val idxBits = 8
-  private val idxMaxHamming = 2
+  // indexed-ANN parameters: 6 signature bits bound the physical layout
+  // at 64 partitions (bucket count should track data size — at test SF
+  // more buckets just means more empty files); the hamming-1 probe ball
+  // reads 7 of the 64
+  private val idxBits = 6
+  private val idxMaxHamming = 1
   private val ivfCells = 16
   private val ivfProbe = 3
 

@@ -214,6 +214,12 @@ object Similarity {
     val planes = hyperplanes(bits, d)
     embeddings
       .withColumn("sig_bucket", srpSignature(toDoubleVec(col(vecCol)), planes))
+      // co-locate each bucket before the partitioned write: without this
+      // every input task writes a file into every bucket dir it touches
+      // (tasks × 2^bits small files); with it each bucket is one
+      // writer's output — the standard small-files guard for a
+      // partitioned index build
+      .repartition(col("sig_bucket"))
       .write.mode("overwrite").partitionBy("sig_bucket").parquet(path)
   }
 
@@ -280,6 +286,7 @@ object Similarity {
     val cents = ivfCentroids(nCentroids, d)
     embeddings
       .withColumn("ivf_cell", ivfAssign(toDoubleVec(col(vecCol)), cents))
+      .repartition(col("ivf_cell")) // same small-files guard as writeLshIndex
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
   }
 

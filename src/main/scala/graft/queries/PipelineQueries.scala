@@ -398,11 +398,14 @@ object PipelineQueries {
   // The flatMapGroupsWithState stage aggregation, end-to-end and
   // oracle-gated: derive deterministic task-metric JSON from the events
   // table, replay it through startMetricsStateful (real checkpointed
-  // stream, custom state, event-time timeouts), and read the SINK. Two
-  // sentinel micro-batches push the watermark past every stage's
-  // inactivity timeout (the watermark used by batch N comes from batch
-  // N-1, so one sentinel is not enough — same shape as the spec
-  // fixtures). The oracle recomputes the per-stage aggregation from the
+  // stream, custom state, event-time timeouts), and read the SINK. The
+  // watermark a batch runs with comes from the PREVIOUS batch, so state
+  // flush needs two sentinel deliveries — done here as two availableNow
+  // runs against ONE checkpoint (also proving checkpoint recovery): run
+  // 1 drains events + a +1h sentinel and persists its watermark; run 2
+  // delivers a +2h sentinel, runs with the recovered (+1h-lag) watermark
+  // that is past every real stage's inactivity timeout, and emits them
+  // all. The oracle recomputes the per-stage aggregation from the
   // source: any state-loss, double-count, or premature/missed timeout
   // emission breaks the hash.
   def q39StatefulStageAgg(s: SparkSession, dir: String): DataFrame = {
@@ -419,32 +422,26 @@ object PipelineQueries {
       unix_millis($"ts").as("metricTime")))
     val tmp = tempDir("graft-q39")
     val spool = tmp.resolve("spool").toString
-    // ONE events file so the sentinels land in strictly later triggers
-    ev.select(line.as("value")).coalesce(1).write.mode("overwrite").text(spool)
+    // parallel JSON spool write (a coalesce(1) here would serialize the
+    // whole to_json derivation onto one core)
+    ev.select(line.as("value")).write.mode("overwrite").text(spool)
     val maxMs = ev.agg(max(unix_millis($"ts"))).head().getLong(0)
-    def sentinel(offsetMs: Long): String =
-      s"""{"metricsType":"taskMetrics","appName":"graft-app","appId":"sentinel",""" +
-        s""""jobId":"s","stageId":999,"inputBytesRead":1,"shuffleBytesRead":0,""" +
-        s""""metricTime":${maxMs + offsetMs}}"""
-    val spoolPath = java.nio.file.Paths.get(spool)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(spoolPath).iterator().asScala.toSeq.foreach { p =>
-      java.nio.file.Files.setLastModifiedTime(
-        p, java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
-    }
-    Seq(3600000L, 7200000L).zipWithIndex.foreach { case (off, i) =>
-      val f = spoolPath.resolve(s"sentinel-$i.json")
-      java.nio.file.Files.writeString(f, sentinel(off))
-      java.nio.file.Files.setLastModifiedTime(
-        f, java.nio.file.attribute.FileTime.fromMillis(1000000001000L + i * 1000L))
-    }
+    def sentinel(offsetMs: Long): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(spool).resolve(s"sentinel-$offsetMs.json"),
+        s"""{"metricsType":"taskMetrics","appName":"graft-app","appId":"sentinel",""" +
+          s""""jobId":"s","stageId":999,"inputBytesRead":1,"shuffleBytesRead":0,""" +
+          s""""metricTime":${maxMs + offsetMs}}""")
     val conf = graft.ingest.Pipelines.Config(
       sourceDir = spool,
       sinkRoot = s"$tmp/tables",
       checkpointRoot = s"$tmp/ckpt",
-      maxFilesPerTrigger = 1,
+      maxFilesPerTrigger = 100000,
       availableNow = true,
       watermarkDelay = "1 minute")
+    sentinel(3600000L)
+    graft.ingest.Pipelines.startMetricsStateful(s, conf).awaitTermination()
+    sentinel(7200000L)
     graft.ingest.Pipelines.startMetricsStateful(s, conf).awaitTermination()
     s.read.parquet(conf.tablePath(
         graft.model.Schemas.StageAggMetricsTable + "_stateful"))

@@ -37,18 +37,28 @@ object Dedup {
 
   /** MinHash signature: p pseudo-permutations; signature[i] = min over
     * shingles of xxhash64(i, xxhash64(s)) — ONE string hash per shingle,
-    * then p cheap fixed-width integer mixes.
-    *
-    * Expression SHAPE is the performance model here: higher-order
-    * functions evaluate interpreted (no codegen, no common-subexpression
-    * elimination), and any column referenced from p places gets INLINED
-    * p times — so the only safe shape is a SINGLE fold that traverses
-    * the shingle array once, carrying a p-slot running-min array. The
-    * naive `p × array_min(transform(...))` form re-evaluates the whole
-    * shingle pipeline per permutation and measured 35× slower end-to-end
-    * (the split/concat shingle expression dominated the profile).
+    * then p cheap fixed-width integer mixes, run as a native codegen'd
+    * primitive loop ([[graft.plans.MinHashSignature]]); only the
+    * per-shingle string hash remains a Column transform.
     */
   def minhashSignature(shinglesCol: Column, p: Int): Column =
+    graft.plans.GraftFunctions.minhash(transform(shinglesCol, s => xxhash64(s)), p)
+
+  /** Interpreted higher-order-function twin of [[minhashSignature]] —
+    * kept as the bit-equality cross-check for the native expression's
+    * spec.
+    *
+    * Expression SHAPE was the round-2 performance model: higher-order
+    * functions evaluate interpreted (no codegen, no common-subexpression
+    * elimination), and any column referenced from p places gets INLINED
+    * p times — so the only safe HOF shape is a SINGLE fold that
+    * traverses the shingle array once, carrying a p-slot running-min
+    * array. The naive `p × array_min(transform(...))` form re-evaluates
+    * the whole shingle pipeline per permutation and measured 35× slower
+    * end-to-end. The native expression removes the remaining
+    * O(shingles × p) interpreted-frame cost.
+    */
+  def minhashSignatureHof(shinglesCol: Column, p: Int): Column =
     aggregate(
       transform(shinglesCol, s => xxhash64(s)),
       array_repeat(lit(Long.MaxValue), p),

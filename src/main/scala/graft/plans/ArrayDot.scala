@@ -107,6 +107,14 @@ object GraftFunctions {
           SimHashVotes(args(0), b)
         case other => throw new IllegalArgumentException(
           s"graft_simhash bits argument must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(p: Int, _) =>
+          MinHashSignature(args(0), p)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash p argument must be an integer literal, got $other")
       }))
 
   /** Column-level constructor — no registration needed. */
@@ -116,6 +124,9 @@ object GraftFunctions {
 
   /** SimHash of an array of element hashes (see [[SimHashVotes]]). */
   def simhash(hashes: Column, bits: Int): Column = SimHashVotes.simhash(hashes, bits)
+
+  /** MinHash signature of an array of element hashes (see [[MinHashSignature]]). */
+  def minhash(hashes: Column, p: Int): Column = MinHashSignature.minhash(hashes, p)
 
   /** Imperative registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = functions.foreach {

@@ -48,4 +48,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q18/q36: minhash signatures run the native codegen'd expression") {
+    assert(plan("q18_neardup_pairs").contains("graft_minhash"))
+    assert(plan("q36_minhash_dedup").contains("graft_minhash"))
+  }
+
+  test("q19: simhash signatures run the native codegen'd expression") {
+    assert(plan("q19_simhash_pairs").contains("graft_simhash"))
+  }
+
+  test("q34/q35: index probes prune partitions at file listing") {
+    val lsh = plan("q34_ann_lsh_index")
+    assert(lsh.contains("PartitionFilters") && lsh.contains("sig_bucket"), lsh)
+    val ivf = plan("q35_ann_ivf_index")
+    assert(ivf.contains("PartitionFilters") && ivf.contains("ivf_cell"), ivf)
+  }
 }

@@ -49,6 +49,43 @@ object Dashboards {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** B11/B15 approximate terms aggregation — the honest version of what
+    * the OpenSearch `terms` agg itself is at scale (shard-local top-N
+    * with a doc_count_error bound). Two mergeable one-pass sketches over
+    * the column, both from Spark's public sketch API:
+    *
+    *  - candidates: `stat.freqItems` (Misra-Gries style) — every value
+    *    with frequency > `support` is guaranteed to survive;
+    *  - counts: `stat.countMinSketch` — overestimates each candidate by
+    *    at most eps·N with probability ≥ confidence, never
+    *    underestimates.
+    *
+    * At 100 TB the aggregation state that moves is FIXED-SIZE sketch
+    * partials (CMS depth×width counters, MG maps), never the
+    * distinct-key expansion — the property that makes a terms panel over
+    * a high-cardinality field feasible at all. The k survivors can be
+    * exactly recounted with one tiny IN-filtered aggregation if the
+    * ±eps·N bound isn't good enough for display.
+    */
+  def approxTopTerms(
+      df: DataFrame,
+      termCol: String,
+      k: Int,
+      support: Double = 0.01,
+      eps: Double = 0.001,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketch = df.stat.countMinSketch(col(termCol), eps, confidence, seed)
+    val cands = df.stat.freqItems(Array(termCol), support)
+      .head().getSeq[String](0)
+    cands.map(c => (c, sketch.estimateCount(c)))
+      .toDF("term", "est_count")
+      .orderBy(col("est_count").desc, col("term"))
+      .limit(k)
+  }
+
   /** B17 over the ingested spark_logs table: severity filter (Log4j2
     * intLevel — smaller is MORE severe, ERROR=200 < WARN=300 < INFO=400)
     * + full-text contains + the saved search's projection, sorted,
@@ -71,11 +108,13 @@ object Dashboards {
   def relativeTimeFilter(ts: Column, now: java.sql.Timestamp, interval: String): Column =
     ts >= lit(now) - expr(s"INTERVAL $interval") && ts <= lit(now)
 
-  /** Rows-only query entries (no DuckDB twin for HLL/GK sketches). */
+  /** Rows-only query entries (no DuckDB twin for HLL/GK/CMS sketches). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_approx_cardinality" ->
       ((s, dir) => approxCardinality(Tables.orders(s, dir))),
     "q27_approx_percentiles" ->
-      ((s, dir) => approxPercentiles(Tables.lineitem(s, dir)))
+      ((s, dir) => approxPercentiles(Tables.lineitem(s, dir))),
+    "q40_approx_top_terms" ->
+      ((s, dir) => approxTopTerms(Tables.documents(s, dir), "source", 5))
   )
 }

@@ -42,6 +42,26 @@ class DashboardsSpec extends SparkTestBase {
     }
   }
 
+  test("approxTopTerms: CMS never undercounts, stays within eps*N, finds the exact top-k") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfSmoke)
+    val n = docs.count()
+    val eps = 0.001
+    val exact = docs.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Dashboards.approxTopTerms(docs, "source", k = 5, eps = eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    got.foreach { case (term, est) =>
+      val ex = exact(term)
+      assert(est >= ex, s"CMS undercounted $term: $est < $ex")
+      assert(est <= ex + (eps * n).ceil.toLong, s"$term overcount beyond eps*N: $est vs $ex")
+    }
+    // with well-separated counts the approximate top-k IS the exact top-k
+    val exactTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(5).map(_._1)
+    assert(got.map(_._1).toSeq == exactTop)
+  }
+
   test("relativeTimeFilter keeps exactly the trailing interval") {
     val now = Timestamp.valueOf("2025-06-30 00:00:00")
     val df = Seq("2025-06-29 23:00:00", "2025-06-01 00:00:00", "2025-07-01 00:00:00")

@@ -102,6 +102,34 @@ object Dashboards {
       .orderBy(col("logTime"), col("taskId"))
       .limit(limit)
 
+  /** B17 over the DEEP log table (rawLogSchemaDeep ingest): severity +
+    * full-text search extended with the cause-chain dimensions the flat
+    * schema cannot express — root-cause class filtering and minimum
+    * cause depth. All predicates are scan-level (level/causeDepth/
+    * rootCauseName are top-level sink columns), so the search stays a
+    * pruned single pass at any scale.
+    */
+  def searchLogsDeep(
+      logs: DataFrame,
+      contains: String = "",
+      maxIntLevel: Long = 400L,
+      rootCause: Option[String] = None,
+      minCauseDepth: Long = 0L,
+      limit: Int = 1000): DataFrame = {
+    val base = logs
+      .filter(col("level.intLevel") <= maxIntLevel &&
+        col("causeDepth") >= minCauseDepth)
+    val text = if (contains.nonEmpty) base.filter(col("message").contains(contains)) else base
+    val caused = rootCause.fold(text)(rc => text.filter(col("rootCauseName") === rc))
+    caused
+      .select(col("appName"), col("appId"), col("executorId"),
+        col("taskId"), col("stageId"), col("levelName"),
+        col("message"), col("rootCauseName"), col("causeDepth"),
+        col("errLine"), col("logTime"))
+      .orderBy(col("logTime"), col("taskId"))
+      .limit(limit)
+  }
+
   /** B19: relative time-range predicate (`now-<interval> .. now`); the
     * caller supplies `now` for determinism (SURVEY §7.4 clock injection).
     */

@@ -66,4 +66,28 @@ object CatalogTables {
     register(spark, Schemas.LogsTable,
       conf.tablePath(Schemas.LogsTable), withDt(Schemas.logRecords))
   }
+
+  /** Sink schema of the deep logs pipeline, derived from the projection
+    * itself (schema-on-write = projectLogRecordsDeep over the wire
+    * schema) so registration can never drift from the pipeline.
+    */
+  def deepLogSchema(spark: SparkSession): StructType = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      graft.ingest.Transforms.rawLogSchemaDeep)
+    withDt(graft.ingest.Transforms.projectLogRecordsDeep(empty).schema)
+  }
+
+  /** Register the derived sink tables the extended pipelines write: the
+    * deep log table and the three stage-agg delivery variants.
+    */
+  def registerDerivedTables(spark: SparkSession, conf: Pipelines.Config): Unit = {
+    register(spark, Schemas.LogsTable + "_deep",
+      conf.tablePath(Schemas.LogsTable + "_deep"), deepLogSchema(spark))
+    Seq("_derived", "_stateful").foreach { suffix =>
+      register(spark, Schemas.StageAggMetricsTable + suffix,
+        conf.tablePath(Schemas.StageAggMetricsTable + suffix),
+        withDt(Schemas.stageAggMetrics))
+    }
+  }
 }

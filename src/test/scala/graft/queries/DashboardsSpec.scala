@@ -62,6 +62,39 @@ class DashboardsSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq == exactTop)
   }
 
+  test("searchLogsDeep filters on severity, root-cause class and cause depth") {
+    import graft.ingest.Transforms
+    val err =
+      """{"appName":"a","appId":"app-9","executorId":"2","logTime":1767225600000,
+        |"level":{"intLevel":200,"name":"ERROR","standardLevel":"ERROR"},
+        |"message":{"message":"write failed"},
+        |"contextData":{"taskName":"task 4.0 in stage 7.0 (TID 42)"},
+        |"thrownProxy":{"name":"java.lang.RuntimeException","message":"outer",
+        | "localizedMessage":"outer","commonElementCount":0,
+        | "extendedStackTrace":[{"stackTraceElement":{"declaringClass":"graft.Job",
+        |   "fileName":"Job.scala","lineNumber":33,"methodName":"run"}}],
+        | "causeProxy":{"name":"java.io.IOException","message":"inner",
+        |  "localizedMessage":"inner","commonElementCount":1,
+        |  "extendedStackTrace":[]}}}""".stripMargin.replaceAll("\n", "")
+    val info =
+      """{"appName":"a","appId":"app-9","executorId":"2","logTime":1767225601000,
+        |"level":{"intLevel":400,"name":"INFO","standardLevel":"INFO"},
+        |"message":{"message":"write ok"},
+        |"contextData":{"taskName":"task 1.0 in stage 2.0 (TID 1)"}}"""
+        .stripMargin.replaceAll("\n", "")
+    val logs = Transforms.projectLogRecordsDeep(
+      spark.read.schema(Transforms.rawLogSchemaDeep).json(Seq(err, info).toDS()))
+    val hit = Dashboards.searchLogsDeep(logs, contains = "write",
+      maxIntLevel = 300L, rootCause = Some("java.io.IOException"), minCauseDepth = 2L)
+      .collect()
+    assert(hit.length == 1)
+    assert(hit(0).getAs[Long]("errLine") == 33L &&
+      hit(0).getAs[String]("levelName") == "ERROR")
+    // depth/severity guards exclude the INFO row even with permissive text
+    assert(Dashboards.searchLogsDeep(logs, minCauseDepth = 1L).count() == 1)
+    assert(Dashboards.searchLogsDeep(logs).count() == 2)
+  }
+
   test("relativeTimeFilter keeps exactly the trailing interval") {
     val now = Timestamp.valueOf("2025-06-30 00:00:00")
     val df = Seq("2025-06-29 23:00:00", "2025-06-01 00:00:00", "2025-07-01 00:00:00")

@@ -50,8 +50,17 @@ class CatalogSpec extends SparkTestBase {
       }.get
       assert(scan.partitionFilters.map(_.toString).mkString(",").contains("dt"))
       assert(scan.metadata.get("PartitionFilters").exists(_.contains("dt")))
+      // 4. derived tables register schema-first too, with the deep log
+      // schema taken from the projection itself
+      CatalogTables.registerDerivedTables(spark, conf)
+      val deep = spark.table(Schemas.LogsTable + "_deep")
+      assert(deep.columns.contains("causeDepth") && deep.columns.contains("rootCauseName"))
+      assert(deep.count() == 0)
+      assert(spark.catalog.tableExists(Schemas.StageAggMetricsTable + "_stateful"))
     } finally {
-      Seq(Schemas.TaskMetricsTable, Schemas.StageAggMetricsTable, Schemas.LogsTable)
+      (Seq(Schemas.TaskMetricsTable, Schemas.StageAggMetricsTable, Schemas.LogsTable,
+        Schemas.LogsTable + "_deep") ++
+        Seq("_derived", "_stateful").map(Schemas.StageAggMetricsTable + _))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }

@@ -35,6 +35,18 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Character n-grams of a text column (distinct) — the sub-word
+    * granularity of the n-gram-Jaccard dedup family: robust to
+    * tokenization differences and whitespace edits where word shingles
+    * are not. Same end-clamp convention as [[shingles]] (short texts
+    * contribute their full remainder).
+    */
+  def charShingles(c: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+        i => c.substr(i, lit(n))))
+
   /** MinHash signature: p pseudo-permutations; signature[i] = min over
     * shingles of xxhash64(i, xxhash64(s)) — ONE string hash per shingle,
     * then p cheap fixed-width integer mixes, run as a native codegen'd
@@ -119,9 +131,19 @@ object Dedup {
 
   /** Estimated Jaccard from two minhash signatures: the fraction of
     * agreeing slots (unbiased estimator, stderr ≈ 1/√p). ~10× cheaper
-    * than exact set intersection — used as a verification prefilter.
+    * than exact set intersection — used as a verification prefilter,
+    * which runs ONCE PER CANDIDATE PAIR, so it is a native codegen'd
+    * expression ([[graft.plans.ArraySigAgreement]]); at char-n-gram
+    * granularity (high baseline similarity → millions of candidates)
+    * the interpreted form dominated the whole pipeline.
     */
   def signatureAgreement(a: Column, b: Column): Column =
+    graft.plans.ArraySigAgreement.sigAgreement(a, b)
+
+  /** Interpreted HOF twin of [[signatureAgreement]] — bit-equality
+    * cross-check for the native expression's spec.
+    */
+  def signatureAgreementHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), _ + _).cast("double") / size(a)
 
@@ -148,28 +170,41 @@ object Dedup {
       p: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      shingleFn: Option[Column => Column] = None,
+      hashesFn: Option[Column => Column] = None): DataFrame = {
     require(p % bands == 0, "p must divide into bands evenly")
     val rows = p / bands
+    // shingle granularity is pluggable: word k-shingles by default,
+    // charShingles(_, n) for the character-n-gram Jaccard family
+    val mkShingles = shingleFn.getOrElse((c: Column) => shingles(c, shingleK))
+    // signature hash source likewise: by default xxhash64 of each verify
+    // shingle; a native hasher (e.g. graft_ngram_hashes, which never
+    // materializes gram strings) may replace it as long as it hashes the
+    // same gram identities — duplicates are fine, the per-slot min is
+    // multiset-insensitive
+    val mkHashes = hashesFn.getOrElse(
+      (c: Column) => transform(mkShingles(c), s => xxhash64(s)))
     // Spread the signature computation: a small source file arrives as
     // ONE input partition, which would serialize the (CPU-heavy) shingle
     // hashing on a single core. One cheap round-robin exchange of the
     // raw docs buys full-width parallelism — at cluster scale the input
     // already has many splits and this is a near-no-op rebalance.
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    // MATERIALIZE the signature table: it is consumed from three plan
-    // branches (band explode + both verify sides), and without a hard
-    // barrier Catalyst re-inlines the whole shingle+hash pipeline into
-    // each (HOFs get no codegen/CSE — recompute measured ~7× the cost).
-    // In a production dataflow this table is written to storage; here
-    // persist() is the same artifact in cache form.
+    // MATERIALIZE the (id, text, signature) table: it is consumed from
+    // three plan branches (band explode + both verify sides), and
+    // without a hard barrier Catalyst re-inlines the whole hash pipeline
+    // into each (HOFs get no codegen/CSE — recompute measured ~7× the
+    // cost). Verify SHINGLES are deliberately NOT materialized here:
+    // only candidate rows ever need them (computed inline at verify
+    // time), so the cached artifact stays narrow — at char-n-gram
+    // granularity the full shingle arrays are ~the corpus size again.
     val withSig = spread
-      .withColumn("__sh", shingles(col(textCol), shingleK))
-      .withColumn("__sig", minhashSignature(col("__sh"), p))
-      .select(col(idCol), col("__sh"), col("__sig"))
+      .withColumn("__sig", graft.plans.GraftFunctions.minhash(mkHashes(col(textCol)), p))
+      .select(col(idCol), col(textCol), col("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(withSig, idCol, "__sig", bands, rows, maxBucketSize)
-    val side = withSig.select(col(idCol).as("__jid"), col("__sh"), col("__sig"))
+    val side = withSig.select(col(idCol).as("__jid"), col(textCol).as("__jtxt"), col("__sig"))
     // Verification staging: the signature-agreement estimate (p long
     // compares) kills ~all false band collisions BEFORE the exact
     // set-intersection jaccard runs — the `&&` short-circuits row-wise.
@@ -178,18 +213,20 @@ object Dedup {
     // while j<0.3 noise (≥6σ below the floor) still ~never reaches the
     // exact verify. Precision stays exact (jaccard is recomputed).
     val estFloor = math.max(0.0, threshold - 0.3)
+    val shA = mkShingles(col("txt_a"))
+    val shB = mkShingles(col("txt_b"))
     cands
-      .join(side.withColumnRenamed("__sh", "sh_a").withColumnRenamed("__sig", "sig_a"),
+      .join(side.withColumnRenamed("__jtxt", "txt_a").withColumnRenamed("__sig", "sig_a"),
         cands("id_a") === side("__jid")).drop("__jid")
-      .join(side.withColumnRenamed("__sh", "sh_b").withColumnRenamed("__sig", "sig_b"),
+      .join(side.withColumnRenamed("__jtxt", "txt_b").withColumnRenamed("__sig", "sig_b"),
         cands("id_b") === side("__jid")).drop("__jid")
       .filter(signatureAgreement(col("sig_a"), col("sig_b")) >= estFloor &&
-        jaccard(col("sh_a"), col("sh_b")) >= threshold)
-      // jaccard intentionally recomputed HERE, for survivors only (a
-      // handful of rows): hoisting it into a withColumn would make the
-      // pushed-down predicate evaluate it for every candidate, defeating
-      // the short-circuiting est-prefilter above.
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        jaccard(shA, shB) >= threshold)
+      // shingles + jaccard intentionally computed HERE, for est-passing
+      // candidates and survivors only (a handful of rows): hoisting them
+      // into withColumns would evaluate them for every candidate,
+      // defeating the short-circuiting est-prefilter above.
+      .select(col("id_a"), col("id_b"), jaccard(shA, shB).as("jac"))
   }
 
   /** Full MinHash near-dup dedup: returns the surviving rows of `df`.

@@ -128,6 +128,11 @@ object GraftFunctions {
   /** MinHash signature of an array of element hashes (see [[MinHashSignature]]). */
   def minhash(hashes: Column, p: Int): Column = MinHashSignature.minhash(hashes, p)
 
+  /** Char-n-gram hashes of a string, computed over the raw UTF-8 bytes
+    * (see [[CharNgramHashes]]).
+    */
+  def ngramHashes(text: Column, n: Int): Column = CharNgramHashes.ngramHashes(text, n)
+
   /** Imperative registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = functions.foreach {
     case (id, info, builder) =>

@@ -77,6 +77,29 @@ object PipelineQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // n-gram-Jaccard dedup family: character-5-gram jaccard pairs through
+  // the same banded MinHash+LSH machinery (sub-word granularity — robust
+  // to whitespace/tokenization edits where word shingles are not). The
+  // planted near-dups sit at char-5-gram jaccard 0.93-0.99 with nothing
+  // else above 0.35, so the 0.8 threshold is deep inside the S-curve's
+  // safe zone; the oracle brute-forces all pairs.
+  def q41CharNgramPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.neardupPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.8,
+        // gram IDENTITIES are 64-bit byte-level hashes end-to-end: the
+        // verify sets are distinct gram hashes (array<long> intersects,
+        // no gram string is ever materialized) and the signature hashes
+        // the same grams natively. Hash-set jaccard equals the oracle's
+        // string-set jaccard whenever no within-pair xxhash64 collision
+        // exists (P ≈ grams²/2^64 ≈ 1e-13 — and the cross-engine hash
+        // compare would catch one).
+        shingleFn = Some(c => array_distinct(graft.plans.GraftFunctions.ngramHashes(c, 5))),
+        hashesFn = Some(graft.plans.GraftFunctions.ngramHashes(_, 5)))
+      .select($"id_a", $"id_b", round($"jac", 6).as("jac"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   // SimHash near-dup pairs over 3-shingles (md5-based 60-bit hash so the
   // oracle can recompute signatures exactly); Manku-style banded search
   // with guaranteed recall at maxHamming=10 (11 bands).
@@ -530,7 +553,8 @@ object PipelineQueries {
     "q36_minhash_dedup" -> q36MinhashDedup _,
     "q37_cosine_neardup" -> q37CosineNearDup _,
     "q38_deep_log_ingest" -> q38DeepLogIngest _,
-    "q39_stateful_stage_agg" -> q39StatefulStageAgg _
+    "q39_stateful_stage_agg" -> q39StatefulStageAgg _,
+    "q41_char_ngram_pairs" -> q41CharNgramPairs _
   )
 
   private val annBits = 12
@@ -720,6 +744,18 @@ object PipelineQueries {
          | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(jac, 6) AS jac
          |FROM pairs WHERE jac >= 0.8 ORDER BY 1, 2""".stripMargin,
+    "q41_char_ngram_pairs" ->
+      """WITH csh AS (SELECT doc_id,
+        |  list_distinct([substring(text, i, 5)
+        |                 FOR i IN range(1, greatest(length(text) - 3, 2))]) s
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id id_a, b.doc_id id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) jac
+        | FROM csh a JOIN csh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 6) AS jac
+        |FROM pairs WHERE jac >= 0.8 ORDER BY 1, 2""".stripMargin,
     "q19_simhash_pairs" ->
       s"""WITH $shingleSql,
          |tokh AS (SELECT doc_id, CAST(concat('0x', substring(md5(unnest(sh)), 1, 15)) AS BIGINT) hv FROM sh),

@@ -48,8 +48,12 @@ object Bench {
     val cold = ordered.map { case (n, fn) => n -> runOne(n, fn) }
     val coldErrors = errors
     // warm passes: rotate the start offset so pass-order position doesn't
-    // systematically couple a query to its predecessors' leftover state
+    // systematically couple a query to its predecessors' leftover state.
+    // Warm-pass failures are REPORTED separately (warm_failed/errors_warm)
+    // — a query that only breaks on re-execution must not read as a
+    // healthy steady state with its cold time substituted in.
     val warm = scala.collection.mutable.Map.empty[String, Double]
+    val warmErrors = scala.collection.mutable.Map.empty[String, String]
     for (p <- 1 to warmPasses) {
       errors = Map.empty
       val off = (p * ordered.size / (warmPasses + 1)) % math.max(ordered.size, 1)
@@ -57,18 +61,24 @@ object Bench {
       rotated.foreach { case (n, fn) =>
         val dt = runOne(n, fn)
         if (!errors.contains(n)) warm(n) = math.min(warm.getOrElse(n, Double.MaxValue), dt)
+        else warmErrors.getOrElseUpdate(n, errors(n))
       }
     }
+    // a query that never completed a warm pass has no steady-state claim
+    val warmFailed = warmErrors.keySet diff warm.keySet
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     def jmap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def jsmap(m: Iterable[(String, String)]) =
+      m.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val qs = jmap(cold)
     val qsWarm = jmap(cold.map { case (n, c) => n -> warm.getOrElse(n, c) })
-    val errJson = coldErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val errJson = jsmap(coldErrors)
+    val warmErrJson = jsmap(warmErrors)
     val total = cold.map(_._2).sum
     val steady = cold.map { case (n, c) => warm.getOrElse(n, c) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"queries_warm":$qsWarm,"failed":${coldErrors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"queries_warm":$qsWarm,"failed":${coldErrors.size},"errors":$errJson,"warm_failed":${warmFailed.size},"errors_warm":$warmErrJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

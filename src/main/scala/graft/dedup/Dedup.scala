@@ -174,6 +174,11 @@ object Dedup {
       shingleFn: Option[Column => Column] = None,
       hashesFn: Option[Column => Column] = None): DataFrame = {
     require(p % bands == 0, "p must divide into bands evenly")
+    // a custom hash source only makes sense against a matching custom
+    // verify granularity — hashesFn alone would band on one gram space
+    // and verify jaccard on another, silently collapsing recall
+    require(hashesFn.isEmpty || shingleFn.isDefined,
+      "hashesFn requires a matching shingleFn (same gram identities)")
     val rows = p / bands
     // shingle granularity is pluggable: word k-shingles by default,
     // charShingles(_, n) for the character-n-gram Jaccard family

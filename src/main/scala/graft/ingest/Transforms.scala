@@ -169,7 +169,11 @@ object Transforms {
           .otherwise(lit(2L)).as("causeDepth"),
         coalesce(col("thrownProxy.causeProxy.name"), col("thrownProxy.name"))
           .as("rootCauseName"),
-        element_at(col("thrownProxy.extendedStackTrace"), 1)
+        // try_element_at: a stackless throwable (frames absorbed into
+        // commonElementCount, or -XX:-StackTraceInThrowable) has an
+        // EMPTY frame array, and ANSI element_at on it would abort the
+        // whole streaming query instead of yielding null
+        try_element_at(col("thrownProxy.extendedStackTrace"), lit(1))
           .getField("stackTraceElement").getField("lineNumber").as("errLine"))
 
   /** A12: content routing — predicate dispatch on the discriminator. */

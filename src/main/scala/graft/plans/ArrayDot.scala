@@ -115,7 +115,18 @@ object GraftFunctions {
           MinHashSignature(args(0), p)
         case other => throw new IllegalArgumentException(
           s"graft_minhash p argument must be an integer literal, got $other")
-      }))
+      }),
+    (FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[CharNgramHashes].getName, "graft_ngram_hashes"),
+      (args: Seq[Expression]) => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          CharNgramHashes(args(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_ngram_hashes n argument must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_sig_agreement"),
+      new ExpressionInfo(classOf[ArraySigAgreement].getName, "graft_sig_agreement"),
+      (args: Seq[Expression]) => ArraySigAgreement(args(0), args(1))))
 
   /** Column-level constructor — no registration needed. */
   def dot(a: Column, b: Column): Column =

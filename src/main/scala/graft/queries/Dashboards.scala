@@ -77,9 +77,12 @@ object Dashboards {
       seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sketch = df.stat.countMinSketch(col(termCol), eps, confidence, seed)
-    val cands = df.stat.freqItems(Array(termCol), support)
-      .head().getSeq[String](0)
+    // nulls are not terms: a frequent null would surface as a freqItems
+    // candidate and crash CountMinSketch.estimateCount(null)
+    val terms = df.filter(col(termCol).isNotNull)
+    val sketch = terms.stat.countMinSketch(col(termCol), eps, confidence, seed)
+    val cands = terms.stat.freqItems(Array(termCol), support)
+      .head().getSeq[String](0).filter(_ != null)
     cands.map(c => (c, sketch.estimateCount(c)))
       .toDF("term", "est_count")
       .orderBy(col("est_count").desc, col("term"))

@@ -223,11 +223,23 @@ class IngestSpec extends SparkTestBase {
         |"level":{"intLevel":400,"name":"INFO","standardLevel":"INFO"},
         |"message":{"message":"ok"},"contextData":{"taskName":"task 1.0 in stage 2.0 (TID 1)"}}"""
         .stripMargin.replaceAll("\n", "")
+    // stackless throwable (frames absorbed / -XX:-StackTraceInThrowable):
+    // the empty frame array must yield a null errLine, not an ANSI abort
+    val stackless =
+      """{"appName":"a","appId":"app-9","executorId":"2","logTime":1767225602000,
+        |"level":{"intLevel":200,"name":"ERROR","standardLevel":"ERROR"},
+        |"message":{"message":"stackless"},
+        |"contextData":{"taskName":"task 1.0 in stage 2.0 (TID 2)"},
+        |"thrownProxy":{"name":"java.lang.Error","message":"m",
+        | "localizedMessage":"m","commonElementCount":7,"extendedStackTrace":[]}}"""
+        .stripMargin.replaceAll("\n", "")
     import scala.jdk.CollectionConverters._
     val raw = spark.read.schema(Transforms.rawLogSchemaDeep)
-      .json(Seq(json, noThrow).toDS())
+      .json(Seq(json, noThrow, stackless).toDS())
     val out = Transforms.projectLogRecordsDeep(raw).orderBy($"logTime").collect()
-    val err = out(0); val ok = out(1)
+    val err = out(0); val ok = out(1); val noStack = out(2)
+    assert(noStack.isNullAt(noStack.fieldIndex("errLine")))
+    assert(noStack.getAs[Long]("causeDepth") == 1L)
     assert(err.getAs[String]("levelName") == "ERROR")
     assert(err.getAs[Long]("causeDepth") == 2L)
     assert(err.getAs[String]("rootCauseName") == "java.io.IOException")

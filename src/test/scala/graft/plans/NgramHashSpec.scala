@@ -39,6 +39,15 @@ class NgramHashSpec extends SparkTestBase {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
   }
 
+  test("graft_ngram_hashes registers for SQL") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_ngram_hashes('abcd', 3) AS hs")
+      .head().getSeq[Long](0)
+    val viaCol = Seq("abcd").toDF("t")
+      .select(GraftFunctions.ngramHashes($"t", 3)).head().getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 2)
+  }
+
   test("the expression participates in whole-stage codegen") {
     val q = spark.range(0, 100)
       .select(concat(lit("doc "), $"id").as("t"))

@@ -39,6 +39,14 @@ class SigAgreementSpec extends SparkTestBase {
     assert(hof == 0.5)
   }
 
+  test("graft_sig_agreement registers for SQL") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_sig_agreement(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 9L)) AS a")
+      .head().getDouble(0)
+    assert(got == 0.5)
+  }
+
   test("the expression participates in whole-stage codegen") {
     val e = spark.range(0, 100)
       .select(array($"id", $"id" * 2).as("a"), array($"id", $"id" * 3).as("b"))

@@ -98,8 +98,30 @@ object Pipelines {
     // emit when the watermark closes the window — the stream-native
     // equivalent of "stage completed", SURVEY §7.4). Partial/final agg
     // shape mirrors §3.2; state is evicted by the watermark.
-    val agg = Transforms.projectTaskMetrics(
-        Transforms.route(raw, Transforms.TaskMetricsType))
+    val agg = windowedStageAgg(
+        Transforms.projectTaskMetrics(Transforms.route(raw, Transforms.TaskMetricsType)),
+        conf)
+      .drop("windowStart") // sink keeps the StageAggMetric record shape
+    val aggQ = Transforms.withDt(agg, "metricTime")
+      .writeStream
+      .format("parquet")
+      .partitionBy("dt")
+      .option("path", conf.tablePath(Schemas.StageAggMetricsTable + "_derived"))
+      .option("checkpointLocation", s"${conf.checkpointRoot}/stage_agg_derived")
+      .outputMode("append")
+      .trigger(trigger(conf))
+      .start()
+
+    Seq(taskQ, passQ, aggQ)
+  }
+
+  /** Event-time windowed stage aggregation (batch/stream agnostic, the
+    * §3.2 partial/final shape): one row per (window, stage key) with
+    * skew stats plus the window start, which window-aware sinks keep
+    * and the StageAggMetric-shaped sink drops.
+    */
+  def windowedStageAgg(tasks: DataFrame, conf: Config): DataFrame =
+    tasks
       .withWatermark("metricTime", conf.watermarkDelay)
       .groupBy(
         window(col("metricTime"), conf.stageWindow),
@@ -120,18 +142,29 @@ object Pipelines {
         Skewness.skewFromStats(col("max_sh"), col("min_sh"), col("avg_sh"))
           .as("shuffleBytesReadSkewness"),
         col("max_sh").as("maxShuffleBytesRead"),
-        col("maxMetricTime").as("metricTime"))
-    val aggQ = Transforms.withDt(agg, "metricTime")
+        col("maxMetricTime").as("metricTime"),
+        col("window.start").as("windowStart"))
+
+  /** Windowed-agg-only delivery into its own window-keyed table — the
+    * focused variant the correctness gate replays (startMetrics runs
+    * the same aggregation alongside its task/passthrough sinks).
+    */
+  def startMetricsWindowed(spark: SparkSession, conf: Config): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Transforms.rawMetricSchema)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .json(conf.sourceDir)
+    val agg = windowedStageAgg(
+      Transforms.projectTaskMetrics(Transforms.route(raw, Transforms.TaskMetricsType)), conf)
+    Transforms.withDt(agg, "metricTime")
       .writeStream
       .format("parquet")
       .partitionBy("dt")
-      .option("path", conf.tablePath(Schemas.StageAggMetricsTable + "_derived"))
-      .option("checkpointLocation", s"${conf.checkpointRoot}/stage_agg_derived")
+      .option("path", conf.tablePath(Schemas.StageAggMetricsTable + "_windowed"))
+      .option("checkpointLocation", s"${conf.checkpointRoot}/stage_agg_windowed")
       .outputMode("append")
       .trigger(trigger(conf))
       .start()
-
-    Seq(taskQ, passQ, aggQ)
   }
 
   /** Alternative derived-agg delivery: foreachBatch recompute-upsert.

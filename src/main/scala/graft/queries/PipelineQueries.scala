@@ -431,7 +431,14 @@ object PipelineQueries {
   // all. The oracle recomputes the per-stage aggregation from the
   // source: any state-loss, double-count, or premature/missed timeout
   // emission breaks the hash.
-  def q39StatefulStageAgg(s: SparkSession, dir: String): DataFrame = {
+  /** Shared harness for the stage-agg delivery gates (q39/q42/q43):
+    * derive deterministic task-metric JSON from the events table into a
+    * spool dir, return (pipeline config, max event-time ms, sentinel
+    * writer). The oracle mirror of the derivation lives in
+    * `stageAggOracleSql`.
+    */
+  private def taskMetricSpool(
+      s: SparkSession, dir: String, prefix: String): (graft.ingest.Pipelines.Config, Long, Long => Unit) = {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val line = to_json(struct(
@@ -443,18 +450,20 @@ object PipelineQueries {
       floor($"value" * 1000).cast("long").as("inputBytesRead"),
       ($"event_id" % 997).as("shuffleBytesRead"),
       unix_millis($"ts").as("metricTime")))
-    val tmp = tempDir("graft-q39")
+    val tmp = tempDir(prefix)
     val spool = tmp.resolve("spool").toString
     // parallel JSON spool write (a coalesce(1) here would serialize the
     // whole to_json derivation onto one core)
     ev.select(line.as("value")).write.mode("overwrite").text(spool)
     val maxMs = ev.agg(max(unix_millis($"ts"))).head().getLong(0)
-    def sentinel(offsetMs: Long): Unit =
+    val sentinel = (offsetMs: Long) => {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(spool).resolve(s"sentinel-$offsetMs.json"),
         s"""{"metricsType":"taskMetrics","appName":"graft-app","appId":"sentinel",""" +
           s""""jobId":"s","stageId":999,"inputBytesRead":1,"shuffleBytesRead":0,""" +
           s""""metricTime":${maxMs + offsetMs}}""")
+      ()
+    }
     val conf = graft.ingest.Pipelines.Config(
       sourceDir = spool,
       sinkRoot = s"$tmp/tables",
@@ -462,22 +471,72 @@ object PipelineQueries {
       maxFilesPerTrigger = 100000,
       availableNow = true,
       watermarkDelay = "1 minute")
+    (conf, maxMs, sentinel)
+  }
+
+  /** Common output shape of the stage-agg gates (sans sentinels);
+    * `keepWindow` adds the window start for the windowed delivery.
+    */
+  private def stageAggOutput(sink: DataFrame, keepWindow: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Column
+    def c(n: String): Column = sink(n)
+    val base = Seq(
+      c("appId").as("app_id"), c("jobId").as("job_id"),
+      c("stageId").cast("long").as("stage_id"),
+      round(c("inputBytesReadSkewness"), 6).as("in_skew"),
+      c("maxInputBytesRead").as("max_in"),
+      round(c("shuffleBytesReadSkewness"), 6).as("sh_skew"),
+      c("maxShuffleBytesRead").as("max_sh"),
+      unix_millis(c("metricTime")).as("last_ms"))
+    val cols = if (keepWindow) base :+ unix_millis(c("windowStart")).as("win_ms") else base
+    sink.filter(c("appId") =!= "sentinel").select(cols: _*)
+  }
+
+  def q39StatefulStageAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (conf, _, sentinel) = taskMetricSpool(s, dir, "graft-q39")
     sentinel(3600000L)
     graft.ingest.Pipelines.startMetricsStateful(s, conf).awaitTermination()
     sentinel(7200000L)
     graft.ingest.Pipelines.startMetricsStateful(s, conf).awaitTermination()
-    s.read.parquet(conf.tablePath(
-        graft.model.Schemas.StageAggMetricsTable + "_stateful"))
-      .filter($"appId" =!= "sentinel")
-      .select(
-        $"appId".as("app_id"), $"jobId".as("job_id"),
-        $"stageId".cast("long").as("stage_id"),
-        round($"inputBytesReadSkewness", 6).as("in_skew"),
-        $"maxInputBytesRead".as("max_in"),
-        round($"shuffleBytesReadSkewness", 6).as("sh_skew"),
-        $"maxShuffleBytesRead".as("max_sh"),
-        unix_millis($"metricTime").as("last_ms"))
+    stageAggOutput(s.read.parquet(conf.tablePath(
+        graft.model.Schemas.StageAggMetricsTable + "_stateful")))
       .orderBy($"app_id", $"job_id", $"stage_id")
+  }
+
+  // The foreachBatch recompute-upsert delivery, end-to-end: same derived
+  // stream, but the sink is maintained by idempotent dynamic-partition
+  // overwrites per micro-batch (no watermark dependency — the recompute
+  // is exact at every batch, so no sentinels are needed). The oracle is
+  // the same per-stage aggregation over the source.
+  def q42UpsertStageAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (conf, _, _) = taskMetricSpool(s, dir, "graft-q42")
+    graft.ingest.Pipelines.startMetricsUpsert(s, conf).awaitTermination()
+    stageAggOutput(
+        s.read.parquet(conf.tablePath(
+          graft.model.Schemas.StageAggMetricsTable + "_upsert"))
+          .drop("appIdPart"))
+      .orderBy($"app_id", $"job_id", $"stage_id")
+  }
+
+  // The event-time windowed append-mode delivery, end-to-end: rows emit
+  // only when the watermark closes their 1-minute window (q39's two-run
+  // sentinel scheme advances it), and the output carries the WINDOW
+  // START — one stage active across k windows lands k rows. The oracle
+  // buckets the source on floor(ms/60000) and aggregates per
+  // (window, stage).
+  def q43WindowedStageAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (conf, _, sentinel) = taskMetricSpool(s, dir, "graft-q43")
+    sentinel(3600000L)
+    graft.ingest.Pipelines.startMetricsWindowed(s, conf).awaitTermination()
+    sentinel(7200000L)
+    graft.ingest.Pipelines.startMetricsWindowed(s, conf).awaitTermination()
+    val sink = s.read.parquet(conf.tablePath(
+      graft.model.Schemas.StageAggMetricsTable + "_windowed"))
+    stageAggOutput(sink, keepWindow = true)
+      .orderBy($"app_id", $"job_id", $"stage_id", $"win_ms")
   }
 
   // B13 calendar branch: span/targetBuckets lands past the fixed 7d rung
@@ -554,7 +613,9 @@ object PipelineQueries {
     "q37_cosine_neardup" -> q37CosineNearDup _,
     "q38_deep_log_ingest" -> q38DeepLogIngest _,
     "q39_stateful_stage_agg" -> q39StatefulStageAgg _,
-    "q41_char_ngram_pairs" -> q41CharNgramPairs _
+    "q41_char_ngram_pairs" -> q41CharNgramPairs _,
+    "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
+    "q43_windowed_stage_agg" -> q43WindowedStageAgg _
   )
 
   private val annBits = 12
@@ -608,6 +669,39 @@ object PipelineQueries {
        |     + least(s_en * 5.0 / CAST(greatest(n_toks, 1) AS DOUBLE), 1.0) * 0.3
        |     + least(CAST(greatest(n_toks, 1) AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality
        |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for the stage-agg delivery gates: re-derive the task metrics
+    * from events exactly as [[taskMetricSpool]] does, aggregate per
+    * stage (optionally per 1-minute event-time window), and compute the
+    * same max-relative-distance skew with the range-0 guard.
+    */
+  private def stageAggOracleSql(windowed: Boolean): String = {
+    val winCol = if (windowed) ", (ms // 60000) * 60000 AS win_ms" else ""
+    val winKey = if (windowed) ", 4" else ""
+    val winOut = if (windowed) ", win_ms" else ""
+    s"""WITH t AS (
+       | SELECT 'app-' || CAST(user_id % 3 AS VARCHAR) AS app_id,
+       |  CAST(user_id % 4 AS VARCHAR) AS job_id,
+       |  user_id % 10 AS stage_id,
+       |  CAST(floor(value * 1000) AS BIGINT) AS in_b,
+       |  event_id % 997 AS sh_b,
+       |  epoch_ms(ts) AS ms
+       | FROM events),
+       |g AS (
+       | SELECT app_id, job_id, stage_id$winCol, count(*) n,
+       |  sum(in_b) sum_in, min(in_b) min_in, max(in_b) max_in,
+       |  sum(sh_b) sum_sh, min(sh_b) min_sh, max(sh_b) max_sh,
+       |  max(ms) last_ms
+       | FROM t GROUP BY 1, 2, 3$winKey)
+       |SELECT app_id, job_id, CAST(stage_id AS BIGINT) AS stage_id,
+       | round(greatest(max_in - CAST(sum_in AS DOUBLE) / n, CAST(sum_in AS DOUBLE) / n - min_in)
+       |   / (CASE WHEN max_in = min_in THEN 1 ELSE max_in - min_in END), 6) AS in_skew,
+       | max_in AS max_in,
+       | round(greatest(max_sh - CAST(sum_sh AS DOUBLE) / n, CAST(sum_sh AS DOUBLE) / n - min_sh)
+       |   / (CASE WHEN max_sh = min_sh THEN 1 ELSE max_sh - min_sh END), 6) AS sh_skew,
+       | max_sh AS max_sh, last_ms$winOut
+       |FROM g ORDER BY 1, 2, 3${if (windowed) ", win_ms" else ""}""".stripMargin
   }
 
   /** SRP-LSH oracle: embed the engine's deterministic hyperplanes as SQL
@@ -792,29 +886,9 @@ object PipelineQueries {
         | count(*) AS n_logs, count(DISTINCT stage_id) AS n_stages,
         | max(err_line) AS max_line
         |FROM lv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q39_stateful_stage_agg" ->
-      """WITH t AS (
-        | SELECT 'app-' || CAST(user_id % 3 AS VARCHAR) AS app_id,
-        |  CAST(user_id % 4 AS VARCHAR) AS job_id,
-        |  user_id % 10 AS stage_id,
-        |  CAST(floor(value * 1000) AS BIGINT) AS in_b,
-        |  event_id % 997 AS sh_b,
-        |  epoch_ms(ts) AS ms
-        | FROM events),
-        |g AS (
-        | SELECT app_id, job_id, stage_id, count(*) n,
-        |  sum(in_b) sum_in, min(in_b) min_in, max(in_b) max_in,
-        |  sum(sh_b) sum_sh, min(sh_b) min_sh, max(sh_b) max_sh,
-        |  max(ms) last_ms
-        | FROM t GROUP BY 1, 2, 3)
-        |SELECT app_id, job_id, CAST(stage_id AS BIGINT) AS stage_id,
-        | round(greatest(max_in - CAST(sum_in AS DOUBLE) / n, CAST(sum_in AS DOUBLE) / n - min_in)
-        |   / (CASE WHEN max_in = min_in THEN 1 ELSE max_in - min_in END), 6) AS in_skew,
-        | max_in AS max_in,
-        | round(greatest(max_sh - CAST(sum_sh AS DOUBLE) / n, CAST(sum_sh AS DOUBLE) / n - min_sh)
-        |   / (CASE WHEN max_sh = min_sh THEN 1 ELSE max_sh - min_sh END), 6) AS sh_skew,
-        | max_sh AS max_sh, last_ms
-        |FROM g ORDER BY 1, 2, 3""".stripMargin,
+    "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q42_upsert_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q43_windowed_stage_agg" -> stageAggOracleSql(windowed = true),
     "q34_ann_lsh_index" -> q34Sql,
     "q35_ann_ivf_index" -> q35Sql,
     "q36_minhash_dedup" ->

@@ -521,17 +521,25 @@ object PipelineQueries {
   }
 
   // The event-time windowed append-mode delivery, end-to-end: rows emit
-  // only when the watermark closes their 1-minute window (q39's two-run
-  // sentinel scheme advances it), and the output carries the WINDOW
-  // START — one stage active across k windows lands k rows. The oracle
-  // buckets the source on floor(ms/60000) and aggregates per
-  // (window, stage).
+  // only when the watermark closes their window (q39's two-run sentinel
+  // scheme advances it), and the output carries the WINDOW START — one
+  // stage active across k windows lands k rows (~5 windows per stage at
+  // the 7-day width; the derived metrics span 30 days). Window width is
+  // the state/output knob and the per-window semantics are identical at
+  // any width — the replay harness compresses the whole history into one
+  // batch, so live state is (windows × stages) until the sentinel. The
+  // oracle buckets the source on floor(ms/604800000).
   def q43WindowedStageAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (conf, _, sentinel) = taskMetricSpool(s, dir, "graft-q43")
-    sentinel(3600000L)
+    val (base, _, sentinel) = taskMetricSpool(s, dir, "graft-q43")
+    val conf = base.copy(stageWindow = "7 days")
+    // the LAST window's end can sit up to a full window width past the
+    // newest event, so the sentinels must clear windowEnd + watermark —
+    // offsets scale with the window width (8/9 days), unlike q39's
+    // inactivity-timeout gate where +1h/+2h suffice
+    sentinel(8L * 24 * 3600 * 1000)
     graft.ingest.Pipelines.startMetricsWindowed(s, conf).awaitTermination()
-    sentinel(7200000L)
+    sentinel(9L * 24 * 3600 * 1000)
     graft.ingest.Pipelines.startMetricsWindowed(s, conf).awaitTermination()
     val sink = s.read.parquet(conf.tablePath(
       graft.model.Schemas.StageAggMetricsTable + "_windowed"))
@@ -676,8 +684,8 @@ object PipelineQueries {
     * stage (optionally per 1-minute event-time window), and compute the
     * same max-relative-distance skew with the range-0 guard.
     */
-  private def stageAggOracleSql(windowed: Boolean): String = {
-    val winCol = if (windowed) ", (ms // 60000) * 60000 AS win_ms" else ""
+  private def stageAggOracleSql(windowed: Boolean, winMs: Long = 60000L): String = {
+    val winCol = if (windowed) s", (ms // $winMs) * $winMs AS win_ms" else ""
     val winKey = if (windowed) ", 4" else ""
     val winOut = if (windowed) ", win_ms" else ""
     s"""WITH t AS (
@@ -888,7 +896,7 @@ object PipelineQueries {
         |FROM lv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
     "q42_upsert_stage_agg" -> stageAggOracleSql(windowed = false),
-    "q43_windowed_stage_agg" -> stageAggOracleSql(windowed = true),
+    "q43_windowed_stage_agg" -> stageAggOracleSql(windowed = true, winMs = 604800000L),
     "q34_ann_lsh_index" -> q34Sql,
     "q35_ann_ivf_index" -> q35Sql,
     "q36_minhash_dedup" ->

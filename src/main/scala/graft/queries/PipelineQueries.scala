@@ -566,6 +566,29 @@ object PipelineQueries {
       .orderBy($"bucket")
   }
 
+  // B13/B14 pipeline aggregations over a date histogram — the
+  // dashboard staples layered ON TOP of time buckets: cumulative sum,
+  // derivative (delta vs previous bucket), and trailing 3-bucket moving
+  // average. The scale story: the data-sized aggregation shuffles
+  // normally; the window functions run over the AGGREGATED frame
+  // (bucket count ≈ tens of rows regardless of input scale), so the
+  // unpartitioned window is bounded by construction.
+  def q44PipelineAggs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val h = Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy($"day")
+    h.select(
+        $"day", $"n_events",
+        sum($"n_events").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("cum_events"),
+        ($"n_events" - lag($"n_events", 1).over(w)).cast("long").as("delta"),
+        round(avg($"n_events").over(w.rowsBetween(-2, 0)), 6).as("ma3"))
+      .orderBy($"day")
+  }
+
   // Hierarchy rollup — subtotals over region → nation (the idiomatic
   // cube extension of the dashboards' app→job→stage drilldown).
   def q32Rollup(s: SparkSession, dir: String): DataFrame = {
@@ -623,7 +646,8 @@ object PipelineQueries {
     "q39_stateful_stage_agg" -> q39StatefulStageAgg _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
-    "q43_windowed_stage_agg" -> q43WindowedStageAgg _
+    "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
+    "q44_pipeline_aggs" -> q44PipelineAggs _
   )
 
   private val annBits = 12
@@ -894,6 +918,16 @@ object PipelineQueries {
         | count(*) AS n_logs, count(DISTINCT stage_id) AS n_stages,
         | max(err_line) AS max_line
         |FROM lv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q44_pipeline_aggs" ->
+      """WITH h AS (
+        | SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n_events
+        | FROM events GROUP BY 1)
+        |SELECT day, n_events,
+        | CAST(sum(n_events) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+        | CAST(n_events - lag(n_events) OVER (ORDER BY day) AS BIGINT) AS delta,
+        | round(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        |FROM h ORDER BY day""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
     "q42_upsert_stage_agg" -> stageAggOracleSql(windowed = false),
     "q43_windowed_stage_agg" -> stageAggOracleSql(windowed = true, winMs = 604800000L),

@@ -109,14 +109,19 @@ object Dedup {
     val keyed = df
       .select(col(idCol).as("id"), lshBandKeys(col(sigCol), bands, rows).as("bk"))
       .select(col("id"), posexplode(col("bk")).as(Seq("band", "bucket")))
-    val sized = graft.operators.GuardMetrics.observeLshDrops(
-        keyed.withColumn("bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket")))),
-        maxBucketSize)
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-    val a = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val sizedRaw = keyed.withColumn("bsz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+    def survivors(pre: DataFrame): DataFrame =
+      pre.filter(col("bsz") <= maxBucketSize).drop("bsz")
+    // the guard metric rides ONE side of the self-join only: a metric
+    // node shared by both branches ends up inside the reused exchange
+    // subtree and is silently dropped from the collected metrics — and
+    // single-sided placement also counts each membership exactly once
+    val a = survivors(
+        graft.operators.GuardMetrics.observeLshDrops(sizedRaw, maxBucketSize))
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = survivors(sizedRaw)
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

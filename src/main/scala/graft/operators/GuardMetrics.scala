@@ -11,9 +11,14 @@ import org.slf4j.LoggerFactory
   * per-session QueryExecutionListener logs a warning whenever a guard
   * fires, so recall loss is observable instead of silent.
   *
-  * The membership counts are a PRESENCE signal, not an exact tally:
-  * when the observed frame feeds both sides of a self-join the metric
-  * node sits in two plan branches and rows may be counted twice.
+  * The metric node rides ONE branch of the candidate self-join (a node
+  * shared by both branches lands inside the reused exchange subtree and
+  * is dropped from the collected metrics), so each membership is
+  * counted exactly once. Known blind corner: if the WHOLE query output
+  * is provably empty (every bucket dropped), AQE's empty-relation
+  * propagation replaces the subtree — metric node included — before the
+  * listener can read it; mixed degenerate/normal content, the case the
+  * guard exists for, reports fine.
   */
 object GuardMetrics {
 
@@ -43,11 +48,32 @@ object GuardMetrics {
       max(col("bsz")).as("max_bucket_size"))
   }
 
+  /** Find the guard's CollectMetrics node anywhere in the executed plan,
+    * unwrapping AQE stage boundaries: `qe.observedMetrics` only surfaces
+    * metrics visible from the final plan, and under adaptive execution a
+    * metric node that lands inside an intermediate ShuffleQueryStage is
+    * silently absent from it (verified empirically on 4.1.2 — the same
+    * plan reports fine with AQE off).
+    */
+  private[graft] def findLshMetric(plan: org.apache.spark.sql.execution.SparkPlan): Option[org.apache.spark.sql.Row] =
+    plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findLshMetric(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findLshMetric(q.plan)
+      case c: org.apache.spark.sql.execution.CollectMetricsExec if c.name == LshDroppedMetric =>
+        Some(c.collectedMetrics)
+      case other =>
+        other.children.iterator.map(findLshMetric).collectFirst { case Some(r) => r }
+    }
+
   def ensureListener(spark: SparkSession): Unit =
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-          qe.observedMetrics.get(LshDroppedMetric).foreach { row =>
+          qe.observedMetrics.get(LshDroppedMetric)
+            .orElse(try findLshMetric(qe.executedPlan) catch { case _: Throwable => None })
+            .foreach { row =>
             val dropped = Option(row.getAs[java.lang.Long]("dropped_memberships"))
               .map(_.longValue).getOrElse(0L)
             if (dropped > 0) {

@@ -94,4 +94,38 @@ class DedupSpec extends SparkTestBase {
     assert(vals.forall(v => v >= 0L && v < (1L << 60)))
     assert(vals.distinct.length == 3)
   }
+
+  test("LSH skew guard drops oversized buckets AND the observed metric fires") {
+    import graft.operators.GuardMetrics
+    @volatile var dropped = -1L
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        // same AQE-unwrapping lookup the production listener uses —
+        // qe.observedMetrics alone misses metrics inside query stages
+        qe.observedMetrics.get(GuardMetrics.LshDroppedMetric)
+          .orElse(GuardMetrics.findLshMetric(qe.executedPlan))
+          .foreach { row =>
+            val v = row.getAs[java.lang.Long]("dropped_memberships")
+            if (v != null && v.longValue > 0) dropped = v.longValue
+          }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    })
+    // 30 degenerate docs (bucket of 30 → dropped) alongside 5 docs in a
+    // small legitimate bucket (kept): the realistic mixed-content shape.
+    // NOTE an ALL-dropped corner would leave the final output provably
+    // empty and AQE's empty-relation propagation then erases the metric
+    // node itself (see GuardMetrics docs) — mixed content is what the
+    // guard is for.
+    val sigs = ((1L to 30L).map(i => (i, Seq(7L, 8L, 9L, 10L))) ++
+      (31L to 35L).map(i => (i, Seq(100L, 200L, 300L, 400L)))).toDF("id", "sig")
+    val cands = Dedup.lshCandidatePairs(sigs, "id", "sig", bands = 2, rows = 2,
+      maxBucketSize = 10)
+    assert(cands.count() == 10) // C(5,2) from the kept bucket; degenerates suppressed
+    // the observed-metric listener is async — await its delivery
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(dropped == 60L, s"expected 60 dropped memberships (30 ids x 2 bands), got $dropped")
+  }
 }

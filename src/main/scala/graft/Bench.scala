@@ -68,17 +68,31 @@ object Bench {
     val warmFailed = warmErrors.keySet diff warm.keySet
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    def r3(v: Double) = math.rint(v * 1000) / 1000 // ms precision keeps the line short
     def jmap(m: Seq[(String, Double)]) =
-      m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     def jsmap(m: Iterable[(String, String)]) =
       m.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val qs = jmap(cold)
     val qsWarm = jmap(cold.map { case (n, c) => n -> warm.getOrElse(n, c) })
     val errJson = jsmap(coldErrors)
     val warmErrJson = jsmap(warmErrors)
-    val total = cold.map(_._2).sum
-    val steady = cold.map { case (n, c) => warm.getOrElse(n, c) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"queries_warm":$qsWarm,"failed":${coldErrors.size},"errors":$errJson,"warm_failed":${warmFailed.size},"errors_warm":$warmErrJson,"sf":"$sfDir"}""")
+    val total = r3(cold.map(_._2).sum)
+    val steady = r3(cold.map { case (n, c) => warm.getOrElse(n, c) }.sum)
+    // The harness that collects stdout keeps only a bounded TAIL of it —
+    // round-3's single ~3.5 KB line (two full-precision per-query maps)
+    // got its head cut off by that window and parsed as nothing. Keep the
+    // contract line SHORT (one rounded cold map + scalars) and put the
+    // full per-query detail (warm map, error maps) in a sidecar file.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""steady_state":$steady,"queries_warm":$qsWarm,""" +
+        s""""failed":${coldErrors.size},"errors":$errJson,""" +
+        s""""warm_failed":${warmFailed.size},"errors_warm":$warmErrJson,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmFailed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,6 +87,17 @@ object PipelineQueries {
     import s.implicits._
     Dedup.neardupPairs(Tables.documents(s, dir), "doc_id", "text",
         threshold = 0.8,
+        // Banding is STEEPER than the word-shingle default (rows=6 vs 4):
+        // char-gram corpora have a much higher baseline similarity
+        // (~0.35 here vs ≤0.3 for word shingles), and at rows=4 roughly
+        // a fifth of ALL pairs band-collide — millions of candidate
+        // memberships that exist only to be killed by the est-prefilter.
+        // At (p=60, bands=10, rows=6) the baseline candidate rate drops
+        // ~13× while the planted pairs (char-5-gram jaccard 0.93-0.99)
+        // keep miss probability ≤ (1-0.93^6)^10 ≈ 3e-5 — verified
+        // empirically against the brute-force oracle at every SF per the
+        // repo convention.
+        p = 60, bands = 10,
         // gram IDENTITIES are 64-bit byte-level hashes end-to-end: the
         // verify sets are distinct gram hashes (array<long> intersects,
         // no gram string is ever materialized) and the signature hashes

@@ -5,25 +5,42 @@ import org.apache.spark.sql.SparkSession
   * REPORTED (per-query "err" map + failed count), never silently timed —
   * a broken query must not read as a fast query.
   *
-  * Measurement design (round-3 fix): the round-2 harness ran two full
-  * sequential passes and reported the SECOND — but JVM state accumulated
-  * across 66 query executions (codegen classes/metaspace, q25's streaming
-  * replays, persist churn) inflated the later pass up to 40× per query,
-  * so "warm" read slower than cold and neither matched a fresh-session
-  * run. Now:
-  *  - headline `value`/`queries` = the COLD pass (fresh JVM, first
-  *    execution — the number a fresh-session Profile run reproduces);
-  *  - `steady_state`/`queries_warm` = per-query MIN over the warm
-  *    passes (min-of-N absorbs accumulated-state noise: any single
-  *    clean execution bounds the query's true steady-state cost);
-  *  - warm passes run in ROTATED query order so accumulation from a
-  *    heavy query doesn't always tax the same successors.
+  * Measurement design (round-4): accumulated JVM state (codegen classes /
+  * metaspace growth, streaming-replay shutdown hooks, persist churn) made
+  * single-JVM sequential passes read up to 40× slow for late queries —
+  * round 2 reported a "warm" pass slower than cold, and round 3's cold
+  * pass still taxed query N with the leftovers of queries 1..N-1. Now the
+  * parent process FORKS A FRESH JVM PER QUERY GROUP (default 8 queries,
+  * `SPARK_GRAFT_BENCH_GROUP`):
+  *  - headline `value`/`queries` = each query's first execution in its
+  *    group's fresh JVM — at most 7 predecessors of accumulation, and the
+  *    number a fresh-session Profile run reproduces;
+  *  - `steady_state`/`queries_warm` = per-query MIN over
+  *    `SPARK_GRAFT_BENCH_WARM` (default 2) extra in-group passes, run in
+  *    rotated order (min-of-N absorbs accumulated-state noise);
+  *  - a child that dies or times out falls back to an in-process run of
+  *    its group, so one bad query can't blank the whole bench
+  *    (`SPARK_GRAFT_BENCH_FORK=0` forces the in-process path).
+  * The stdout contract line stays SHORT (the collector keeps only a
+  * bounded tail of stdout — round-3's ~3.5 KB line lost its head and
+  * parsed as nothing); full detail goes to a sidecar file.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  // Spark 4.x on JDK 17 module flags for the forked children (the parent
+  // got them from sbt's javaOptions; ProcessBuilder children need them
+  // explicitly). Matches launcher.JavaModuleOptions.defaultModuleOptions.
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def mkSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,40 +49,152 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    var errors = Map.empty[String, String]
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    spark
+  }
+
+  /** cold, warm (min over passes), coldErr, warmErr per query name. */
+  final case class QRes(cold: Double, warm: Option[Double],
+      coldErr: Option[String], warmErr: Option[String])
+
+  private def sanitize(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+      .replaceAll("[\\x00-\\x1f|]", " ")
+
+  /** Run `names` in one session: one cold pass then `warmPasses` rotated
+    * passes; min-of-N warm. Shared by the child process and the
+    * in-process fallback.
+    */
+  private def runGroup(spark: SparkSession, sfDir: String, names: Seq[String],
+      warmPasses: Int): Map[String, QRes] = {
+    val fns = SparkEntry.queries
+    def one(n: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
-      }
+      val r = try { fns(n)(spark, sfDir).count(); Right(()) }
+        catch { case e: Throwable => Left(sanitize(e)) }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // release per-query persisted sig tables
-      dt
+      r.map(_ => dt)
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val cold = ordered.map { case (n, fn) => n -> runOne(n, fn) }
-    val coldErrors = errors
-    // warm passes: rotate the start offset so pass-order position doesn't
-    // systematically couple a query to its predecessors' leftover state.
-    // Warm-pass failures are REPORTED separately (warm_failed/errors_warm)
-    // — a query that only breaks on re-execution must not read as a
-    // healthy steady state with its cold time substituted in.
+    val cold = names.map(n => n -> one(n)).toMap
     val warm = scala.collection.mutable.Map.empty[String, Double]
-    val warmErrors = scala.collection.mutable.Map.empty[String, String]
+    val warmErr = scala.collection.mutable.Map.empty[String, String]
     for (p <- 1 to warmPasses) {
-      errors = Map.empty
-      val off = (p * ordered.size / (warmPasses + 1)) % math.max(ordered.size, 1)
-      val rotated = ordered.drop(off) ++ ordered.take(off)
-      rotated.foreach { case (n, fn) =>
-        val dt = runOne(n, fn)
-        if (!errors.contains(n)) warm(n) = math.min(warm.getOrElse(n, Double.MaxValue), dt)
-        else warmErrors.getOrElseUpdate(n, errors(n))
+      val off = (p * names.size / (warmPasses + 1)) % math.max(names.size, 1)
+      (names.drop(off) ++ names.take(off)).foreach { n =>
+        one(n) match {
+          case Right(dt) => warm(n) = math.min(warm.getOrElse(n, Double.MaxValue), dt)
+          case Left(e)   => warmErr.getOrElseUpdate(n, e)
+        }
       }
     }
-    // a query that never completed a warm pass has no steady-state claim
-    val warmFailed = warmErrors.keySet diff warm.keySet
+    names.map { n =>
+      n -> QRes(
+        cold = cold(n).getOrElse(Double.NaN),
+        warm = warm.get(n),
+        coldErr = cold(n).left.toOption,
+        // a query that never completed a warm pass has no steady-state
+        // claim — keep the error only if no pass succeeded
+        warmErr = if (warm.contains(n)) None else warmErr.get(n))
+    }.toMap
+  }
+
+  /** Child mode: run one group, write `name|cold|warm|coldErr|warmErr`
+    * lines to the handoff file (pipe-delimited; sanitize strips pipes).
+    */
+  private def childMain(outPath: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "2").toInt
+    val names = sys.env("SPARK_GRAFT_BENCH_QUERIES").split(",").toSeq
+    val spark = mkSession()
+    // absorb session/executor/JIT startup into the harness, not into the
+    // group's first query: a tiny scan + shuffle warms the scheduler,
+    // parquet reader and exchange paths (~4-5 s otherwise billed to the
+    // group leader)
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.range(1000).repartition(4).selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => () }
+    val res = runGroup(spark, sfDir, names, warmPasses)
+    val lines = names.map { n =>
+      val r = res(n)
+      s"$n|${r.cold}|${r.warm.getOrElse("")}|${r.coldErr.getOrElse("")}|${r.warmErr.getOrElse("")}"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      lines.mkString("", "\n", "\n"))
+    spark.stop()
+  }
+
+  /** Fork one child JVM for a group; None on any failure (spawn error,
+    * nonzero exit, timeout, unparseable handoff).
+    */
+  private def forkGroup(names: Seq[String], timeoutMin: Long): Option[Map[String, QRes]] = {
+    try {
+      val out = java.nio.file.Files.createTempFile("graft-bench-", ".psv")
+      val log = java.nio.file.Files.createTempFile("graft-bench-", ".log")
+      val java17 = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+      val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      val cmd: Seq[String] =
+        Seq(java17) ++ jdk17AddOpens ++ Seq(
+          s"-Xmx$heap", "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
+          "-cp", sys.props("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", out.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", names.mkString(","))
+      // child stdout/stderr must NOT reach parent stdout (the contract
+      // line is the only stdout the collector should see)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log.toFile)
+      val proc = pb.start()
+      val done = proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); proc.waitFor(); return None }
+      if (proc.exitValue() != 0) {
+        System.err.println(s"[bench] child for ${names.head}.. exited ${proc.exitValue()}; log tail:")
+        val logLines = java.nio.file.Files.readAllLines(log)
+        logLines.subList(math.max(0, logLines.size - 20), logLines.size)
+          .forEach(l => System.err.println(s"[bench]   $l"))
+        return None
+      }
+      val parsed = java.nio.file.Files.readAllLines(out).toArray(Array.empty[String])
+        .filter(_.nonEmpty).map { line =>
+          val f = line.split("\\|", -1)
+          f(0) -> QRes(f(1).toDouble,
+            if (f(2).isEmpty) None else Some(f(2).toDouble),
+            if (f(3).isEmpty) None else Some(f(3)),
+            if (f(4).isEmpty) None else Some(f(4)))
+        }.toMap
+      if (names.forall(parsed.contains)) Some(parsed) else None
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fork failed: ${e.getMessage}"); None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
+      case Some(out) => childMain(out)
+      case None      => parentMain()
+    }
+  }
+
+  private def parentMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "2").toInt
+    val groupSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "8").toInt
+    val doFork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    val ordered = SparkEntry.queries.keys.toSeq.sorted
+    val groups = ordered.grouped(math.max(groupSize, 1)).toSeq
+
+    // in-process fallback session is created lazily — when every fork
+    // succeeds the parent never starts Spark at all
+    lazy val fallbackSession = mkSession()
+    val results: Map[String, QRes] = groups.flatMap { g =>
+      val forked = if (doFork) forkGroup(g, timeoutMin = 20) else None
+      forked.getOrElse(runGroup(fallbackSession, sfDir, g, warmPasses))
+    }.toMap
+
+    val cold = ordered.map(n => n -> results(n).cold)
+    val coldErrors = ordered.flatMap(n => results(n).coldErr.map(n -> _)).toMap
+    val warmErrors = ordered.flatMap(n => results(n).warmErr.map(n -> _)).toMap
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     def r3(v: Double) = math.rint(v * 1000) / 1000 // ms precision keeps the line short
@@ -74,25 +203,17 @@ object Bench {
     def jsmap(m: Iterable[(String, String)]) =
       m.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val qs = jmap(cold)
-    val qsWarm = jmap(cold.map { case (n, c) => n -> warm.getOrElse(n, c) })
-    val errJson = jsmap(coldErrors)
-    val warmErrJson = jsmap(warmErrors)
+    val qsWarm = jmap(cold.map { case (n, c) => n -> results(n).warm.getOrElse(c) })
     val total = r3(cold.map(_._2).sum)
-    val steady = r3(cold.map { case (n, c) => warm.getOrElse(n, c) }.sum)
-    // The harness that collects stdout keeps only a bounded TAIL of it —
-    // round-3's single ~3.5 KB line (two full-precision per-query maps)
-    // got its head cut off by that window and parsed as nothing. Keep the
-    // contract line SHORT (one rounded cold map + scalars) and put the
-    // full per-query detail (warm map, error maps) in a sidecar file.
+    val steady = r3(cold.map { case (n, c) => results(n).warm.getOrElse(c) }.sum)
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""steady_state":$steady,"queries_warm":$qsWarm,""" +
-        s""""failed":${coldErrors.size},"errors":$errJson,""" +
-        s""""warm_failed":${warmFailed.size},"errors_warm":$warmErrJson,"sf":"$sfDir"}"""
+        s""""failed":${coldErrors.size},"errors":${jsmap(coldErrors)},""" +
+        s""""warm_failed":${warmErrors.size},"errors_warm":${jsmap(warmErrors)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmFailed.size},"sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmErrors.size},"sf":"$sfDir"}""")
   }
 }

@@ -67,8 +67,10 @@ object PipelineQueries {
 
   // MinHash-LSH near-dup pairs, jaccard-verified. The oracle brute-forces
   // all pairs (fine at sf0.01); the engine only verifies band-bucket
-  // collisions — same result because the (p=64, bands=16) S-curve has
-  // ~1-1e-6 recall at the 0.8 threshold (and precision is exact).
+  // collisions — same result here because the planted pairs sit well
+  // above the (p=64, bands=16, rows=4) S-curve boundary (miss ≈ 2.2e-4
+  // at exactly j=0.8, <1e-6 for j ≳ 0.87; precision is exact either
+  // way), verified empirically against the oracle at every SF.
   def q18NeardupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.neardupPairs(Tables.documents(s, dir), "doc_id", "text",

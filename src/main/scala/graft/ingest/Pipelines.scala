@@ -42,13 +42,31 @@ object Pipelines {
       availableNow: Boolean = false,
       watermarkDelay: String = "5 minutes",
       stageWindow: String = "1 minute",
-      dedupeDelivery: Boolean = false) {
+      dedupeDelivery: Boolean = false,
+      streamShufflePartitions: Option[Int] = None) {
     def tablePath(name: String): String = s"$sinkRoot/$name"
   }
 
   private def trigger(conf: Config): Trigger =
     if (conf.availableNow) Trigger.AvailableNow()
     else Trigger.ProcessingTime(conf.timeThreshold.toMillis)
+
+  /** Streaming state is sharded by `spark.sql.shuffle.partitions` AT
+    * CHECKPOINT CREATION, and every micro-batch commits every shard
+    * (delta file + rename) even when empty. Shard count should therefore
+    * track the LIVE KEY CARDINALITY of the stateful operator (stage keys
+    * here), not the batch data volume — 32 shards for ~100 stage keys
+    * triples empty-batch latency for nothing, while a 100 TB deployment
+    * with hot state would raise it well past the session default. The
+    * knob rides a cloned session so the caller's session conf is never
+    * mutated; None inherits the session setting.
+    */
+  private def sessionFor(spark: SparkSession, conf: Config): SparkSession =
+    conf.streamShufflePartitions.fold(spark) { n =>
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s
+    }
 
   private def fileSink(df: DataFrame, conf: Config, table: String,
       partitionCols: Seq[String]): StreamingQuery =
@@ -68,7 +86,7 @@ object Pipelines {
     * Returns the started queries (task, stageAggPassthrough, stageAggDerived).
     */
   def startMetrics(spark: SparkSession, conf: Config): Seq[StreamingQuery] = {
-    val raw = spark.readStream
+    val raw = sessionFor(spark, conf).readStream
       .schema(Transforms.rawMetricSchema)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .json(conf.sourceDir)
@@ -150,7 +168,7 @@ object Pipelines {
     * the same aggregation alongside its task/passthrough sinks).
     */
   def startMetricsWindowed(spark: SparkSession, conf: Config): StreamingQuery = {
-    val raw = spark.readStream
+    val raw = sessionFor(spark, conf).readStream
       .schema(Transforms.rawMetricSchema)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .json(conf.sourceDir)
@@ -176,7 +194,7 @@ object Pipelines {
     * variant; the windowed query above is the stateful one.
     */
   def startMetricsUpsert(spark: SparkSession, conf: Config): StreamingQuery = {
-    val raw = spark.readStream
+    val raw = sessionFor(spark, conf).readStream
       .schema(Transforms.rawMetricSchema)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .json(conf.sourceDir)
@@ -231,7 +249,7 @@ object Pipelines {
     */
   def startMetricsStateful(spark: SparkSession, conf: Config,
       inactivityMs: Long = 60000L): StreamingQuery = {
-    val raw = spark.readStream
+    val raw = sessionFor(spark, conf).readStream
       .schema(Transforms.rawMetricSchema)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .json(conf.sourceDir)
@@ -282,7 +300,7 @@ object Pipelines {
     * dt-partitioned (logs-pipeline.yaml:5-15 has no routing).
     */
   def startLogs(spark: SparkSession, conf: Config): StreamingQuery = {
-    val raw = spark.readStream
+    val raw = sessionFor(spark, conf).readStream
       .schema(Transforms.rawLogSchema)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .json(conf.sourceDir)
@@ -297,7 +315,7 @@ object Pipelines {
     * nested encoding and prune columnar-ly at read.
     */
   def startLogsDeep(spark: SparkSession, conf: Config): StreamingQuery = {
-    val raw = spark.readStream
+    val raw = sessionFor(spark, conf).readStream
       .schema(Transforms.rawLogSchemaDeep)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .json(conf.sourceDir)
@@ -316,7 +334,7 @@ object Pipelines {
       schema: org.apache.spark.sql.types.StructType,
       partitionCol: String,
       conf: Config): StreamingQuery = {
-    val raw = spark.readStream
+    val raw = sessionFor(spark, conf).readStream
       .schema(schema)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .parquet(sourceGlob)

@@ -483,7 +483,11 @@ object PipelineQueries {
       checkpointRoot = s"$tmp/ckpt",
       maxFilesPerTrigger = 100000,
       availableNow = true,
-      watermarkDelay = "1 minute")
+      watermarkDelay = "1 minute",
+      // state shards sized to the harness's ~120 live stage keys (see
+      // Pipelines.sessionFor) — every micro-batch commits every shard,
+      // so inheriting the session's 32 triples empty-batch latency
+      streamShufflePartitions = Some(8))
     (conf, maxMs, sentinel)
   }
 

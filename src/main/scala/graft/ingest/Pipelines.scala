@@ -267,6 +267,39 @@ object Pipelines {
       .start()
   }
 
+  /** Fourth derived-agg delivery: the `transformWithState` stage
+    * aggregation ([[TwsStageAgg]], Spark 4 arbitrary-state API) wired to
+    * a parquet sink. Same inferred stage-closure semantics as
+    * [[startMetricsStateful]]; state rides the RocksDB provider (the API
+    * requires it — and off-heap state is the right provider once live
+    * state outgrows executor heap). The provider is set on a cloned
+    * session so the caller's session conf is never mutated.
+    */
+  def startMetricsTws(spark: SparkSession, conf: Config,
+      inactivityMs: Long = 60000L): StreamingQuery = {
+    val s = spark.newSession()
+    conf.streamShufflePartitions.foreach(n =>
+      s.conf.set("spark.sql.shuffle.partitions", n.toString))
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw = s.readStream
+      .schema(Transforms.rawMetricSchema)
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .json(conf.sourceDir)
+    val tasks = Transforms.projectTaskMetrics(
+      Transforms.route(raw, Transforms.TaskMetricsType))
+    val agg = TwsStageAgg(tasks, conf.watermarkDelay, inactivityMs).toDF()
+    Transforms.withDt(agg, "metricTime")
+      .writeStream
+      .format("parquet")
+      .partitionBy("dt")
+      .option("path", conf.tablePath(Schemas.StageAggMetricsTable + "_tws"))
+      .option("checkpointLocation", s"${conf.checkpointRoot}/stage_agg_tws")
+      .outputMode("append")
+      .trigger(trigger(conf))
+      .start()
+  }
+
   /** A14: retry with exponential backoff for NON-transactional external
     * sinks — the reference's delivery envelope (ObservabilityClient
     * .scala:28-33,271-292: initial 5 s, ×2 per attempt, capped 60 s, 5

@@ -521,6 +521,25 @@ object PipelineQueries {
       .orderBy($"app_id", $"job_id", $"stage_id")
   }
 
+  // The transformWithState delivery (Spark 4 arbitrary-state API,
+  // RocksDB-backed state + explicit per-stage event-time timers),
+  // end-to-end through the same two-run/one-checkpoint harness as q39.
+  // Emission semantics are identical to the flatMapGroupsWithState
+  // variant, so the oracle is the same batch recompute of the raw
+  // fixture — a divergence in timer re-arming, state encoding, or the
+  // RocksDB provider breaks the hash.
+  def q45TwsStageAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (conf, _, sentinel) = taskMetricSpool(s, dir, "graft-q45")
+    sentinel(3600000L)
+    graft.ingest.Pipelines.startMetricsTws(s, conf).awaitTermination()
+    sentinel(7200000L)
+    graft.ingest.Pipelines.startMetricsTws(s, conf).awaitTermination()
+    stageAggOutput(s.read.parquet(conf.tablePath(
+        graft.model.Schemas.StageAggMetricsTable + "_tws")))
+      .orderBy($"app_id", $"job_id", $"stage_id")
+  }
+
   // The foreachBatch recompute-upsert delivery, end-to-end: same derived
   // stream, but the sink is maintained by idempotent dynamic-partition
   // overwrites per micro-batch (no watermark dependency — the recompute
@@ -661,6 +680,7 @@ object PipelineQueries {
     "q37_cosine_neardup" -> q37CosineNearDup _,
     "q38_deep_log_ingest" -> q38DeepLogIngest _,
     "q39_stateful_stage_agg" -> q39StatefulStageAgg _,
+    "q45_tws_stage_agg" -> q45TwsStageAgg _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -946,6 +966,7 @@ object PipelineQueries {
         | round(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
         |FROM h ORDER BY day""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q45_tws_stage_agg" -> stageAggOracleSql(windowed = false),
     "q42_upsert_stage_agg" -> stageAggOracleSql(windowed = false),
     "q43_windowed_stage_agg" -> stageAggOracleSql(windowed = true, winMs = 604800000L),
     "q34_ann_lsh_index" -> q34Sql,

@@ -540,6 +540,51 @@ object PipelineQueries {
       .orderBy($"app_id", $"job_id", $"stage_id")
   }
 
+  // Leakage-safe deterministic train/val/test split: the split label is
+  // a pure function of the SOURCE key, so all docs of a source land in
+  // one split (near-dups sharing provenance can't straddle train/test).
+  // Aggregated per split+lang to pin both the assignment function and
+  // its composition. Row-local scan + one small agg shuffle.
+  def q46HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Datasplit.hashSplit(
+        Tables.documents(s, dir), "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy($"split", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        sum(TextAnalysis.tokenCount($"text")).as("sum_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
+  // Token-budget sharding via the distributed two-phase prefix sum
+  // (Datasplit.tokenShards — NOT a single-partition global window): docs
+  // in doc_id order are cut every 2000 tokens; a doc belongs to the
+  // shard where it starts. The oracle computes the same running sum with
+  // a plain global window (fine at oracle scale).
+  def q47TokenShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+    graft.operators.Datasplit.tokenShards(docs, "doc_id", "n_tokens", capacity = 2000L)
+      .select($"doc_id", $"n_tokens", $"cum_tokens", $"shard")
+      .orderBy($"doc_id")
+  }
+
+  // Deterministic stratified corpus mixing: per-lang keep rates (e.g.
+  // upweight en, downsample the tail), survival a pure function of
+  // (doc_id, lang). Stable under appends/re-runs; the oracle replays the
+  // identical md5-threshold rule.
+  def q48StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Datasplit.stratifiedSample(
+        Tables.documents(s, dir), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   // The foreachBatch recompute-upsert delivery, end-to-end: same derived
   // stream, but the sink is maintained by idempotent dynamic-partition
   // overwrites per micro-batch (no watermark dependency — the recompute
@@ -681,6 +726,9 @@ object PipelineQueries {
     "q38_deep_log_ingest" -> q38DeepLogIngest _,
     "q39_stateful_stage_agg" -> q39StatefulStageAgg _,
     "q45_tws_stage_agg" -> q45TwsStageAgg _,
+    "q46_hash_split" -> q46HashSplit _,
+    "q47_token_shards" -> q47TokenShards _,
+    "q48_stratified_sample" -> q48StratifiedSample _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -967,6 +1015,36 @@ object PipelineQueries {
         |FROM h ORDER BY day""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
     "q45_tws_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q46_hash_split" ->
+      """WITH d AS (
+        | SELECT *, CAST(concat('0x', substring(md5(source), 1, 8)) AS BIGINT)
+        |   / 4294967296.0 AS u
+        | FROM documents),
+        |s AS (
+        | SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |   ELSE 'test' END AS split, lang, source, text FROM d)
+        |SELECT split, lang, count(*) AS n_docs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q47_token_shards" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, n_tokens,
+        | CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        | CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+        |   // 2000 AS BIGINT) AS shard
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q48_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        | SELECT *, CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |   / 4294967296.0 AS u FROM documents)
+        |WHERE u < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.1 END)
+        |ORDER BY doc_id""".stripMargin,
     "q42_upsert_stage_agg" -> stageAggOracleSql(windowed = false),
     "q43_windowed_stage_agg" -> stageAggOracleSql(windowed = true, winMs = 604800000L),
     "q34_ann_lsh_index" -> q34Sql,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DatasplitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashSplit: label is a pure function of the key, fractions roughly hold") {
+    val df = (1 to 4000).map(i => (i.toLong, s"key-${i % 400}")).toDF("id", "k")
+    val out = Datasplit.hashSplit(df, "k", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // leakage-safety: every key maps to exactly one split
+    assert(out.groupBy("k").agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count() == 0)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 400 keys at 10 rows each; binomial 3σ over keys ≈ ±6% of total
+    assert(math.abs(counts("train") - 3200.0) < 400, s"train=${counts("train")}")
+    assert(counts("val") > 100 && counts("test") > 100)
+    // deterministic across invocations
+    assert(Datasplit.hashSplit(df, "k", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .except(out).count() == 0)
+  }
+
+  test("stratifiedSample: deterministic and monotone in the rate") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
+    val small = Datasplit.stratifiedSample(df, "id", "lang", Map("en" -> 0.2), 0.1)
+    val big = Datasplit.stratifiedSample(df, "id", "lang", Map("en" -> 0.5), 0.3)
+    // same salt ⇒ a lower rate selects a SUBSET of a higher rate (stable
+    // under rate changes — no resampling churn)
+    assert(small.except(big).count() == 0)
+    assert(small.count() < big.count())
+    assert(Datasplit.stratifiedSample(df, "id", "lang", Map("en" -> 0.2), 0.1)
+      .except(small).count() == 0)
+  }
+
+  test("tokenShards: distributed prefix sum matches the serial cumsum at any partitioning") {
+    val docs = (1 to 999).map(i => (i.toLong, (i % 37 + 1).toLong)).toDF("id", "w")
+    val serial = docs.orderBy("id").collect()
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), r) =>
+        (r.getLong(0), r.getLong(1), cum + r.getLong(1))
+      }.tail.map { case (id, w, cum) => (id, w, cum, (cum - w) / 100L) }
+    for (nParts <- Seq(1, 7, 32)) {
+      val out = Datasplit.tokenShards(docs, "id", "w", capacity = 100L, numPartitions = nParts)
+        .orderBy("id")
+        .select($"id", $"w", $"cum_tokens", $"shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.toSeq == serial.toSeq, s"mismatch at numPartitions=$nParts")
+    }
+    spark.catalog.clearCache()
+  }
+}

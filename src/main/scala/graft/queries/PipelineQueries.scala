@@ -585,6 +585,25 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Sessionization: gap-based session windows per user (session_window —
+  // the same operator sessionizes a live stream with watermark state
+  // eviction). A session merges events whose gap is < 6h; windows are
+  // half-open, so a gap of EXACTLY 6h starts a new session — mirrored in
+  // the oracle's `>=` gaps-and-islands flag. One shuffle on user_id;
+  // session assembly is partition-local.
+  def q49Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(session_window($"ts", "6 hours"), $"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_millis($"ts")).as("start_ms"),
+        max(unix_millis($"ts")).as("end_ms"),
+        countDistinct($"event_type").as("n_types"))
+      .select($"user_id", $"n_events", $"start_ms", $"end_ms", $"n_types")
+      .orderBy($"user_id", $"start_ms")
+  }
+
   // The foreachBatch recompute-upsert delivery, end-to-end: same derived
   // stream, but the sink is maintained by idempotent dynamic-partition
   // overwrites per micro-batch (no watermark dependency — the recompute
@@ -729,6 +748,7 @@ object PipelineQueries {
     "q46_hash_split" -> q46HashSplit _,
     "q47_token_shards" -> q47TokenShards _,
     "q48_stratified_sample" -> q48StratifiedSample _,
+    "q49_sessionize" -> q49Sessionize _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1015,6 +1035,22 @@ object PipelineQueries {
         |FROM h ORDER BY day""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
     "q45_tws_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q49_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |x AS (
+        | SELECT user_id, event_type, ms,
+        |  CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |    OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 21600000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM e),
+        |y AS (
+        | SELECT user_id, event_type, ms,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM x)
+        |SELECT user_id, count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms,
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
     "q46_hash_split" ->
       """WITH d AS (
         | SELECT *, CAST(concat('0x', substring(md5(source), 1, 8)) AS BIGINT)

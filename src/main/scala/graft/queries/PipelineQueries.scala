@@ -604,6 +604,28 @@ object PipelineQueries {
       .orderBy($"user_id", $"start_ms")
   }
 
+  // AS-OF temporal enrichment: every event carries the user's most
+  // recent purchase value at-or-before its timestamp (the logs↔metrics
+  // correlation pattern as a real join). Union+window formulation: ONE
+  // shuffle on user_id, partition-local sort, no range probe — the
+  // oracle uses DuckDB's native ASOF LEFT JOIN, so both the match
+  // predicate (>=, inclusive) and the carried payload are pinned.
+  def q50AsofEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    // right side must be unique per (key, time): collapse same-ms
+    // purchases to their max value (both engines, identically)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(round(max($"value"), 6).as("last_purchase"))
+    graft.operators.AsofJoin.asofJoin(
+        ev.select($"event_id", $"user_id", $"ts", $"event_type"),
+        purchases, Seq("user_id"), "ts", "ts")
+      .select($"event_id", $"user_id", unix_millis($"ts").as("ms"),
+        $"event_type", $"last_purchase")
+      .orderBy($"event_id")
+  }
+
   // The foreachBatch recompute-upsert delivery, end-to-end: same derived
   // stream, but the sink is maintained by idempotent dynamic-partition
   // overwrites per micro-batch (no watermark dependency — the recompute
@@ -749,6 +771,7 @@ object PipelineQueries {
     "q47_token_shards" -> q47TokenShards _,
     "q48_stratified_sample" -> q48StratifiedSample _,
     "q49_sessionize" -> q49Sessionize _,
+    "q50_asof_enrich" -> q50AsofEnrich _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1035,6 +1058,13 @@ object PipelineQueries {
         |FROM h ORDER BY day""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
     "q45_tws_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q50_asof_enrich" ->
+      """WITH p AS (
+        | SELECT user_id, ts, round(max(value), 6) AS last_purchase
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ms, e.event_type, p.last_purchase
+        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q49_sessionize" ->
       """WITH e AS (
         | SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),

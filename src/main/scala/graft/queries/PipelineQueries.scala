@@ -731,6 +731,30 @@ object PipelineQueries {
       .orderBy($"r_name", $"n_name")
   }
 
+  // Full cube over the app→job drilldown (completes q32's rollup:
+  // every subtotal combination incl. job-only, which rollup omits).
+  // grouping_id() disambiguates real NULLs from subtotal rows; Spark
+  // and DuckDB bit-order GROUPING() identically (left arg = MSB).
+  def q51Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(
+        concat(lit("app-"), $"user_id" % 3).as("app_id"),
+        ($"user_id" % 4).cast("string").as("job_id"),
+        floor($"value" * 1000).cast("long").as("in_b"))
+      .cube($"app_id", $"job_id")
+      .agg(
+        sum($"in_b").as("sum_in"),
+        max($"in_b").as("max_in"),
+        count(lit(1)).as("n_tasks"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce($"app_id", lit("ALL")).as("app_id"),
+        coalesce($"job_id", lit("ALL")).as("job_id"),
+        $"sum_in", $"max_in", $"n_tasks", $"gid")
+      .orderBy($"gid", $"app_id", $"job_id")
+  }
+
   // Rolling-hash (winnowing-style) document fingerprint: min of the
   // char-window polynomial hashes — robust to edits outside the
   // minimizing window, pure integer math (exact oracle).
@@ -772,6 +796,7 @@ object PipelineQueries {
     "q48_stratified_sample" -> q48StratifiedSample _,
     "q49_sessionize" -> q49Sessionize _,
     "q50_asof_enrich" -> q50AsofEnrich _,
+    "q51_cube" -> q51Cube _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1058,6 +1083,17 @@ object PipelineQueries {
         |FROM h ORDER BY day""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
     "q45_tws_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q51_cube" ->
+      """WITH t AS (
+        | SELECT 'app-' || CAST(user_id % 3 AS VARCHAR) AS app_id,
+        |  CAST(user_id % 4 AS VARCHAR) AS job_id,
+        |  CAST(floor(value * 1000) AS BIGINT) AS in_b
+        | FROM events)
+        |SELECT coalesce(app_id, 'ALL') AS app_id, coalesce(job_id, 'ALL') AS job_id,
+        | CAST(sum(in_b) AS BIGINT) AS sum_in, max(in_b) AS max_in, count(*) AS n_tasks,
+        | CAST(GROUPING(app_id, job_id) AS BIGINT) AS gid
+        |FROM t GROUP BY CUBE (app_id, job_id)
+        |ORDER BY gid, app_id, job_id""".stripMargin,
     "q50_asof_enrich" ->
       """WITH p AS (
         | SELECT user_id, ts, round(max(value), 6) AS last_purchase

@@ -113,6 +113,16 @@ object Bench {
     try {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       spark.range(1000).repartition(4).selectExpr("sum(id)").collect()
+      // the first streaming query in a JVM also pays the streaming
+      // runtime's class loading (~2 s) — absorb it here too
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[Int]
+      ms.addData(1, 2, 3)
+      val q = ms.toDF().writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
     } catch { case _: Throwable => () }
     val res = runGroup(spark, sfDir, names, warmPasses)
     val lines = names.map { n =>

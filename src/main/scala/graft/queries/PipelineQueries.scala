@@ -755,6 +755,30 @@ object PipelineQueries {
       .orderBy($"gid", $"app_id", $"job_id")
   }
 
+  // Symmetric int8 embedding quantization: per-vector scale, integer
+  // codes, and the reconstruction-error bound — the storage-compression
+  // stage of a vector pipeline, verified value-exactly (codes sum +
+  // checksum are integer math; the error max is elementwise, no FP
+  // accumulation order for the oracle to diverge on).
+  def q52QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val scale = graft.similarity.Quantize.int8Scale($"embedding")
+    val withScale = emb.withColumn("__scale", scale)
+    val codes = graft.similarity.Quantize.int8Codes($"embedding", $"__scale")
+    withScale
+      .withColumn("__codes", codes)
+      .select(
+        $"vec_id",
+        size($"embedding").cast("long").as("n_dims"),
+        round($"__scale", 6).as("scale"),
+        aggregate($"__codes", lit(0L), (acc, x) => acc + x).as("sum_q"),
+        aggregate($"__codes", lit(0L), (acc, x) => acc + abs(x)).as("l1_q"),
+        round(graft.similarity.Quantize.maxReconError(
+          $"embedding", $"__codes", $"__scale") * $"__scale", 6).as("max_err_scaled"))
+      .orderBy($"vec_id")
+  }
+
   // Rolling-hash (winnowing-style) document fingerprint: min of the
   // char-window polynomial hashes — robust to edits outside the
   // minimizing window, pure integer math (exact oracle).
@@ -797,6 +821,7 @@ object PipelineQueries {
     "q49_sessionize" -> q49Sessionize _,
     "q50_asof_enrich" -> q50AsofEnrich _,
     "q51_cube" -> q51Cube _,
+    "q52_quantize_int8" -> q52QuantizeInt8 _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1083,6 +1108,22 @@ object PipelineQueries {
         |FROM h ORDER BY day""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
     "q45_tws_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q52_quantize_int8" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding AS v,
+        |  CASE WHEN list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) = 0 THEN 1.0
+        |   ELSE 127.0 / list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) END AS s
+        | FROM embeddings),
+        |q AS (
+        | SELECT vec_id, v, s,
+        |  [CAST(round(CAST(x AS DOUBLE) * s) AS BIGINT) FOR x IN v] AS c
+        | FROM e)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, round(s, 6) AS scale,
+        | CAST(list_sum(c) AS BIGINT) AS sum_q,
+        | CAST(list_sum([abs(x) FOR x IN c]) AS BIGINT) AS l1_q,
+        | round(list_max([abs(CAST(v[i] AS DOUBLE) - c[i] / s)
+        |   FOR i IN range(1, len(v) + 1)]) * s, 6) AS max_err_scaled
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q51_cube" ->
       """WITH t AS (
         | SELECT 'app-' || CAST(user_id % 3 AS VARCHAR) AS app_id,

@@ -779,6 +779,84 @@ object PipelineQueries {
       .orderBy($"vec_id")
   }
 
+  // B12 inverse: percentile_ranks — the CDF (in percent) of fixed
+  // thresholds per group, the other half of OpenSearch's percentile agg
+  // pair. Pure integer counts scaled once (exact cross-engine doubles).
+  def q53PercentileRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pr(v: Double) = round(
+      sum(when($"l_quantity" <= v, 1L).otherwise(0L)) * 100.0 / count(lit(1)), 6)
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(pr(10).as("pr_10"), pr(25).as("pr_25"), pr(40).as("pr_40"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  // Streaming sessionization, end-to-end: the q49 session operator run
+  // as a REAL checkpointed stream (parquet spool source → watermarked
+  // session_window agg → append parquet sink; sessions merge across
+  // batches in the state store and emit when the watermark passes the
+  // session end). Two availableNow runs on one checkpoint per the
+  // stateful-gate convention; sentinels (user -1) advance the watermark
+  // and are filtered from the output. Oracle = q49's gaps-and-islands
+  // recompute on the source.
+  def q54StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val tmp = tempDir("graft-q54")
+    val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))
+    java.nio.file.Files.createSymbolicLink(
+      spool.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val maxMs = Tables.events(s, dir).agg(max(unix_millis($"ts"))).head().getLong(0)
+    def sentinel(offMs: Long): Unit = {
+      val dir1 = tmp.resolve(s"sentinel-$offMs")
+      Seq((-1L, (maxMs + offMs) * 1000000L, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir1.toString)
+      val part = java.nio.file.Files.list(dir1).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, spool.resolve(s"sentinel-$offMs.parquet"))
+      }
+    }
+    // session state shards sized to ~user cardinality (see
+    // Pipelines.sessionFor); cloned session, caller conf untouched
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    def run(): Unit = {
+      val raw = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 100000).parquet(spool.toString)
+      val ev = raw.withColumn("ts", expr(
+        "timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+      ev.withWatermark("ts", "1 minute")
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_millis(col("ts"))).as("start_ms"),
+          max(unix_millis(col("ts"))).as("end_ms"))
+        .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/tables/sessions")
+        .option("checkpointLocation", s"$tmp/ckpt/sessions")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    sentinel(86400000L)
+    run()
+    sentinel(2L * 86400000L)
+    run()
+    s.read.parquet(s"$tmp/tables/sessions")
+      .filter($"user_id" >= 0)
+      .orderBy($"user_id", $"start_ms")
+  }
+
   // Rolling-hash (winnowing-style) document fingerprint: min of the
   // char-window polynomial hashes — robust to edits outside the
   // minimizing window, pure integer math (exact oracle).
@@ -822,6 +900,8 @@ object PipelineQueries {
     "q50_asof_enrich" -> q50AsofEnrich _,
     "q51_cube" -> q51Cube _,
     "q52_quantize_int8" -> q52QuantizeInt8 _,
+    "q53_percentile_ranks" -> q53PercentileRanks _,
+    "q54_stream_sessions" -> q54StreamSessions _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1108,6 +1188,28 @@ object PipelineQueries {
         |FROM h ORDER BY day""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
     "q45_tws_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q53_percentile_ranks" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) * 100.0 / count(*), 6) AS pr_10,
+        | round(sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) * 100.0 / count(*), 6) AS pr_25,
+        | round(sum(CASE WHEN l_quantity <= 40 THEN 1 ELSE 0 END) * 100.0 / count(*), 6) AS pr_40,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_stream_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |x AS (
+        | SELECT user_id, ms,
+        |  CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |    OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 21600000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM e),
+        |y AS (
+        | SELECT user_id, ms,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM x)
+        |SELECT user_id, count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
     "q52_quantize_int8" ->
       """WITH e AS (
         | SELECT vec_id, embedding AS v,

@@ -857,6 +857,49 @@ object PipelineQueries {
       .orderBy($"user_id", $"start_ms")
   }
 
+  // A14 delivery dedup, oracle-gated: the whole events table is
+  // delivered TWICE (two spool files — an at-least-once upstream
+  // redelivering a batch), streamed through watermark-bounded
+  // dropDuplicatesWithinWatermark on the unique event key, and the sink
+  // must equal the single-copy source exactly (q25's oracle). Dedup
+  // state is evicted once the watermark passes eventTime + delay — at
+  // 100 TB the state holds only the watermark-deep tail, not history.
+  def q55DedupDelivery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val tmp = tempDir("graft-q55")
+    val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))
+    for (copy <- Seq("a", "b")) // duplicate delivery of the full table
+      java.nio.file.Files.createSymbolicLink(
+        spool.resolve(s"events-$copy.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 100000).parquet(spool.toString)
+    raw
+      .withColumn("ts", expr(
+        "timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/tables/deduped")
+      .option("checkpointLocation", s"$tmp/ckpt/deduped")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(s"$tmp/tables/deduped")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        max($"value").as("max_value"))
+      .orderBy($"event_type")
+  }
+
   // Rolling-hash (winnowing-style) document fingerprint: min of the
   // char-window polynomial hashes — robust to edits outside the
   // minimizing window, pure integer math (exact oracle).
@@ -902,6 +945,7 @@ object PipelineQueries {
     "q52_quantize_int8" -> q52QuantizeInt8 _,
     "q53_percentile_ranks" -> q53PercentileRanks _,
     "q54_stream_sessions" -> q54StreamSessions _,
+    "q55_dedup_delivery" -> q55DedupDelivery _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1188,6 +1232,10 @@ object PipelineQueries {
         |FROM h ORDER BY day""".stripMargin,
     "q39_stateful_stage_agg" -> stageAggOracleSql(windowed = false),
     "q45_tws_stage_agg" -> stageAggOracleSql(windowed = false),
+    "q55_dedup_delivery" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q53_percentile_ranks" ->
       """SELECT l_returnflag,
         | round(sum(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) * 100.0 / count(*), 6) AS pr_10,

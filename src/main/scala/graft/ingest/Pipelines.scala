@@ -282,6 +282,9 @@ object Pipelines {
       s.conf.set("spark.sql.shuffle.partitions", n.toString))
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing commits the delta, not a full SST snapshot,
+    // per micro-batch — the production setting for low-latency commits
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val raw = s.readStream
       .schema(Transforms.rawMetricSchema)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)

@@ -40,6 +40,8 @@ object AsofJoin {
     val outName = (c: String) => payloadPrefix + c
     require(payload.map(outName).toSet.intersect(left.columns.toSet).isEmpty,
       "right payload columns collide with left columns — pass a payloadPrefix")
+    require(!(left.columns ++ right.columns).exists(Set("__t", "__side")),
+      "column names __t/__side are reserved by asofJoin")
 
     // tag: right=0 sorts before left=1 at equal time (inclusive match)
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))

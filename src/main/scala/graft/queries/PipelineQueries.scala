@@ -819,12 +819,15 @@ object PipelineQueries {
       Seq((-1L, (maxMs + offMs) * 1000000L, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(dir1.toString)
-      val part = java.nio.file.Files.list(dir1).iterator()
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet"))
-          java.nio.file.Files.copy(p, spool.resolve(s"sentinel-$offMs.parquet"))
-      }
+      val listing = java.nio.file.Files.list(dir1)
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(p, spool.resolve(s"sentinel-$offMs.parquet"))
+        }
+      } finally listing.close()
     }
     // session state shards sized to ~user cardinality (see
     // Pipelines.sessionFor); cloned session, caller conf untouched

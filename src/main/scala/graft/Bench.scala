@@ -195,8 +195,10 @@ object Bench {
     val groups = ordered.grouped(math.max(groupSize, 1)).toSeq
 
     // in-process fallback session is created lazily — when every fork
-    // succeeds the parent never starts Spark at all
-    lazy val fallbackSession = mkSession()
+    // succeeds the parent never starts Spark at all — and stopped at the
+    // end so its non-daemon threads can't hang the exit
+    var fallback: Option[SparkSession] = None
+    def fallbackSession = fallback.getOrElse { val s = mkSession(); fallback = Some(s); s }
     val results: Map[String, QRes] = groups.flatMap { g =>
       val forked = if (doFork) forkGroup(g, timeoutMin = 20) else None
       forked.getOrElse(runGroup(fallbackSession, sfDir, g, warmPasses))
@@ -225,5 +227,6 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmErrors.size},"sf":"$sfDir"}""")
+    fallback.foreach(_.stop())
   }
 }

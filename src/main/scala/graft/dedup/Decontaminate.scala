@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: find corpus documents that share long
+  * word n-grams with an evaluation set — the containment check run
+  * before training so benchmark text leaking into the corpus can't
+  * inflate eval scores. Distinct from near-dup dedup: the match is
+  * CROSS-dataset, asymmetric (the corpus is huge, the eval set small),
+  * and a single shared rare n-gram is already signal.
+  *
+  * Shape: explode each side's distinct n-grams, drop grams whose
+  * corpus document frequency exceeds `maxDf` (ubiquitous boilerplate —
+  * not contamination signal, and exactly the hot keys that would make
+  * the gram join quadratic), then one equi-join on the gram and two
+  * hash aggregations. Every shuffle key is a gram (uniform); the df cap
+  * bounds per-key fan-out at `maxDf × eval-side df`. At production
+  * scale the gram join key would be dictionary-hashed
+  * ([[graft.plans.NgramHash]] does this for char grams); the string key
+  * keeps the operator byte-exact against the cross-engine oracle.
+  */
+object Decontaminate {
+
+  /** Per-(corpus doc, eval doc) contamination pairs:
+    * (corpus_id, eval_id, shared) where `shared` is the number of
+    * distinct rare `shingleK`-grams the two share, ≥ `minShared`.
+    */
+  def contaminationPairs(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      minShared: Int = 1,
+      maxDf: Int = 50): DataFrame = {
+    require(shingleK >= 1 && minShared >= 1 && maxDf >= 1, "parameters must be positive")
+    def grams(df: DataFrame, as: String): DataFrame = df.select(
+      col(idCol).as(as),
+      explode(Dedup.shingles(col(textCol), shingleK)).as("gram"))
+    val corpusGrams = grams(corpus, "corpus_id")
+    val evalGrams = grams(evalSet, "eval_id")
+    // document frequency over the CORPUS side (the big one) gates both
+    // sides — the oracle applies the identical cap, so the drop is part
+    // of the operator's semantics, not silent recall loss
+    val rare = corpusGrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("gram"))
+    corpusGrams.join(rare, "gram")
+      .join(evalGrams.join(rare, "gram"), "gram")
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Per-corpus-document contamination report: how many eval docs each
+    * flagged corpus doc collides with, and the largest/total shared-gram
+    * counts. One extra row-bounded aggregation over
+    * [[contaminationPairs]].
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 8,
+      minShared: Int = 1,
+      maxDf: Int = 50): DataFrame =
+    contaminationPairs(corpus, evalSet, idCol, textCol, shingleK, minShared, maxDf)
+      .groupBy(col("corpus_id"))
+      .agg(
+        count(lit(1)).as("n_eval_docs"),
+        max(col("shared")).as("max_shared"),
+        sum(col("shared")).as("total_shared"))
+}

@@ -61,6 +61,31 @@ object Datasplit {
     df.filter(hashUniform(col(keyCol), salt) < rate)
   }
 
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis A-ES scheme): each row draws the key
+    * `u^(1/w)` from its id's deterministic uniform and the `k` largest
+    * keys are the sample — inclusion odds scale with weight, so a
+    * token-weighted draw over a corpus samples text mass, not document
+    * count. `orderBy(desc).limit(k)` plans as TakeOrderedAndProject:
+    * every partition keeps its local top-k and only k rows per
+    * partition reach the driver merge — the distributed reservoir, no
+    * global sort materialization. Rows with non-positive weight are
+    * excluded (the key is undefined there). Ties (and the u=0 edge)
+    * break by id, so the sample is unique and replayable cross-engine.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    require(!df.columns.contains("__wkey"),
+      "column name __wkey is reserved by weightedSample")
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey",
+        pow(hashUniform(col(idCol), salt), lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Token-budget shard assignment: documents ordered by `idCol` are
     * laid out contiguously and cut every `capacity` tokens; a document
     * belongs to the shard where it STARTS (floor(startOffset/capacity)).

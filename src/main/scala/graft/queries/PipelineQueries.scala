@@ -903,6 +903,60 @@ object PipelineQueries {
       .orderBy($"event_type")
   }
 
+  // Range (point-in-interval) join via bin bucketing: campaign windows
+  // (2h after every purchase by a user_id%10 cohort) gather ALL events
+  // falling inside them — no key equality, pure containment. The bin
+  // width equals the interval length, so each interval explodes to ≤2
+  // bin rows and the join is an ordinary equi hash join; the oracle is
+  // DuckDB's native inequality join (IEJoin). Integer value sums keep
+  // the compare exact.
+  def q56RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", unix_millis($"ts").as("ms"), $"user_id", $"value")
+    val iv = Tables.events(s, dir)
+      .filter($"event_type" === "purchase" && $"user_id" % 10 === 0)
+      .select($"event_id".as("iv_id"), unix_millis($"ts").as("s_ms"),
+        (unix_millis($"ts") + lit(7200000L)).as("e_ms"))
+    graft.operators.RangeJoin.pointInInterval(
+        ev, iv, "ms", "s_ms", "e_ms", binWidthMs = 7200000L)
+      .groupBy($"iv_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum(floor($"value" * 1000).cast("long")).as("sum_val_m"))
+      .orderBy($"iv_id")
+  }
+
+  // Token-weighted corpus sampling (A-ES reservoir): draw 25 documents
+  // with inclusion odds ∝ token count — the "sample text mass, not doc
+  // count" primitive corpus mixing needs. Selection is a pure function
+  // of (doc_id, weight), so DuckDB replays the identical u^(1/w) draw;
+  // output re-sorted by doc_id so only SELECTION is compared (the key
+  // itself stays internal).
+  def q57WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", TextAnalysis.tokenCount($"text").as("n_tokens"))
+    graft.operators.Datasplit.weightedSample(docs, "doc_id", "n_tokens", k = 25, salt = "ws")
+      .orderBy($"doc_id")
+  }
+
+  // Train/eval decontamination (the pre-training containment check):
+  // docs with doc_id%20==7 act as the held-out eval set; the report
+  // flags corpus docs sharing rare word-8-grams with it. The df cap is
+  // part of the semantics (both engines apply it), so the gram join is
+  // never quadratic on boilerplate grams.
+  def q58Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.dedup.Decontaminate.contaminationReport(
+        docs.filter($"doc_id" % 20 =!= 7),
+        docs.filter($"doc_id" % 20 === 7), "doc_id", "text")
+      .select($"corpus_id".as("doc_id"), $"n_eval_docs", $"max_shared", $"total_shared")
+      .orderBy($"doc_id")
+  }
+
   // Rolling-hash (winnowing-style) document fingerprint: min of the
   // char-window polynomial hashes — robust to edits outside the
   // minimizing window, pure integer math (exact oracle).
@@ -949,6 +1003,9 @@ object PipelineQueries {
     "q53_percentile_ranks" -> q53PercentileRanks _,
     "q54_stream_sessions" -> q54StreamSessions _,
     "q55_dedup_delivery" -> q55DedupDelivery _,
+    "q56_range_join" -> q56RangeJoin _,
+    "q57_weighted_sample" -> q57WeightedSample _,
+    "q58_decontaminate" -> q58Decontaminate _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1295,6 +1352,49 @@ object PipelineQueries {
         |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ms, e.event_type, p.last_purchase
         |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q56_range_join" ->
+      """WITH iv AS (
+        | SELECT event_id AS iv_id, epoch_ms(ts) AS s_ms, epoch_ms(ts) + 7200000 AS e_ms
+        | FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0),
+        |j AS (
+        | SELECT iv.iv_id, e.user_id, CAST(floor(e.value * 1000) AS BIGINT) AS val_m
+        | FROM events e JOIN iv
+        |   ON epoch_ms(e.ts) >= iv.s_ms AND epoch_ms(e.ts) < iv.e_ms)
+        |SELECT iv_id, count(*) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(sum(val_m) AS BIGINT) AS sum_val_m
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |g AS (
+        | SELECT doc_id, list_distinct([array_to_string(list_slice(tk, i, i + 7), ' ')
+        |   FOR i IN range(1, greatest(len(tk) - 6, 2))]) gs
+        | FROM toks),
+        |x AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |c AS (SELECT * FROM x WHERE doc_id % 20 <> 7),
+        |e AS (SELECT * FROM x WHERE doc_id % 20 = 7),
+        |rare AS (SELECT gram FROM c GROUP BY gram HAVING count(*) <= 50),
+        |j AS (
+        | SELECT c.doc_id AS cid, e.doc_id AS eid, count(*) AS shared
+        | FROM c JOIN rare USING (gram) JOIN e USING (gram)
+        | GROUP BY 1, 2 HAVING count(*) >= 1)
+        |SELECT cid AS doc_id, count(*) AS n_eval_docs,
+        | CAST(max(shared) AS BIGINT) AS max_shared,
+        | CAST(sum(shared) AS BIGINT) AS total_shared
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_weighted_sample" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, lang, n_tokens FROM (
+        | SELECT * FROM t WHERE n_tokens > 0
+        | ORDER BY pow(u, 1.0 / n_tokens) DESC, doc_id LIMIT 25)
+        |ORDER BY doc_id""".stripMargin,
     "q49_sessionize" ->
       """WITH e AS (
         | SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),

@@ -51,4 +51,29 @@ class DatasplitSpec extends SparkTestBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("weightedSample: matches the serial A-ES draw, drops w<=0, plans as TakeOrdered") {
+    // serial reference: same md5-uniform + u^(1/w) key computed on the driver
+    def u(id: Long, salt: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + salt).getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val rows = (1L to 300L).map(i => (i, (i % 23).toLong - 2)) // weights -2..20, some <=0
+    val expected = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, math.pow(u(id, "s7"), 1.0 / w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(40).map(_._1).toSet
+
+    val df = rows.toDF("id", "w")
+    val out = Datasplit.weightedSample(df, "id", "w", k = 40, salt = "s7")
+    val got = out.select("id").as[Long].collect().toSet
+    assert(got == expected)
+    // deterministic across invocations
+    assert(Datasplit.weightedSample(df, "id", "w", k = 40, salt = "s7")
+      .select("id").as[Long].collect().toSet == got)
+    // distributed top-k, not a global sort materialization
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

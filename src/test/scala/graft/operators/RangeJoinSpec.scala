@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    val plan: SparkPlan = df.queryExecution.executedPlan
+    plan.toString()
+  }
+
+  test("pointInInterval matches the brute-force cross join at several bin widths") {
+    val rnd = new scala.util.Random(20260812L)
+    val points = (1L to 500L).map(i => (i, rnd.nextInt(10000).toLong)).toSeq
+    // interval lengths 0..599 — includes empty, sub-bin and multi-bin spans
+    val intervals = (1L to 60L).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i, s, s + rnd.nextInt(600).toLong)
+    }.toSeq
+    val expected = (for {
+      (pid, p) <- points
+      (iid, s, e) <- intervals
+      if p >= s && p < e
+    } yield (pid, iid)).sorted
+
+    val pdf = points.toDF("pid", "p")
+    val idf = intervals.toDF("iid", "s", "e")
+    for (w <- Seq(1L, 37L, 256L, 1024L, 100000L)) {
+      val got = RangeJoin.pointInInterval(pdf, idf, "p", "s", "e", binWidthMs = w)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+      // exactly once per matching pair: compare as sorted sequences
+      assert(got.sorted == expected, s"mismatch at binWidth=$w")
+    }
+  }
+
+  test("points on interval edges: start inclusive, end exclusive; inverted spans match nothing") {
+    val pdf = Seq((1L, 100L), (2L, 199L), (3L, 200L), (4L, 99L)).toDF("pid", "p")
+    val idf = Seq((10L, 100L, 200L), (11L, 300L, 300L), (12L, 400L, 350L)).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(pdf, idf, "p", "s", "e", binWidthMs = 100L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("plans as an equi hash join — no nested-loop or cartesian fallback") {
+    val pdf = (1L to 100L).map(i => (i, i * 7 % 1000)).toDF("pid", "p")
+    val idf = (1L to 20L).map(i => (i, i * 50, i * 50 + 40)).toDF("iid", "s", "e")
+    val joined = RangeJoin.pointInInterval(pdf, idf, "p", "s", "e", binWidthMs = 64L)
+    joined.collect()
+    val plan = planString(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
+  test("reserved/colliding column names are rejected") {
+    val pdf = Seq((1L, 1L)).toDF("pid", "p")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pdf, Seq((1L, 1L, 2L)).toDF("pid", "s", "e"),
+        "p", "s", "e", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pdf.withColumn("__bin", lit(1)),
+        Seq((1L, 1L, 2L)).toDF("iid", "s", "e"), "p", "s", "e", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pdf, Seq((1L, 1L, 2L)).toDF("iid", "s", "e"),
+        "p", "s", "e", 0L)
+    }
+  }
+}

@@ -42,13 +42,20 @@ object Decontaminate {
     val evalGrams = grams(evalSet, "eval_id")
     // document frequency over the CORPUS side (the big one) gates both
     // sides — the oracle applies the identical cap, so the drop is part
-    // of the operator's semantics, not silent recall loss
-    val rare = corpusGrams.groupBy(col("gram"))
+    // of the operator's semantics, not silent recall loss. The gate is
+    // an ANTI-join against the COMMON grams (df > maxDf): that list is
+    // boilerplate-sized (bounded by total-grams/maxDf, in practice tiny
+    // and auto-broadcast; left to size-based planning so degenerate
+    // corpora fall back to a shuffled anti-join instead of an OOM),
+    // where the rare-gram complement is ~every distinct gram. An eval
+    // gram absent from the corpus survives the anti-join but finds no
+    // partner in the main equi-join — same pairs, no giant filter side.
+    val common = corpusGrams.groupBy(col("gram"))
       .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
+      .filter(col("__df") > maxDf)
       .select(col("gram"))
-    corpusGrams.join(rare, "gram")
-      .join(evalGrams.join(rare, "gram"), "gram")
+    corpusGrams.join(common, Seq("gram"), "left_anti")
+      .join(evalGrams.join(common, Seq("gram"), "left_anti"), "gram")
       .groupBy(col("corpus_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -35,27 +35,30 @@ object Decontaminate {
       minShared: Int = 1,
       maxDf: Int = 50): DataFrame = {
     require(shingleK >= 1 && minShared >= 1 && maxDf >= 1, "parameters must be positive")
-    def grams(df: DataFrame, as: String): DataFrame = df.select(
-      col(idCol).as(as),
-      explode(Dedup.shingles(col(textCol), shingleK)).as("gram"))
+    // NULL text produces no grams on either engine (DuckDB's comprehension
+    // over a NULL token list is NULL); Spark's shingle pipeline would emit
+    // a degenerate '' gram instead — filter it out so a NULL doc can never
+    // be flagged
+    def grams(df: DataFrame, as: String): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as(as),
+        explode(Dedup.shingles(col(textCol), shingleK)).as("gram"))
     val corpusGrams = grams(corpus, "corpus_id")
     val evalGrams = grams(evalSet, "eval_id")
-    // document frequency over the CORPUS side (the big one) gates both
-    // sides — the oracle applies the identical cap, so the drop is part
-    // of the operator's semantics, not silent recall loss. The gate is
-    // an ANTI-join against the COMMON grams (df > maxDf): that list is
-    // boilerplate-sized (bounded by total-grams/maxDf, in practice tiny
-    // and auto-broadcast; left to size-based planning so degenerate
-    // corpora fall back to a shuffled anti-join instead of an OOM),
-    // where the rare-gram complement is ~every distinct gram. An eval
-    // gram absent from the corpus survives the anti-join but finds no
-    // partner in the main equi-join — same pairs, no giant filter side.
-    val common = corpusGrams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select(col("gram"))
-    corpusGrams.join(common, Seq("gram"), "left_anti")
-      .join(evalGrams.join(common, Seq("gram"), "left_anti"), "gram")
+    // document frequency over the CORPUS side (the big one) gates the
+    // join — the oracle applies the identical cap, so the drop is part
+    // of the operator's semantics, not silent recall loss. The df count
+    // rides a window OVER THE SAME gram exchange the join needs (the
+    // lshCandidatePairs bucket-size pattern): ONE corpus tokenize+
+    // explode+shuffle total, no second aggregation pass and no rescan.
+    // The eval side needs no filter of its own — it can only match
+    // corpus grams that survived the cap.
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    corpusGrams
+      .withColumn("__df", count(lit(1)).over(dfWin))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+      .join(evalGrams, "gram")
       .groupBy(col("corpus_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -71,7 +71,13 @@ object Datasplit {
     * partition reach the driver merge — the distributed reservoir, no
     * global sort materialization. Rows with non-positive weight are
     * excluded (the key is undefined there). Ties (and the u=0 edge)
-    * break by id, so the sample is unique and replayable cross-engine.
+    * break by id, so for UNIQUE ids the sample is unique and replayable
+    * cross-engine (duplicate ids share the tie-break key and make the
+    * k-boundary pick arbitrary — dedup first). Cross-engine exactness
+    * note: pow() may differ by 1 ulp between libms, but adjacent key
+    * order statistics are separated by ~range/n — astronomically wider
+    * than an ulp for any real corpus — and the empirical oracle gate at
+    * both SFs is the repo's actual convention for hash/FP boundaries.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = ""): DataFrame = {

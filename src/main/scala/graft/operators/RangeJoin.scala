@@ -39,21 +39,30 @@ object RangeJoin {
       endMs: String,
       binWidthMs: Long): DataFrame = {
     require(binWidthMs > 0, "binWidthMs must be positive")
+    // the three time columns are spliced into expr() SQL — restrict them
+    // to plain identifiers so dotted/quoted names fail loudly here
+    // rather than parse as something else downstream
+    Seq(pointMs, startMs, endMs).foreach(c =>
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"time column '$c' must be a simple identifier (rename before joining)"))
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "point and interval column names collide — rename before joining")
     require(!(points.columns ++ intervals.columns).contains("__bin"),
       "column name __bin is reserved by pointInInterval")
 
-    // floor-division via `div` (exact on longs; floor(double/) loses
-    // ulps past 2^53 ms). Half-open end: the last covered bin is
-    // floor((end-1)/W), so an interval ending exactly on a bin edge
-    // does not spill into the next bin.
+    // exact long FLOOR division (`div` truncates toward zero, which
+    // would make bin 0 span (-W, W) for pre-epoch times; floor(double/)
+    // loses ulps past 2^53 ms) — uniform bins at every epoch. Half-open
+    // end: the last covered bin is floor((end-1)/W), so an interval
+    // ending exactly on a bin edge does not spill into the next bin.
     val w = s"${binWidthMs}L"
+    def floorDiv(x: String) =
+      expr(s"($x) div $w - (CASE WHEN ($x) % $w < 0 THEN 1 ELSE 0 END)")
     val binned = intervals
       .filter(col(endMs) > col(startMs))
       .withColumn("__bin",
-        explode(sequence(expr(s"$startMs div $w"), expr(s"($endMs - 1) div $w"))))
-    val pts = points.withColumn("__bin", expr(s"$pointMs div $w"))
+        explode(sequence(floorDiv(startMs), floorDiv(s"$endMs - 1"))))
+    val pts = points.withColumn("__bin", floorDiv(pointMs))
     pts.join(binned, "__bin")
       .filter(col(pointMs) >= col(startMs) && col(pointMs) < col(endMs))
       .drop("__bin")

@@ -37,6 +37,25 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("negative (pre-epoch) times bin uniformly — floor, not truncate-toward-zero") {
+    val rnd = new scala.util.Random(47L)
+    val points = (1L to 300L).map(i => (i, rnd.nextInt(4000).toLong - 2000L)).toSeq
+    val intervals = (1L to 40L).map { i =>
+      val s = rnd.nextInt(4000).toLong - 2000L
+      (i, s, s + rnd.nextInt(300).toLong)
+    }.toSeq
+    val expected = (for {
+      (pid, p) <- points
+      (iid, s, e) <- intervals
+      if p >= s && p < e
+    } yield (pid, iid)).sorted
+    val got = RangeJoin.pointInInterval(
+        points.toDF("pid", "p"), intervals.toDF("iid", "s", "e"),
+        "p", "s", "e", binWidthMs = 128L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == expected)
+  }
+
   test("points on interval edges: start inclusive, end exclusive; inverted spans match nothing") {
     val pdf = Seq((1L, 100L), (2L, 199L), (3L, 200L), (4L, 99L)).toDF("pid", "p")
     val idf = Seq((10L, 100L, 200L), (11L, 300L, 300L), (12L, 400L, 350L)).toDF("iid", "s", "e")

@@ -942,6 +942,35 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Streaming LSH index maintenance, end-to-end: the embeddings table
+  // arrives in TWO deliveries (vec_id parity) on one checkpoint; each
+  // availableNow run appends its rows into the partitioned index layout
+  // through the exactly-once file sink. After both deliveries the index
+  // holds every vector exactly once and the same Hamming-ball probe as
+  // q34 runs against it — the oracle recomputes signatures over the
+  // whole table in SQL (srpOracleSql, query vec_id=4), so it proves the
+  // incrementally-built index ≡ the batch-built one.
+  def q59StreamLshIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val dim = Similarity.dimOf(emb, "embedding")
+    val tmp = tempDir("graft-q59")
+    val spool = tmp.resolve("spool").toString
+    val idx = tmp.resolve("lsh_index").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    for (parity <- 0 to 1) {
+      emb.filter(col("vec_id") % 2 === parity)
+        .write.mode("append").parquet(spool)
+      val stream = s2.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 100000).parquet(spool)
+      Similarity.appendLshIndexStream(stream, "embedding", idx, ckpt, dim,
+        bits = idxBits).awaitTermination()
+    }
+    Similarity.queryLshIndex(s, idx, "vec_id", "embedding",
+      fetchVec(emb, 4L), k = 10, bits = idxBits, maxHamming = idxMaxHamming)
+  }
+
   // Train/eval decontamination (the pre-training containment check):
   // docs with doc_id%20==7 act as the held-out eval set; the report
   // flags corpus docs sharing rare word-8-grams with it. The df cap is
@@ -1006,6 +1035,7 @@ object PipelineQueries {
     "q56_range_join" -> q56RangeJoin _,
     "q57_weighted_sample" -> q57WeightedSample _,
     "q58_decontaminate" -> q58Decontaminate _,
+    "q59_stream_lsh_index" -> q59StreamLshIndex _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1123,6 +1153,7 @@ object PipelineQueries {
 
   private lazy val q23Sql: String = srpOracleSql(annBits, 1, annMaxHamming)
   private lazy val q34Sql: String = srpOracleSql(idxBits, 2, idxMaxHamming)
+  private lazy val q59Sql: String = srpOracleSql(idxBits, 4, idxMaxHamming)
 
   /** IVF oracle: assign every vector to its argmax-dot cell from the
     * engine's centroid literals (ties → first index, matching
@@ -1445,6 +1476,7 @@ object PipelineQueries {
     "q43_windowed_stage_agg" -> stageAggOracleSql(windowed = true, winMs = 604800000L),
     "q34_ann_lsh_index" -> q34Sql,
     "q35_ann_ivf_index" -> q35Sql,
+    "q59_stream_lsh_index" -> q59Sql,
     "q36_minhash_dedup" ->
       s"""WITH $shingleSql,
          |drops AS (

@@ -223,6 +223,39 @@ object Similarity {
       .write.mode("overwrite").partitionBy("sig_bucket").parquet(path)
   }
 
+  /** Streaming maintenance of the partitioned LSH index: append a
+    * micro-batched embedding stream into the SAME layout
+    * [[writeLshIndex]] builds — signatures computed row-locally per
+    * batch, rows landing in their `sig_bucket=` partition directories
+    * through the checkpointed file sink (exactly-once, restart-safe).
+    * [[queryLshIndex]] probes the growing index unchanged: partition
+    * pruning works on whatever has been committed, so the index stays
+    * queryable WHILE ingesting — embedding tables grow continuously in
+    * a production corpus and a full rebuild per delivery is the 100 TB
+    * anti-pattern. `dim` is explicit (a stream has no rows to probe for
+    * it at plan time). Per batch each bucket is written by the task that
+    * owns it after the in-batch repartition — the same small-files
+    * guard as the batch build, amortized over deliveries.
+    */
+  def appendLshIndexStream(
+      stream: DataFrame,
+      vecCol: String,
+      path: String,
+      checkpoint: String,
+      dim: Int,
+      bits: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    val planes = hyperplanes(bits, dim)
+    stream
+      .withColumn("sig_bucket", srpSignature(toDoubleVec(col(vecCol)), planes))
+      .repartition(col("sig_bucket"))
+      .writeStream.format("parquet")
+      .partitionBy("sig_bucket")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** ANN top-k against a written LSH index: compute the query signature
     * driver-side, enumerate the Hamming probe ball, and read ONLY those
     * partitions (`sig_bucket IN (...)` is a partition filter — check

@@ -123,4 +123,36 @@ class SimilaritySpec extends SparkTestBase {
     val indexed = got.select($"vec_id").as[Long].collect().toSeq
     assert(indexed == scanned && indexed.nonEmpty)
   }
+
+  test("streamed index appends ≡ batch build; probe prunes and stays queryable mid-ingest") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val dim = Similarity.dimOf(emb, "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshstream")
+    val spool = tmp.resolve("spool").toString
+    val streamed = tmp.resolve("streamed").toString
+    val batch = tmp.resolve("batch").toString
+    val qv = emb.filter($"vec_id" === 1).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+
+    Similarity.writeLshIndex(emb, "vec_id", "embedding", batch, bits = 6)
+    def probe(path: String) =
+      Similarity.queryLshIndex(spark, path, "vec_id", "embedding",
+        qv, k = 5, bits = 6, maxHamming = 1)
+
+    // two deliveries on one checkpoint; probe after EACH — the index is
+    // queryable between deliveries, then equals the batch build
+    for (parity <- 0 to 1) {
+      emb.filter($"vec_id" % 2 === parity).write.mode("append").parquet(spool)
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 100000).parquet(spool)
+      Similarity.appendLshIndexStream(stream, "embedding", streamed,
+        tmp.resolve("ckpt").toString, dim, bits = 6).awaitTermination()
+      assert(probe(streamed).collect().nonEmpty)
+    }
+    val got = probe(streamed)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sig_bucket"))
+    assert(got.as[(Long, Double)].collect().toSeq ==
+      probe(batch).as[(Long, Double)].collect().toSeq)
+  }
 }

@@ -54,6 +54,32 @@ class DecontaminateSpec extends SparkTestBase {
       .select($"shared").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("randomized corpora match a serial brute-force reference") {
+    val rnd = new scala.util.Random(59L)
+    // small vocab + 12-token docs → organic cross-set 8-gram overlaps
+    def doc() = Seq.fill(12)(s"t${rnd.nextInt(6)}").mkString(" ")
+    val corpus = (1L to 60L).map(i => (i, doc()))
+    val evalSet = (900L to 915L).map(i => (i, doc()))
+    def gramsOf(t: String): Set[String] = {
+      val tk = t.trim.split("\\s+").toSeq
+      (1 to math.max(tk.size - 7, 1)).map(i => tk.slice(i - 1, i - 1 + 8).mkString(" ")).toSet
+    }
+    val maxDf = 8
+    val df = corpus.flatMap { case (_, t) => gramsOf(t) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = (for {
+      (cid, ct) <- corpus
+      (eid, et) <- evalSet
+      shared = (gramsOf(ct).filter(df(_) <= maxDf) & gramsOf(et)).size
+      if shared >= 1
+    } yield (cid, eid, shared.toLong)).toSet
+    val got = Decontaminate.contaminationPairs(
+        corpus.toDF("doc_id", "text"), evalSet.toDF("doc_id", "text"),
+        "doc_id", "text", maxDf = maxDf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("gram join stays an equi join — no nested-loop or cartesian fallback") {
     val corpus = (1L to 50L).map(i => (i, run(i.toInt * 3, 10))).toDF("doc_id", "text")
     val evalSet = Seq((900L, run(30, 10))).toDF("doc_id", "text")

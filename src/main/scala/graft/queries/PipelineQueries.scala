@@ -971,6 +971,19 @@ object PipelineQueries {
       fetchVec(emb, 4L), k = 10, bits = idxBits, maxHamming = idxMaxHamming)
   }
 
+  // Conversion funnel over the event stream: first-touch strict
+  // sequence view → click → purchase with a 24h per-step window. The
+  // oracle replays the same chained first-qualifying-event aggregation;
+  // counts are null-ignoring so drop-outs propagate identically.
+  def q60Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Funnel.counts(
+      Tables.events(s, dir)
+        .select($"user_id", unix_millis($"ts").as("ms"), $"event_type"),
+      "user_id", "ms", "event_type",
+      Seq("view", "click", "purchase"), windowMs = 86400000L)
+  }
+
   // Train/eval decontamination (the pre-training containment check):
   // docs with doc_id%20==7 act as the held-out eval set; the report
   // flags corpus docs sharing rare word-8-grams with it. The df cap is
@@ -1036,6 +1049,7 @@ object PipelineQueries {
     "q57_weighted_sample" -> q57WeightedSample _,
     "q58_decontaminate" -> q58Decontaminate _,
     "q59_stream_lsh_index" -> q59StreamLshIndex _,
+    "q60_funnel" -> q60Funnel _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1395,6 +1409,23 @@ object PipelineQueries {
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         | CAST(sum(val_m) AS BIGINT) AS sum_val_m
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q60_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t1 AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        | SELECT t1.user_id, min(e.ms) AS t2
+        | FROM t1 LEFT JOIN e ON e.user_id = t1.user_id AND e.event_type = 'click'
+        |   AND e.ms > t1.t1 AND e.ms <= t1.t1 + 86400000
+        | GROUP BY 1),
+        |t3 AS (
+        | SELECT t2.user_id, min(e.ms) AS t3
+        | FROM t2 LEFT JOIN e ON e.user_id = t2.user_id AND e.event_type = 'purchase'
+        |   AND e.ms > t2.t2 AND e.ms <= t2.t2 + 86400000
+        | GROUP BY 1)
+        |SELECT CAST(count(t1.t1) AS BIGINT) AS n_view,
+        | CAST(count(t2.t2) AS BIGINT) AS n_click,
+        | CAST(count(t3.t3) AS BIGINT) AS n_purchase
+        |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
     "q58_decontaminate" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),

@@ -984,6 +984,20 @@ object PipelineQueries {
       Seq("view", "click", "purchase"), windowMs = 86400000L)
   }
 
+  // Near-duplicate CLUSTERS: the q18 MinHash pair stream closed under
+  // transitivity by alternating large-star/small-star — "keep one per
+  // cluster" semantics even where jaccard is not transitive. The oracle
+  // runs a recursive CTE over the brute-forced pair set (sound at
+  // sf0.01 scale; the engine never materializes the closure that way).
+  def q61DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.neardupPairs(Tables.documents(s, dir), "doc_id", "text",
+      shingleK = 3, p = 64, bands = 16, threshold = 0.8)
+    graft.operators.ConnectedComponents.labels(pairs, "id_a", "id_b")
+      .select($"node".as("doc_id"), $"cluster")
+      .orderBy($"doc_id")
+  }
+
   // Train/eval decontamination (the pre-training containment check):
   // docs with doc_id%20==7 act as the held-out eval set; the report
   // flags corpus docs sharing rare word-8-grams with it. The df cap is
@@ -1050,6 +1064,7 @@ object PipelineQueries {
     "q58_decontaminate" -> q58Decontaminate _,
     "q59_stream_lsh_index" -> q59StreamLshIndex _,
     "q60_funnel" -> q60Funnel _,
+    "q61_dedup_clusters" -> q61DedupClusters _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1426,6 +1441,20 @@ object PipelineQueries {
         | CAST(count(t2.t2) AS BIGINT) AS n_click,
         | CAST(count(t3.t3) AS BIGINT) AS n_purchase
         |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
+    "q61_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |pairs AS (
+         | SELECT a.doc_id id_a, b.doc_id id_b
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |   / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8),
+         |ed AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT a AS node, a AS lbl FROM ed
+         | UNION
+         | SELECT e.b, r.lbl FROM ed e JOIN reach r ON e.a = r.node)
+         |SELECT node AS doc_id, min(lbl) AS cluster
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "q58_decontaminate" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),

@@ -154,6 +154,25 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Repetition-based quality filters (Gopher-style): distinct-token
+  // ratio, top-token share, duplicate 2/3-gram fractions and a
+  // composite keep flag — every metric row-local (the top-token share
+  // folds a sorted run-length max instead of exploding tokens into a
+  // corpus-wide shuffle).
+  def q62RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").as("n_tokens"),
+      TextAnalysis.uniqueTokenRatio($"text").as("uniq_ratio"),
+      TextAnalysis.topTokenShare($"text").as("top_share"),
+      TextAnalysis.dupNgramFrac($"text", 2).as("dup2"),
+      TextAnalysis.dupNgramFrac($"text", 3).as("dup3"))
+      .withColumn("repetitive",
+        $"top_share" > 0.12 || $"dup2" > 0.06 || $"uniq_ratio" < 0.33)
+      .orderBy($"doc_id")
+  }
+
   // Brute-force cosine top-k against one query vector: single scan, zero
   // shuffles (broadcast 1-row query + TakeOrderedAndProject).
   def q22CosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1065,6 +1084,7 @@ object PipelineQueries {
     "q59_stream_lsh_index" -> q59StreamLshIndex _,
     "q60_funnel" -> q60Funnel _,
     "q61_dedup_clusters" -> q61DedupClusters _,
+    "q62_repetition_filter" -> q62RepetitionFilter _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1441,6 +1461,30 @@ object PipelineQueries {
         | CAST(count(t2.t2) AS BIGINT) AS n_click,
         | CAST(count(t3.t3) AS BIGINT) AS n_purchase
         |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
+    "q62_repetition_filter" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE string_split_regex(trim(text), '\s+') END tk FROM documents),
+        |ex AS (SELECT doc_id, unnest(tk) tok FROM toks),
+        |cnt AS (SELECT doc_id, tok, count(*) c FROM ex GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(c) mc FROM cnt GROUP BY 1),
+        |m AS (
+        | SELECT t.doc_id, len(tk) n, len(list_distinct(tk)) nd,
+        |  [array_to_string(list_slice(tk, i, i + 1), ' ')
+        |   FOR i IN range(1, greatest(len(tk), 2))] g2,
+        |  [array_to_string(list_slice(tk, i, i + 2), ' ')
+        |   FOR i IN range(1, greatest(len(tk) - 1, 2))] g3,
+        |  coalesce(mx.mc, 0) mc
+        | FROM toks t LEFT JOIN mx USING (doc_id)),
+        |f AS (
+        | SELECT doc_id, CAST(n AS BIGINT) n_tokens,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE round(nd::DOUBLE / n, 6) END uniq_ratio,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE round(mc::DOUBLE / n, 6) END top_share,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE round(1 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END dup2,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6) END dup3
+        | FROM m)
+        |SELECT *, (top_share > 0.12 OR dup2 > 0.06 OR uniq_ratio < 0.33) repetitive
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q61_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleSql,
          |pairs AS (

@@ -92,6 +92,51 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(trim(c), "\\s+")))))
 
+  /** Share of the document's tokens taken by its single most frequent
+    * token (Gopher-style repetition signal). ROW-LOCAL: sorts the token
+    * array and folds a run-length maximum — never an explode + groupBy,
+    * which at 100 TB would shuffle every token in the corpus just to
+    * compute a per-document statistic. The fold is an interpreted HOF
+    * (same constant-factor class as `rollingFingerprint`); it stays
+    * linear in tokens and fuses into the scan stage.
+    */
+  def topTokenShare(c: Column): Column = {
+    val tk = split(trim(c), "\\s+")
+    val best = aggregate(
+      array_sort(tk),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(round(best.cast("double") / size(tk), 6))
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier occurrence:
+    * `1 - distinct/total` (Gopher's duplicate-n-gram filter signal).
+    * Tail-clamped like `Dedup.shingles` (texts shorter than n yield one
+    * short gram). Row-local, codegen'd transforms.
+    */
+  def dupNgramFrac(c: Column, n: Int): Column = {
+    require(n >= 2, "dupNgramFrac needs n >= 2")
+    val tk = split(trim(c), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(tk, i, lit(n))))
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+  }
+
+  /** Distinct-token fraction (low = repetitive boilerplate). */
+  def uniqueTokenRatio(c: Column): Column = {
+    val tk = split(trim(c), "\\s+")
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(round(size(array_distinct(tk)).cast("double") / size(tk), 6))
+  }
+
   /** Rabin-style rolling-hash document fingerprint: the MINIMUM over all
     * char windows of width `w` of the window's polynomial hash
     * `fold(h,ch) = (h*31 + ascii(ch)) mod 1e9+7` — winnowing's

@@ -55,4 +55,27 @@ class TextAnalysisSpec extends SparkTestBase {
       .select(TextAnalysis.fingerprint($"t")).as[String].collect()
     assert(fps(0) == fps(1) && fps(1) != fps(2))
   }
+
+  test("topTokenShare = max token frequency / tokens, row-local") {
+    val got = Seq("a a a b", "a b c d", "", "x").toDF("t")
+      .select(TextAnalysis.topTokenShare($"t")).as[Double].collect().toSeq
+    assert(got == Seq(0.75, 0.25, 0.0, 1.0))
+  }
+
+  test("dupNgramFrac counts repeated n-grams; short texts clamp to one gram") {
+    // "a a a b": 2-grams [a a, a a, a b] -> 1 - 2/3
+    val got2 = Seq("a a a b", "a b c d", "", "x").toDF("t")
+      .select(TextAnalysis.dupNgramFrac($"t", 2)).as[Double].collect().toSeq
+    assert(got2 == Seq(0.333333, 0.0, 0.0, 0.0))
+    // "a b a b a b": 3-grams [aba, bab, aba, bab] -> 1 - 2/4
+    val got3 = Seq("a b a b a b").toDF("t")
+      .select(TextAnalysis.dupNgramFrac($"t", 3)).as[Double].collect().toSeq
+    assert(got3 == Seq(0.5))
+  }
+
+  test("uniqueTokenRatio = distinct/total") {
+    val got = Seq("a a b b", "a b c d", "").toDF("t")
+      .select(TextAnalysis.uniqueTokenRatio($"t")).as[Double].collect().toSeq
+    assert(got == Seq(0.5, 1.0, 0.0))
+  }
 }

@@ -173,6 +173,34 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // PII redaction over documents: emails/phones/IPv4s planted
+  // deterministically from doc_id (the base corpus has none — both
+  // engines plant the identical strings), then scrubbed by the shared
+  // Java-regex/RE2-compatible patterns. The redacted text itself is
+  // part of the compared output, so match boundaries are pinned exactly.
+  def q63PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Tables.documents(s, dir).withColumn("text2",
+      when($"doc_id" % 3 === 0,
+        concat($"text",
+          lit(" contact u"), $"doc_id".cast("string"), lit("@ex-"),
+          ($"doc_id" % 7).cast("string"), lit(".org"),
+          lit(" call "), format_string("%03d-%03d-%04d",
+            $"doc_id" % 1000, ($"doc_id" * 3) % 1000, $"doc_id" % 10000),
+          lit(" from "), ($"doc_id" % 223 + 1).cast("string"), lit("."),
+          ($"doc_id" % 256).cast("string"), lit("."),
+          (($"doc_id" * 7) % 256).cast("string"), lit("."),
+          ($"doc_id" % 100 + 1).cast("string")))
+        .otherwise($"text"))
+    planted.select(
+      $"doc_id",
+      TextAnalysis.piiEmailCount($"text2").as("n_email"),
+      TextAnalysis.piiPhoneCount($"text2").as("n_phone"),
+      TextAnalysis.piiIpv4Count($"text2").as("n_ip"),
+      TextAnalysis.redactPii($"text2").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
   // Brute-force cosine top-k against one query vector: single scan, zero
   // shuffles (broadcast 1-row query + TakeOrderedAndProject).
   def q22CosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1085,6 +1113,7 @@ object PipelineQueries {
     "q60_funnel" -> q60Funnel _,
     "q61_dedup_clusters" -> q61DedupClusters _,
     "q62_repetition_filter" -> q62RepetitionFilter _,
+    "q63_pii_redact" -> q63PiiRedact _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1461,6 +1490,26 @@ object PipelineQueries {
         | CAST(count(t2.t2) AS BIGINT) AS n_click,
         | CAST(count(t3.t3) AS BIGINT) AS n_purchase
         |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
+    "q63_pii_redact" ->
+      """WITH planted AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |   text || ' contact u' || doc_id || '@ex-' || (doc_id % 7) || '.org'
+        |   || ' call ' || printf('%03d-%03d-%04d', doc_id % 1000, (doc_id * 3) % 1000, doc_id % 10000)
+        |   || ' from ' || (doc_id % 223 + 1) || '.' || (doc_id % 256) || '.'
+        |   || ((doc_id * 7) % 256) || '.' || (doc_id % 100 + 1)
+        |  ELSE text END text2
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) n_email,
+        | CAST(len(regexp_extract_all(text2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) n_phone,
+        | CAST(len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) n_ip,
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') redacted
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "q62_repetition_filter" ->
       """WITH toks AS (
         | SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -137,6 +137,29 @@ object TextAnalysis {
       .otherwise(round(size(array_distinct(tk)).cast("double") / size(tk), 6))
   }
 
+  /** PII patterns for training-data scrubbing. Kept to syntax shared by
+    * Java regex and RE2 (no backreferences, no lookaround) so a DuckDB
+    * oracle can replay the exact same matches.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, phone numbers and IPv4 addresses with typed
+    * placeholders. Row-local `regexp_replace` chain — scan-speed
+    * scrubbing, no shuffle. Email first: its character class overlaps
+    * the dotted-quad shape, so order is part of the contract.
+    */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, emailRe, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, phoneRe, "<PHONE>")
+    regexp_replace(noPhone, ipv4Re, "<IP>")
+  }
+
+  def piiEmailCount(c: Column): Column = regexp_count(c, lit(emailRe)).cast("long")
+  def piiPhoneCount(c: Column): Column = regexp_count(c, lit(phoneRe)).cast("long")
+  def piiIpv4Count(c: Column): Column = regexp_count(c, lit(ipv4Re)).cast("long")
+
   /** Rabin-style rolling-hash document fingerprint: the MINIMUM over all
     * char windows of width `w` of the window's polynomial hash
     * `fold(h,ch) = (h*31 + ascii(ch)) mod 1e9+7` — winnowing's

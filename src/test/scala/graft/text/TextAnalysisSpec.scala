@@ -73,6 +73,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got3 == Seq(0.5))
   }
 
+  test("redactPii scrubs emails, phones and IPv4s with typed placeholders") {
+    val got = Seq(
+      "mail a.b+c@sub.ex.org now",
+      "call 555-010-1234 or 555-010-12345",
+      "host 10.0.255.1 up",
+      "clean text").toDF("t")
+      .select(TextAnalysis.redactPii($"t")).as[String].collect().toSeq
+    assert(got(0) == "mail <EMAIL> now")
+    // 11-digit tail fails the trailing word boundary only for the 4-digit
+    // group; the first number redacts, the second keeps its extra digit
+    assert(got(1).startsWith("call <PHONE> or "))
+    assert(got(2) == "host <IP> up")
+    assert(got(3) == "clean text")
+    val counts = Seq("x@y.io and z@w.co 1.2.3.4").toDF("t")
+      .select(TextAnalysis.piiEmailCount($"t"), TextAnalysis.piiIpv4Count($"t"))
+      .as[(Long, Long)].collect().head
+    assert(counts == ((2L, 1L)))
+  }
+
   test("uniqueTokenRatio = distinct/total") {
     val got = Seq("a a b b", "a b c d", "").toDF("t")
       .select(TextAnalysis.uniqueTokenRatio($"t")).as[Double].collect().toSeq

@@ -201,6 +201,16 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // TF-IDF ranked search for a 3-term query: dfs for ONLY the query
+  // terms via one single-row aggregate broadcast back over the scan —
+  // the corpus is never token-exploded; top-k is TakeOrdered. The
+  // oracle mirrors the identical smoothed-idf formula and the same
+  // left-to-right FP addition order.
+  def q64TfidfSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.text.Tfidf.searchTopK(Tables.documents(s, dir), "doc_id", "text",
+      Seq("spark", "shuffle", "dup"), k = 20)
+  }
+
   // Brute-force cosine top-k against one query vector: single scan, zero
   // shuffles (broadcast 1-row query + TakeOrderedAndProject).
   def q22CosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1114,6 +1124,7 @@ object PipelineQueries {
     "q61_dedup_clusters" -> q61DedupClusters _,
     "q62_repetition_filter" -> q62RepetitionFilter _,
     "q63_pii_redact" -> q63PiiRedact _,
+    "q64_tfidf_search" -> q64TfidfSearch _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1490,6 +1501,21 @@ object PipelineQueries {
         | CAST(count(t2.t2) AS BIGINT) AS n_click,
         | CAST(count(t3.t3) AS BIGINT) AS n_purchase
         |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
+    "q64_tfidf_search" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |stats AS (SELECT count(*) n,
+        |  sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) df0,
+        |  sum(CASE WHEN list_contains(tk, 'shuffle') THEN 1 ELSE 0 END) df1,
+        |  sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) df2
+        | FROM toks),
+        |scored AS (SELECT doc_id,
+        |  round(
+        |   len(list_filter(tk, x -> x = 'spark'))::DOUBLE * (ln((n + 1.0) / (df0 + 1.0)) + 1.0)
+        |   + len(list_filter(tk, x -> x = 'shuffle'))::DOUBLE * (ln((n + 1.0) / (df1 + 1.0)) + 1.0)
+        |   + len(list_filter(tk, x -> x = 'dup'))::DOUBLE * (ln((n + 1.0) / (df2 + 1.0)) + 1.0), 6) score
+        | FROM toks, stats)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q63_pii_redact" ->
       """WITH planted AS (
         | SELECT doc_id,

@@ -201,6 +201,20 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Inverted-index conjunctive search: build the token-partitioned
+  // posting table (the one offline shuffle), then probe two terms with
+  // bucket PartitionFilters — file-listing pruning, the full-text
+  // analog of q34's LSH index probe. Oracle recomputes tf containment
+  // directly on the corpus.
+  def q65InvertedSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = tempDir("graft-q65").resolve("inv_index").toString
+    graft.text.InvertedIndex.writeIndex(
+      Tables.documents(s, dir), "doc_id", "text", idx)
+    graft.text.InvertedIndex.searchAnd(s, idx, "doc_id", Seq("spark", "dup"))
+      .orderBy($"doc_id")
+  }
+
   // TF-IDF ranked search for a 3-term query: dfs for ONLY the query
   // terms via one single-row aggregate broadcast back over the scan —
   // the corpus is never token-exploded; top-k is TakeOrdered. The
@@ -1125,6 +1139,7 @@ object PipelineQueries {
     "q62_repetition_filter" -> q62RepetitionFilter _,
     "q63_pii_redact" -> q63PiiRedact _,
     "q64_tfidf_search" -> q64TfidfSearch _,
+    "q65_inverted_search" -> q65InvertedSearch _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1501,6 +1516,13 @@ object PipelineQueries {
         | CAST(count(t2.t2) AS BIGINT) AS n_click,
         | CAST(count(t3.t3) AS BIGINT) AS n_purchase
         |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
+    "q65_inverted_search" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |f AS (SELECT doc_id,
+        |  len(list_filter(tk, x -> x = 'spark')) tf1,
+        |  len(list_filter(tk, x -> x = 'dup')) tf2 FROM toks)
+        |SELECT doc_id, CAST(tf1 + tf2 AS BIGINT) tf_sum
+        |FROM f WHERE tf1 > 0 AND tf2 > 0 ORDER BY doc_id""".stripMargin,
     "q64_tfidf_search" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
         |stats AS (SELECT count(*) n,

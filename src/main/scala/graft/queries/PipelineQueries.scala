@@ -201,6 +201,30 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Cohort retention matrix: users bucketed by epoch-DAY of first
+  // event (the 30-day test window gives a real triangular matrix;
+  // weekly is the production default), distinct-counted at every day
+  // offset they return. Pure integer math — the oracle replays it with
+  // `//` floor division.
+  def q66RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Retention.matrix(
+      Tables.events(s, dir).select($"user_id", unix_millis($"ts").as("ms")),
+      "user_id", "ms", periodMs = graft.operators.Retention.DayMs)
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  // Per-event-type z-score outliers: exact integer sums/sums-of-squares
+  // then a fixed-shape double expression — deterministic across engines
+  // where avg/stddev partial-sum order is not.
+  def q67AnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Anomaly.zOutliers(
+      Tables.events(s, dir).select($"event_id", $"event_type", $"value"),
+      Seq("event_type"), "event_id", "value")
+      .orderBy($"event_type", $"event_id")
+  }
+
   // Inverted-index conjunctive search: build the token-partitioned
   // posting table (the one offline shuffle), then probe two terms with
   // bucket PartitionFilters — file-listing pruning, the full-text
@@ -1140,6 +1164,8 @@ object PipelineQueries {
     "q63_pii_redact" -> q63PiiRedact _,
     "q64_tfidf_search" -> q64TfidfSearch _,
     "q65_inverted_search" -> q65InvertedSearch _,
+    "q66_retention_cohorts" -> q66RetentionCohorts _,
+    "q67_anomaly_zscore" -> q67AnomalyZscore _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1516,6 +1542,27 @@ object PipelineQueries {
         | CAST(count(t2.t2) AS BIGINT) AS n_click,
         | CAST(count(t3.t3) AS BIGINT) AS n_purchase
         |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
+    "q66_retention_cohorts" ->
+      """WITH e AS (SELECT user_id u, epoch_ms(ts) ms FROM events),
+        |f AS (SELECT u, min(ms) fm FROM e GROUP BY 1)
+        |SELECT fm // 86400000 AS cohort_week,
+        | (ms - fm) // 86400000 AS week_offset,
+        | CAST(count(DISTINCT e.u) AS BIGINT) n_users
+        |FROM e JOIN f USING (u) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q67_anomaly_zscore" ->
+      """WITH b AS (
+        | SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) val_m FROM events),
+        |st AS (
+        | SELECT event_type, count(*) n, CAST(sum(val_m) AS BIGINT) s,
+        |  CAST(sum(val_m * val_m) AS BIGINT) sq
+        | FROM b GROUP BY 1),
+        |z AS (
+        | SELECT b.event_type, b.event_id, b.val_m,
+        |  (b.val_m::DOUBLE - st.s::DOUBLE / st.n::DOUBLE)
+        |    / sqrt((st.sq::DOUBLE - st.s::DOUBLE * st.s::DOUBLE / st.n::DOUBLE) / (st.n::DOUBLE - 1.0)) zz
+        | FROM b JOIN st USING (event_type))
+        |SELECT event_type, event_id, val_m, round(zz, 6) AS z
+        |FROM z WHERE abs(zz) > 3.0 ORDER BY event_type, event_id""".stripMargin,
     "q65_inverted_search" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
         |f AS (SELECT doc_id,

@@ -201,6 +201,77 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Stream-stream attribution join, end-to-end: views ⋈ purchases of
+  // the same user within 1h, as a REAL checkpointed stream — two
+  // watermarked branches of one spool source, time-range inner join
+  // (state expires by watermark + range), append sink, two availableNow
+  // runs on one checkpoint. Sentinels (user -1) ride BOTH branches to
+  // advance the watermark and can never self-join (bts = vts fails the
+  // strict > bound; the two sentinels sit 1 day apart, outside the 1h
+  // window) so no output filter is needed beyond user >= 0. Oracle =
+  // the same join as plain SQL on the source table.
+  def q68StreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val tmp = tempDir("graft-q68")
+    val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))
+    java.nio.file.Files.createSymbolicLink(
+      spool.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val maxMs = Tables.events(s, dir).agg(max(unix_millis($"ts"))).head().getLong(0)
+    def sentinel(offMs: Long): Unit = {
+      val dir1 = tmp.resolve(s"sentinel-$offMs")
+      Seq((-1L, (maxMs + offMs) * 1000000L, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir1.toString)
+      val listing = java.nio.file.Files.list(dir1)
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(p, spool.resolve(s"sentinel-$offMs.parquet"))
+        }
+      } finally listing.close()
+    }
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    def run(): Unit = {
+      val raw = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 100000).parquet(spool.toString)
+      val ev = raw.withColumn("ts", expr(
+        "timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+      val views = ev.filter(col("event_type") === "view" || col("user_id") < 0)
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+        .withWatermark("vts", "1 minute")
+      val buys = ev.filter(col("event_type") === "purchase" || col("user_id") < 0)
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("bts"))
+        .withWatermark("bts", "1 minute")
+      views.join(buys, expr(
+          "user_id = b_user AND bts > vts AND bts <= vts + interval 1 hour"))
+        .select(col("user_id"), col("view_id"), col("buy_id"),
+          unix_millis(col("vts")).as("v_ms"), unix_millis(col("bts")).as("b_ms"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/tables/attrib")
+        .option("checkpointLocation", s"$tmp/ckpt/attrib")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    sentinel(86400000L)
+    run()
+    sentinel(2L * 86400000L)
+    run()
+    s.read.parquet(s"$tmp/tables/attrib")
+      .filter($"user_id" >= 0)
+      .orderBy($"view_id", $"buy_id")
+  }
+
   // Cohort retention matrix: users bucketed by epoch-DAY of first
   // event (the 30-day test window gives a real triangular matrix;
   // weekly is the production default), distinct-counted at every day
@@ -1166,6 +1237,7 @@ object PipelineQueries {
     "q65_inverted_search" -> q65InvertedSearch _,
     "q66_retention_cohorts" -> q66RetentionCohorts _,
     "q67_anomaly_zscore" -> q67AnomalyZscore _,
+    "q68_stream_attribution" -> q68StreamAttribution _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1542,6 +1614,15 @@ object PipelineQueries {
         | CAST(count(t2.t2) AS BIGINT) AS n_click,
         | CAST(count(t3.t3) AS BIGINT) AS n_purchase
         |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
+    "q68_stream_attribution" ->
+      """WITH v AS (SELECT user_id, event_id view_id, epoch_ms(ts) v_ms
+        |  FROM events WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id buy_id, epoch_ms(ts) b_ms
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, view_id, buy_id, v_ms, b_ms
+        |FROM v JOIN b ON v.user_id = b.user_id
+        |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
+        |ORDER BY view_id, buy_id""".stripMargin,
     "q66_retention_cohorts" ->
       """WITH e AS (SELECT user_id u, epoch_ms(ts) ms FROM events),
         |f AS (SELECT u, min(ms) fm FROM e GROUP BY 1)

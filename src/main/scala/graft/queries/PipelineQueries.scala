@@ -201,6 +201,17 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Per-label embedding cohesion: integerized centroid numerators
+  // (exact integer sums — no float-order nondeterminism), broadcast
+  // back for a row-local cosine, floor-scaled cohesion mean. The one
+  // real shuffle is the (label, pos) component explode.
+  def q69EmbeddingCohesion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.similarity.VectorAgg.intraCosine(
+      Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy($"label")
+  }
+
   // Stream-stream attribution join, end-to-end: views ⋈ purchases of
   // the same user within 1h, as a REAL checkpointed stream — two
   // watermarked branches of one spool source, time-range inner join
@@ -1238,6 +1249,7 @@ object PipelineQueries {
     "q66_retention_cohorts" -> q66RetentionCohorts _,
     "q67_anomaly_zscore" -> q67AnomalyZscore _,
     "q68_stream_attribution" -> q68StreamAttribution _,
+    "q69_embedding_cohesion" -> q69EmbeddingCohesion _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1614,6 +1626,27 @@ object PipelineQueries {
         | CAST(count(t2.t2) AS BIGINT) AS n_click,
         | CAST(count(t3.t3) AS BIGINT) AS n_purchase
         |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
+    "q69_embedding_cohesion" ->
+      """WITH ex AS (
+        | SELECT label, i, CAST(floor(e::DOUBLE * 10000000) AS BIGINT) vm
+        | FROM (SELECT label, unnest(embedding) e,
+        |        generate_subscripts(embedding, 1) i FROM embeddings)),
+        |cent AS (SELECT label, i, CAST(sum(vm) AS BIGINT) s FROM ex GROUP BY 1, 2),
+        |clist AS (SELECT label, list_transform(list(s ORDER BY i), x -> x::DOUBLE) cs FROM cent GROUP BY 1),
+        |n AS (SELECT label, count(*) n_vecs FROM embeddings GROUP BY 1),
+        |rc AS (
+        | SELECT e.label,
+        |  list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cs) dot,
+        |  sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) nv,
+        |  sqrt(list_dot_product(c.cs, c.cs)) nc
+        | FROM embeddings e JOIN clist c USING (label)),
+        |cm AS (SELECT label,
+        |  CAST(floor(CASE WHEN nv = 0 OR nc = 0 THEN 0.0 ELSE dot / (nv * nc) END * 1000000) AS BIGINT) cos_m
+        | FROM rc)
+        |SELECT cm.label, CAST(n.n_vecs AS BIGINT) n_vecs,
+        | round(sum(cos_m)::DOUBLE / n.n_vecs / 1000000.0, 6) cohesion
+        |FROM cm JOIN n USING (label) GROUP BY cm.label, n.n_vecs ORDER BY label""".stripMargin,
     "q68_stream_attribution" ->
       """WITH v AS (SELECT user_id, event_id view_id, epoch_ms(ts) v_ms
         |  FROM events WHERE event_type = 'view'),

@@ -89,6 +89,42 @@ object Dashboards {
       .limit(k)
   }
 
+  /** Pre-aggregated MERGEABLE sketch table — the pattern that makes
+    * "distinct users over any date range" a dashboard-speed query at
+    * 100 TB: one offline pass folds each day into a fixed-size
+    * Datasketches HLL state; range queries then union a handful of
+    * sketch rows instead of rescanning raw events. HLL union is
+    * lossless over sketch state, so the merged estimate is IDENTICAL
+    * to a direct sketch of the union (spec-asserted), and the whole
+    * thing stays inside Spark's public `hll_sketch_agg`/`hll_union_agg`
+    * functions (partial aggregation ships sketches, never keys).
+    */
+  def writeCardinalitySketchTable(
+      events: DataFrame,
+      keyCol: String,
+      epochDayCol: Column,
+      path: String): Unit =
+    events
+      .groupBy(epochDayCol.as("day"))
+      .agg(expr(s"hll_sketch_agg($keyCol)").as("sketch"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Distinct-key estimate over an inclusive day range, from the sketch
+    * table alone.
+    */
+  def rangeCardinality(
+      spark: SparkSession,
+      path: String,
+      fromDay: Long,
+      toDay: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("day").between(fromDay, toDay))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("n_rows")).as("n_rows"),
+        expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est_distinct"))
+
   /** B17 over the ingested spark_logs table: severity filter (Log4j2
     * intLevel — smaller is MORE severe, ERROR=200 < WARN=300 < INFO=400)
     * + full-text contains + the saved search's projection, sorted,
@@ -146,6 +182,19 @@ object Dashboards {
     "q27_approx_percentiles" ->
       ((s, dir) => approxPercentiles(Tables.lineitem(s, dir))),
     "q40_approx_top_terms" ->
-      ((s, dir) => approxTopTerms(Tables.documents(s, dir), "source", 5))
+      ((s, dir) => approxTopTerms(Tables.documents(s, dir), "source", 5)),
+    "q70_sketch_table" -> ((s, dir) => {
+      // build the per-day sketch table, then answer a 10-day range from
+      // sketches alone (no raw rescan)
+      val path = java.nio.file.Files.createTempDirectory("graft-q70")
+        .resolve("user_sketches").toString
+      val ev = Tables.events(s, dir)
+      writeCardinalitySketchTable(ev, "user_id",
+        floor(unix_millis(col("ts")) / 86400000L).cast("long"), path)
+      val Array(minDay) = ev
+        .agg(floor(min(unix_millis(col("ts"))) / 86400000L).cast("long"))
+        .collect().map(_.getLong(0))
+      rangeCardinality(s, path, minDay + 5, minDay + 14)
+    })
   )
 }

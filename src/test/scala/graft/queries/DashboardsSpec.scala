@@ -104,6 +104,26 @@ class DashboardsSpec extends SparkTestBase {
     assert(kept.map(_.toString).toSeq == Seq("2025-06-29 23:00:00.0"))
   }
 
+  test("sketch table: merged range estimate == direct sketch, within 5% of exact") {
+    val path = java.nio.file.Files.createTempDirectory("graft-hll-spec")
+      .resolve("sk").toString
+    // 3 days × overlapping user sets
+    val ev = (0 until 3000).map(i => (i.toLong % 700, (i % 3).toLong * 86400000L))
+      .toDF("user_id", "ms").withColumn("ts", timestamp_millis($"ms"))
+    Dashboards.writeCardinalitySketchTable(ev, "user_id",
+      floor(unix_millis($"ts") / 86400000L).cast("long"), path)
+    val got = Dashboards.rangeCardinality(spark, path, 0, 1)
+      .as[(Long, Long, Long)].collect().head
+    assert(got._1 == 2 && got._2 == 2000)
+    // lossless union: merged sketches == one sketch over the raw union
+    val direct = ev.filter($"ms" < 2 * 86400000L)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")).head().getLong(0)
+    assert(got._3 == direct)
+    val exact = ev.filter($"ms" < 2 * 86400000L)
+      .select($"user_id").distinct().count()
+    assert(math.abs(got._3 - exact).toDouble / exact < 0.05)
+  }
+
   test("searchLogs filters severity ≤ maxIntLevel and projects the saved-search columns") {
     val logs = Seq(
       ("a", "app", "1", "1.0", "2.0", 200L, "ERROR", "task failed: oom",

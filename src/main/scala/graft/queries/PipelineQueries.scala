@@ -201,6 +201,24 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Bloom-pruned semi-join: lineitem ⋉ high-value orders with the dim's
+  // bloom probed AT THE SCAN (fact rows failing it never reach the join
+  // exchange — the shuffle saver when the dim is too big to broadcast
+  // exactly). The trailing exact semi-join removes false positives, so
+  // the oracle is the plain IN-subquery aggregate.
+  def q71BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 150000).select($"o_orderkey")
+    val n = math.max(dim.count(), 1L)
+    graft.operators.BloomJoin.semiJoin(
+        Tables.lineitem(s, dir), "l_orderkey", dim, "o_orderkey", n)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_quantity".cast("decimal(18,2)")), 2).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   // Per-label embedding cohesion: integerized centroid numerators
   // (exact integer sums — no float-order nondeterminism), broadcast
   // back for a row-local cosine, floor-scaled cohesion mean. The one
@@ -1250,6 +1268,7 @@ object PipelineQueries {
     "q67_anomaly_zscore" -> q67AnomalyZscore _,
     "q68_stream_attribution" -> q68StreamAttribution _,
     "q69_embedding_cohesion" -> q69EmbeddingCohesion _,
+    "q71_bloom_semijoin" -> q71BloomSemiJoin _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1626,6 +1645,12 @@ object PipelineQueries {
         | CAST(count(t2.t2) AS BIGINT) AS n_click,
         | CAST(count(t3.t3) AS BIGINT) AS n_purchase
         |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)""".stripMargin,
+    "q71_bloom_semijoin" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) n_items,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q69_embedding_cohesion" ->
       """WITH ex AS (
         | SELECT label, i, CAST(floor(e::DOUBLE * 10000000) AS BIGINT) vm

@@ -1208,6 +1208,23 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // SCD-type-2 dimension build over the event stream: per-user runs of
+  // equal event_type collapsed into [valid_from, valid_to) validity
+  // intervals (gaps-and-islands), the open-ended last interval flagged
+  // current. One hash partitioning by user_id is reused across the
+  // lag/island-sum/lead window steps. The oracle replays the identical
+  // lag → island-id → lead SQL; is_current is cast to BIGINT on both
+  // sides so the compare never depends on boolean rendering.
+  def q72Scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Scd2.build(
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"event_type"),
+        keyCol = "user_id", tsCol = "ms", valueCol = "event_type", tieCol = "event_id")
+      .withColumn("is_current", $"is_current".cast("long"))
+      .orderBy($"user_id", $"valid_from", $"value")
+  }
+
   // Rolling-hash (winnowing-style) document fingerprint: min of the
   // char-window polynomial hashes — robust to edits outside the
   // minimizing window, pure integer math (exact oracle).
@@ -1269,6 +1286,7 @@ object PipelineQueries {
     "q68_stream_attribution" -> q68StreamAttribution _,
     "q69_embedding_cohesion" -> q69EmbeddingCohesion _,
     "q71_bloom_semijoin" -> q71BloomSemiJoin _,
+    "q72_scd2" -> q72Scd2 _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1681,6 +1699,19 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q72_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type FROM events),
+        |l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) prev FROM e),
+        |r AS (SELECT *, sum(CASE WHEN prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) run FROM l),
+        |g AS (SELECT user_id, run, min(event_type) AS value, min(ms) valid_from,
+        |        count(*) n_events FROM r GROUP BY 1, 2),
+        |v AS (SELECT user_id, value, valid_from,
+        |        lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) valid_to, n_events FROM g)
+        |SELECT user_id, value, valid_from, valid_to,
+        | CAST(n_events AS BIGINT) n_events,
+        | CAST(valid_to IS NULL AS BIGINT) is_current
+        |FROM v ORDER BY user_id, valid_from, value""".stripMargin,
     "q66_retention_cohorts" ->
       """WITH e AS (SELECT user_id u, epoch_ms(ts) ms FROM events),
         |f AS (SELECT u, min(ms) fm FROM e GROUP BY 1)

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over a directed edge list, in EXACT integer arithmetic.
+  *
+  * Rank mass is carried as BIGINT units of `scale` (default 1e12), and
+  * every redistribution step is integer division (`div`), so partial
+  * sums are order-independent and a cross-engine oracle can replay the
+  * iterations bit-for-bit — the same integerize-the-math convention the
+  * q67 z-scores and q69 centroids use. Semantics per iteration:
+  *
+  *   share(u)  = r(u) div outdeg(u)                  (per out-edge)
+  *   dangShare = (Σ r(u) over outdeg-0 nodes) div N  (uniform return)
+  *   r'(v)     = base + (dampNum · (Σ share(u→v) + dangShare)) div dampDen
+  *   base      = ((dampDen − dampNum) · (scale div N)) div dampDen
+  *
+  * i.e. standard damped PageRank with uniform dangling-mass
+  * redistribution, truncated (never rounded) at each division. Total
+  * mass drifts below `scale` only by the truncation remainders —
+  * bounded by N + E units per iteration, checked in the spec.
+  *
+  * Scale shape: a fixed number of iterations, each = one join of the
+  * edge set with the rank frame on the source key plus one aggregation
+  * on the destination key — the Pregel contribution-exchange shape.
+  * Edges are deduped, repartitioned on src ONCE, and materialized
+  * before the loop, so every iteration's probe join hashes against the
+  * same layout; ranks (≤ one row per node) are the only thing
+  * re-exchanged. The dangling sum is a 1-row aggregate broadcast back
+  * via crossJoin — no per-iteration driver round-trip beyond the
+  * lineage-truncation barrier itself. No diameter dependence, no
+  * driver-side graph state; rounds = `iterations`, known up front.
+  */
+object PageRank {
+
+  /** (node, rank) with rank in integer `scale` units. Duplicate edges
+    * collapse (simple-graph semantics); self-loops count as ordinary
+    * out-edges. Nodes appearing only as destinations are ranked too
+    * (they dangle). N is the distinct node count.
+    */
+  def ranks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
+    val e = truncate(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .distinct())
+    val outdeg = truncate(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val nodes = truncate(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+
+    // N, and the two literals derived from it, are scalars fixed for the
+    // whole run — the one driver-side value this operator ever sees.
+    val n = nodes.count()
+    val r0 = scale / n
+    val base = (dampDen - dampNum) * r0 / dampDen
+
+    var ranks = truncate(nodes.withColumn("r", lit(r0)))
+    for (_ <- 1 to iterations) {
+      val share = ranks.join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("node"), expr("r div deg").as("share"))
+      val contrib = e.join(share, e("src") === share("node"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("share")).as("contrib"))
+      // outdeg-0 nodes: their whole mass returns uniformly
+      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = truncate(ranks.select(col("node"))
+        .join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(base) + expr(
+            s"($dampNum * (coalesce(contrib, 0L) + (dang div $n))) div $dampDen"))
+            .as("r")))
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+}

@@ -1208,6 +1208,24 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // PageRank over the customer→supplier purchase graph (who buys from
+  // whom): damped rank with uniform dangling-mass return, 3 fixed
+  // iterations in exact BIGINT units so DuckDB replays the loop
+  // bit-for-bit as unrolled CTEs. Customers get even node ids,
+  // suppliers odd; the graph is bipartite so EVERY supplier dangles —
+  // the dangling-return path is load-bearing here, not decorative.
+  def q73PageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey".cast("long") * 2).as("src"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+    graft.operators.PageRank.ranks(edges, "src", "dst", iterations = 3)
+      .select($"node", $"rank".as("pr"))
+      .orderBy($"node")
+  }
+
   // SCD-type-2 dimension build over the event stream: per-user runs of
   // equal event_type collapsed into [valid_from, valid_to) validity
   // intervals (gaps-and-islands), the open-ended last interval flagged
@@ -1287,6 +1305,7 @@ object PipelineQueries {
     "q69_embedding_cohesion" -> q69EmbeddingCohesion _,
     "q71_bloom_semijoin" -> q71BloomSemiJoin _,
     "q72_scd2" -> q72Scd2 _,
+    "q73_pagerank" -> q73PageRank _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1699,6 +1718,37 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q73_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+        |         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |pp AS (SELECT count(*) n, 1000000000000 // count(*) r0,
+        |        (100 - 85) * (1000000000000 // count(*)) // 100 base FROM nd),
+        |og AS (SELECT src, count(*) deg FROM e GROUP BY 1),
+        |i0 AS (SELECT node, (SELECT r0 FROM pp) r FROM nd),
+        |c1 AS (SELECT e.dst node, sum(r.r // og.deg) c FROM e
+        |       JOIN i0 r ON r.node = e.src JOIN og ON og.src = e.src GROUP BY 1),
+        |d1 AS (SELECT COALESCE(sum(r.r), 0) // (SELECT n FROM pp) ds FROM i0 r
+        |       LEFT JOIN og ON og.src = r.node WHERE og.src IS NULL),
+        |i1 AS (SELECT nd.node, (SELECT base FROM pp)
+        |        + (85 * (COALESCE(c1.c, 0) + (SELECT ds FROM d1))) // 100 r
+        |       FROM nd LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT e.dst node, sum(r.r // og.deg) c FROM e
+        |       JOIN i1 r ON r.node = e.src JOIN og ON og.src = e.src GROUP BY 1),
+        |d2 AS (SELECT COALESCE(sum(r.r), 0) // (SELECT n FROM pp) ds FROM i1 r
+        |       LEFT JOIN og ON og.src = r.node WHERE og.src IS NULL),
+        |i2 AS (SELECT nd.node, (SELECT base FROM pp)
+        |        + (85 * (COALESCE(c2.c, 0) + (SELECT ds FROM d2))) // 100 r
+        |       FROM nd LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT e.dst node, sum(r.r // og.deg) c FROM e
+        |       JOIN i2 r ON r.node = e.src JOIN og ON og.src = e.src GROUP BY 1),
+        |d3 AS (SELECT COALESCE(sum(r.r), 0) // (SELECT n FROM pp) ds FROM i2 r
+        |       LEFT JOIN og ON og.src = r.node WHERE og.src IS NULL),
+        |i3 AS (SELECT nd.node, (SELECT base FROM pp)
+        |        + (85 * (COALESCE(c3.c, 0) + (SELECT ds FROM d3))) // 100 r
+        |       FROM nd LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node, CAST(r AS BIGINT) AS pr FROM i3 ORDER BY node""".stripMargin,
     "q72_scd2" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type FROM events),
         |l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) prev FROM e),

@@ -1208,6 +1208,19 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // First-order Markov transition matrix over per-user event
+  // sequences: exact step counts + row-normalized probabilities. The
+  // normalizing window runs on the |states|²-row aggregate, never on
+  // raw events; DuckDB replays the identical lead/count/row-normalize.
+  def q74Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Markov.transitions(
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"event_type"),
+        keyCol = "user_id", tsCol = "ms", tieCol = "event_id", typeCol = "event_type")
+      .orderBy($"from_type", $"to_type")
+  }
+
   // PageRank over the customer→supplier purchase graph (who buys from
   // whom): damped rank with uniform dangling-mass return, 3 fixed
   // iterations in exact BIGINT units so DuckDB replays the loop
@@ -1306,6 +1319,7 @@ object PipelineQueries {
     "q71_bloom_semijoin" -> q71BloomSemiJoin _,
     "q72_scd2" -> q72Scd2 _,
     "q73_pagerank" -> q73PageRank _,
+    "q74_transitions" -> q74Transitions _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1718,6 +1732,15 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q74_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type FROM events),
+        |st AS (SELECT event_type ft,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) tt
+        |       FROM e),
+        |c AS (SELECT ft, tt, count(*) n FROM st WHERE tt IS NOT NULL GROUP BY 1, 2)
+        |SELECT ft AS from_type, tt AS to_type, CAST(n AS BIGINT) n,
+        | round(n::DOUBLE / (sum(n) OVER (PARTITION BY ft))::DOUBLE, 6) p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q73_pagerank" ->
       """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
         |         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst

@@ -1208,6 +1208,21 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // EXACT shingle-set Jaccard self-join — the zero-recall-loss
+  // counterpart of q18's MinHash-LSH banding, on the same
+  // word-3-shingle sets at the same 0.8 threshold: prefix filtering
+  // (rarest-df-first ordering) keeps the exact form subquadratic.
+  // The oracle is the q18-style brute-force all-pairs jaccard with
+  // all-integer output (shared/union counts), so the compare is exact.
+  def q75SetSimJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // spread the shingle HOF
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    graft.dedup.SetSimJoin.jaccardJoin(sets, "doc_id", "sh", tNum = 8, tDen = 10)
+      .orderBy($"id_a", $"id_b")
+  }
+
   // First-order Markov transition matrix over per-user event
   // sequences: exact step counts + row-normalized probabilities. The
   // normalizing window runs on the |states|²-row aggregate, never on
@@ -1320,6 +1335,7 @@ object PipelineQueries {
     "q72_scd2" -> q72Scd2 _,
     "q73_pagerank" -> q73PageRank _,
     "q74_transitions" -> q74Transitions _,
+    "q75_setsim_join" -> q75SetSimJoin _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1559,6 +1575,15 @@ object PipelineQueries {
         | FROM csh a JOIN csh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 6) AS jac
         |FROM pairs WHERE jac >= 0.8 ORDER BY 1, 2""".stripMargin,
+    "q75_setsim_join" ->
+      s"""WITH $shingleSql,
+         |p AS (SELECT a.doc_id ida, b.doc_id idb,
+         |       len(list_intersect(a.sh, b.sh)) shared, len(a.sh) na, len(b.sh) nb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT ida AS id_a, idb AS id_b, CAST(shared AS BIGINT) shared,
+         | CAST(na + nb - shared AS BIGINT) un
+         |FROM p WHERE 10 * shared >= 8 * (na + nb - shared)
+         |ORDER BY id_a, id_b""".stripMargin,
     "q19_simhash_pairs" ->
       s"""WITH $shingleSql,
          |tokh AS (SELECT doc_id, CAST(concat('0x', substring(md5(unnest(sh)), 1, 15)) AS BIGINT) hv FROM sh),

@@ -1208,6 +1208,17 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // One-pass data profiling over lineitem: per-column row/null/exact
+  // distinct counts + numeric min/max (string columns profile length).
+  // One scan, one shuffle; the k count(distincts) ride Spark's Expand.
+  def q76Profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.ProfileStats.profile(
+        Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"))
+      .orderBy($"col_name")
+  }
+
   // EXACT shingle-set Jaccard self-join — the zero-recall-loss
   // counterpart of q18's MinHash-LSH banding, on the same
   // word-3-shingle sets at the same 0.8 threshold: prefix filtering
@@ -1336,6 +1347,7 @@ object PipelineQueries {
     "q73_pagerank" -> q73PageRank _,
     "q74_transitions" -> q74Transitions _,
     "q75_setsim_join" -> q75SetSimJoin _,
+    "q76_profile" -> q76Profile _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1757,6 +1769,23 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q76_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' col_name, count(*) n,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null,
+           | count(DISTINCT $c) n_distinct,
+           | CAST(min($c) AS DOUBLE) min_v, CAST(max($c) AS DOUBLE) max_v
+           |FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' col_name, count(*) n,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null,
+           | count(DISTINCT $c) n_distinct,
+           | CAST(min(length($c)) AS DOUBLE) min_v, CAST(max(length($c)) AS DOUBLE) max_v
+           |FROM lineitem""".stripMargin
+      Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+        str("l_returnflag"), str("l_linestatus"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q74_transitions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type FROM events),
         |st AS (SELECT event_type ft,

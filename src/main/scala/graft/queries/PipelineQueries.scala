@@ -1208,6 +1208,22 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Global equi-depth binning of the event metric (feature bucketing):
+  // 10 equal-population bins by exact global rank — computed with the
+  // two-phase range-repartition prefix sum, never a one-partition
+  // ntile window. Integerized metric; the oracle replays the identical
+  // row_number()-based bin assignment.
+  def q77EquiDepth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", floor($"value" * 1000).cast("long").as("vm"))
+    graft.operators.EquiDepth.bins(ev, "vm", "event_id", k = 10)
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_rows"), min($"vm").as("min_v"),
+        max($"vm").as("max_v"), sum($"vm").as("sum_v"))
+      .orderBy($"bin")
+  }
+
   // One-pass data profiling over lineitem: per-column row/null/exact
   // distinct counts + numeric min/max (string columns profile length).
   // One scan, one shuffle; the k count(distincts) ride Spark's Expand.
@@ -1348,6 +1364,7 @@ object PipelineQueries {
     "q74_transitions" -> q74Transitions _,
     "q75_setsim_join" -> q75SetSimJoin _,
     "q76_profile" -> q76Profile _,
+    "q77_equidepth" -> q77EquiDepth _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1769,6 +1786,13 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q77_equidepth" ->
+      """WITH b AS (SELECT event_id, CAST(floor(value * 1000) AS BIGINT) vm FROM events),
+        |r AS (SELECT event_id, vm, row_number() OVER (ORDER BY vm, event_id) rk,
+        |       (SELECT count(*) FROM b) n FROM b)
+        |SELECT CAST(((rk - 1) * 10) // n AS INTEGER) AS bin, count(*) n_rows,
+        | min(vm) min_v, max(vm) max_v, CAST(sum(vm) AS BIGINT) sum_v
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q76_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' col_name, count(*) n,

@@ -1208,6 +1208,28 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Small-file compaction end-to-end: the events table is deliberately
+  // shattered into 64 tiny files (a micro-batch sink's debris), then
+  // compacted to ~1 MiB targets via the shuffle-free coalesce path, and
+  // the QUERY reads the compacted copy — so the oracle (the same agg on
+  // the source table) proves the rewrite lost and duplicated nothing.
+  def q78Compact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = tempDir("graft-q78")
+    val frag = tmp.resolve("frag").toString
+    val packed = tmp.resolve("packed").toString
+    Tables.events(s, dir).select($"event_id", $"user_id", $"event_type", $"value")
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    val rpt = graft.operators.Compaction.compact(s, frag, packed, targetBytes = 1L << 20)
+    require(rpt.filesOut < rpt.filesIn,
+      s"compaction must shrink the file count (${rpt.filesIn} -> ${rpt.filesOut})")
+    graft.operators.Compaction.read(s, packed)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        sum(floor($"value" * 1000).cast("long")).as("sum_val_m"))
+      .orderBy($"event_type")
+  }
+
   // Global equi-depth binning of the event metric (feature bucketing):
   // 10 equal-population bins by exact global rank — computed with the
   // two-phase range-repartition prefix sum, never a one-partition
@@ -1365,6 +1387,7 @@ object PipelineQueries {
     "q75_setsim_join" -> q75SetSimJoin _,
     "q76_profile" -> q76Profile _,
     "q77_equidepth" -> q77EquiDepth _,
+    "q78_compact" -> q78Compact _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1786,6 +1809,10 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q78_compact" ->
+      """SELECT event_type, count(*) n, count(DISTINCT user_id) n_users,
+        | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) sum_val_m
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q77_equidepth" ->
       """WITH b AS (SELECT event_id, CAST(floor(value * 1000) AS BIGINT) vm FROM events),
         |r AS (SELECT event_id, vm, row_number() OVER (ORDER BY vm, event_id) rk,

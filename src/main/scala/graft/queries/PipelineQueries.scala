@@ -1208,6 +1208,22 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Z-order (Morton) keys over (user_id, metric): the two-dimensional
+  // clustering key that gives files tight bounding boxes on BOTH
+  // columns (ZOrderSpec proves the pruning). The key is pure integer
+  // bit math, so the oracle replays the spread-bits ladder exactly;
+  // `cell` is the coarse curve cell a layout would bucket by.
+  def q79Zorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        $"user_id".bitwiseAND(lit(65535L)).as("u16"),
+        floor($"value" * 1000).cast("long").bitwiseAND(lit(65535L)).as("v16"))
+      .select($"event_id", graft.operators.ZOrder.zValue2($"u16", $"v16").as("zkey"))
+      .withColumn("cell", shiftright($"zkey", 20).cast("long"))
+      .orderBy($"event_id")
+  }
+
   // Small-file compaction end-to-end: the events table is deliberately
   // shattered into 64 tiny files (a micro-batch sink's debris), then
   // compacted to ~1 MiB targets via the shuffle-free coalesce path, and
@@ -1388,6 +1404,7 @@ object PipelineQueries {
     "q76_profile" -> q76Profile _,
     "q77_equidepth" -> q77EquiDepth _,
     "q78_compact" -> q78Compact _,
+    "q79_zorder" -> q79Zorder _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1809,6 +1826,16 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q79_zorder" ->
+      """WITH b AS (SELECT event_id, user_id & 65535 u,
+        |        (CAST(floor(value * 1000) AS BIGINT) & 65535) v FROM events),
+        |s1 AS (SELECT event_id, (u | (u << 8)) & 16711935 u, (v | (v << 8)) & 16711935 v FROM b),
+        |s2 AS (SELECT event_id, (u | (u << 4)) & 252645135 u, (v | (v << 4)) & 252645135 v FROM s1),
+        |s3 AS (SELECT event_id, (u | (u << 2)) & 858993459 u, (v | (v << 2)) & 858993459 v FROM s2),
+        |s4 AS (SELECT event_id, (u | (u << 1)) & 1431655765 u, (v | (v << 1)) & 1431655765 v FROM s3)
+        |SELECT event_id, CAST(u | (v << 1) AS BIGINT) zkey,
+        | CAST((u | (v << 1)) >> 20 AS BIGINT) cell
+        |FROM s4 ORDER BY event_id""".stripMargin,
     "q78_compact" ->
       """SELECT event_type, count(*) n, count(DISTINCT user_id) n_users,
         | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) sum_val_m

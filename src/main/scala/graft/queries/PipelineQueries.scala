@@ -1208,6 +1208,21 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Pivot: the day × event_type metric matrix, with the pivot value
+  // list given EXPLICITLY — the scale-correct form (no collect-distinct
+  // pre-job; one shuffle on the grouping key; absent cells stay null).
+  // The oracle is the standard conditional-aggregation rewrite.
+  def q80Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        floor($"value" * 1000).cast("long").as("vm"))
+      .groupBy($"day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum($"vm"))
+      .orderBy($"day")
+  }
+
   // Z-order (Morton) keys over (user_id, metric): the two-dimensional
   // clustering key that gives files tight bounding boxes on BOTH
   // columns (ZOrderSpec proves the pruning). The key is pure integer
@@ -1405,6 +1420,7 @@ object PipelineQueries {
     "q77_equidepth" -> q77EquiDepth _,
     "q78_compact" -> q78Compact _,
     "q79_zorder" -> q79Zorder _,
+    "q80_pivot" -> q80Pivot _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1826,6 +1842,16 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q80_pivot" ->
+      """WITH b AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |        CAST(floor(value * 1000) AS BIGINT) vm FROM events)
+        |SELECT day,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN vm END) AS BIGINT) click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN vm END) AS BIGINT) error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN vm END) AS BIGINT) purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN vm END) AS BIGINT) signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN vm END) AS BIGINT) AS "view"
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q79_zorder" ->
       """WITH b AS (SELECT event_id, user_id & 65535 u,
         |        (CAST(floor(value * 1000) AS BIGINT) & 65535) v FROM events),

@@ -1208,6 +1208,20 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Pairwise Pearson correlation between the five event types' daily
+  // metric totals: exact BIGINT sufficient statistics (the series are
+  // integerized day aggregates), one fixed-shape double step at the
+  // end — the oracle replays the identical formula.
+  def q81Correlate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        floor($"value").cast("long").as("v"))
+      .groupBy($"day", $"event_type").agg(sum($"v").as("s"))
+    graft.operators.Correlate.pairwisePearson(daily, "day", "event_type", "s")
+      .orderBy($"series_a", $"series_b")
+  }
+
   // Pivot: the day × event_type metric matrix, with the pivot value
   // list given EXPLICITLY — the scale-correct form (no collect-distinct
   // pre-job; one shuffle on the grouping key; absent cells stay null).
@@ -1421,6 +1435,7 @@ object PipelineQueries {
     "q78_compact" -> q78Compact _,
     "q79_zorder" -> q79Zorder _,
     "q80_pivot" -> q80Pivot _,
+    "q81_correlate" -> q81Correlate _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1842,6 +1857,22 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q81_correlate" ->
+      """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type et,
+        |        CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) s
+        |       FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.et ta, b.et tb, count(*) n,
+        |       CAST(sum(a.s) AS BIGINT) sx, CAST(sum(b.s) AS BIGINT) sy,
+        |       CAST(sum(a.s * a.s) AS BIGINT) sxx, CAST(sum(b.s * b.s) AS BIGINT) syy,
+        |       CAST(sum(a.s * b.s) AS BIGINT) sxy
+        |      FROM d a JOIN d b ON a.day = b.day AND a.et < b.et GROUP BY 1, 2)
+        |SELECT ta AS series_a, tb AS series_b, n,
+        | CASE WHEN sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE) = 0
+        |      THEN NULL
+        |      ELSE round((n * sxy - sx * sy)::DOUBLE
+        |        / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+        | END r
+        |FROM p ORDER BY 1, 2""".stripMargin,
     "q80_pivot" ->
       """WITH b AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |        CAST(floor(value * 1000) AS BIGINT) vm FROM events)

@@ -1208,6 +1208,23 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Snapshot diff between two derived versions of the events table
+  // (deterministic edits: %5 deletions, %7 late arrivals, %3 value
+  // bumps): per-status counts + key checksums. One full-outer hash
+  // join; change detection is null-safe column compare on both engines.
+  def q82SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, dir)
+      .select($"event_id", $"event_type", floor($"value" * 1000).cast("long").as("vm"))
+    val old = base.filter($"event_id" % 7 =!= 0)
+    val neu = base.filter($"event_id" % 5 =!= 0)
+      .withColumn("vm", when($"event_id" % 3 === 0, $"vm" + 1).otherwise($"vm"))
+    graft.operators.SnapshotDiff.diff(old, neu, Seq("event_id"), Seq("event_type", "vm"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
+      .orderBy($"status")
+  }
+
   // Pairwise Pearson correlation between the five event types' daily
   // metric totals: exact BIGINT sufficient statistics (the series are
   // integerized day aggregates), one fixed-shape double step at the
@@ -1436,6 +1453,7 @@ object PipelineQueries {
     "q79_zorder" -> q79Zorder _,
     "q80_pivot" -> q80Pivot _,
     "q81_correlate" -> q81Correlate _,
+    "q82_snapshot_diff" -> q82SnapshotDiff _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1857,6 +1875,22 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q82_snapshot_diff" ->
+      """WITH base AS (SELECT event_id, event_type,
+        |        CAST(floor(value * 1000) AS BIGINT) vm FROM events),
+        |o AS (SELECT * FROM base WHERE event_id % 7 <> 0),
+        |nn AS (SELECT event_id, event_type,
+        |        CASE WHEN event_id % 3 = 0 THEN vm + 1 ELSE vm END vm
+        |       FROM base WHERE event_id % 5 <> 0),
+        |d AS (SELECT COALESCE(o.event_id, nn.event_id) id,
+        |       CASE WHEN o.event_id IS NULL THEN 'added'
+        |            WHEN nn.event_id IS NULL THEN 'removed'
+        |            WHEN o.event_type IS DISTINCT FROM nn.event_type
+        |              OR o.vm IS DISTINCT FROM nn.vm THEN 'changed'
+        |            ELSE 'unchanged' END status
+        |      FROM o FULL JOIN nn ON o.event_id = nn.event_id)
+        |SELECT status, count(*) n, CAST(sum(id) AS BIGINT) id_sum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q81_correlate" ->
       """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type et,
         |        CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) s

@@ -1208,6 +1208,39 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Skew-safe salted join: events (hot user keys) against a per-user
+  // cohort dim on (user_id, salt) with ×8 dim replication — the
+  // explicit planner-independent skew spread; SaltedJoinSpec proves
+  // result ≡ plain join and actual salt spread. The oracle is the
+  // unsalted join, so the compare IS the equivalence proof on real data.
+  def q84SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", floor($"value" * 1000).cast("long").as("vm"))
+    val dim = Tables.events(s, dir).select($"user_id", unix_millis($"ts").as("ms"))
+      .groupBy($"user_id").agg(expr("min(ms) div 86400000").as("cohort_day"))
+    graft.operators.SaltedJoin.inner(ev, dim, Seq("user_id"), replication = 8)
+      .groupBy($"event_type", $"cohort_day")
+      .agg(count(lit(1)).as("n"), sum($"vm").as("sum_vm"))
+      .orderBy($"event_type", $"cohort_day")
+  }
+
+  // Golden-record survivorship per user: latest non-null value per
+  // field — the metric is deliberately nulled on 'error' events, so
+  // "latest value" and "latest GOOD value" genuinely differ and the
+  // gaps-don't-erase rule is load-bearing. One algebraic struct-argmax
+  // aggregate; the oracle replays it as first-non-null-in-DESC-order.
+  def q83GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"event_type",
+        when($"event_type" =!= "error", floor($"value" * 1000).cast("long")).as("vm"))
+    graft.operators.Survivorship.goldenRecord(
+        ev, keyCol = "user_id", tsCol = "ms", tieCol = "event_id",
+        fields = Seq("event_type", "vm"))
+      .orderBy($"user_id")
+  }
+
   // Snapshot diff between two derived versions of the events table
   // (deterministic edits: %5 deletions, %7 late arrivals, %3 value
   // bumps): per-status counts + key checksums. One full-outer hash
@@ -1454,6 +1487,8 @@ object PipelineQueries {
     "q80_pivot" -> q80Pivot _,
     "q81_correlate" -> q81Correlate _,
     "q82_snapshot_diff" -> q82SnapshotDiff _,
+    "q83_golden_record" -> q83GoldenRecord _,
+    "q84_salted_join" -> q84SaltedJoin _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1875,6 +1910,22 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q84_salted_join" ->
+      """WITH d AS (SELECT user_id, min(epoch_ms(ts)) // 86400000 cohort_day
+        |       FROM events GROUP BY 1),
+        |e AS (SELECT user_id, event_type, CAST(floor(value * 1000) AS BIGINT) vm FROM events)
+        |SELECT event_type, cohort_day, count(*) n, CAST(sum(vm) AS BIGINT) sum_vm
+        |FROM e JOIN d USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q83_golden_record" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type,
+        |        CASE WHEN event_type <> 'error'
+        |             THEN CAST(floor(value * 1000) AS BIGINT) END vm
+        |       FROM events)
+        |SELECT user_id,
+        | (list(event_type ORDER BY ms DESC, event_id DESC))[1] last_event_type,
+        | (list_filter(list(vm ORDER BY ms DESC, event_id DESC), x -> x IS NOT NULL))[1] last_vm,
+        | min(ms) first_seen, max(ms) last_seen, count(*) n_rows
+        |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q82_snapshot_diff" ->
       """WITH base AS (SELECT event_id, event_type,
         |        CAST(floor(value * 1000) AS BIGINT) vm FROM events),

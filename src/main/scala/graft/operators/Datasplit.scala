@@ -140,4 +140,28 @@ object Datasplit {
       .withColumn("shard", expr(s"__start div ${capacity}L"))
       .drop("__pid", "__offset", "__start")
   }
+
+  /** Per-class example cap ("at most k per label" corpus balancing):
+    * keep the k rows of each label that sort first by the md5 hash of
+    * their id (+salt) — deterministic, stable under appends (a new row
+    * only displaces rows it out-hashes), and uncorrelated with any
+    * data attribute, unlike "first k by id". One window partitioned by
+    * label; per-task work is bounded by the largest class — for a
+    * billion-row single class, Bernoulli-prefilter at ~1.2·k/n first
+    * and cap the survivors.
+    */
+  def classCap(
+      df: DataFrame,
+      labelCol: String,
+      idCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val order = md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol)).orderBy(order, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

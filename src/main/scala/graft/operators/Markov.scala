@@ -39,4 +39,28 @@ object Markov {
         round(col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
   }
+
+  /** Length-`n` state-sequence counts (the order-(n−1) generalization
+    * of [[transitions]]): every run of n consecutive events per key,
+    * counted by its (s1, …, sn) signature. Same single key
+    * partitioning; the lead() chain stays in one window stage.
+    */
+  def sequenceCounts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, "sequences need length >= 2")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val withLeads = (1 until n).foldLeft(
+      events.withColumn("s1", col(typeCol))) { (df, i) =>
+      df.withColumn(s"s${i + 1}", lead(col(typeCol), i).over(byKey))
+    }
+    val seqCols = (1 to n).map(i => col(s"s$i"))
+    withLeads.filter(col(s"s$n").isNotNull)
+      .groupBy(seqCols: _*)
+      .agg(count(lit(1)).as("n"))
+  }
 }

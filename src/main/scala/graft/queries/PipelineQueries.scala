@@ -1208,6 +1208,47 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // SLIDING-window rates (1h window, 15m slide): each event lands in
+  // exactly 4 overlapping windows — the dashboard "rate over trailing
+  // hour, refreshed every 15 min" series. Spark's window() emits the
+  // epoch-aligned slide set; the oracle regenerates the same 4 window
+  // starts per event with integer math.
+  def q85SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"ts", $"event_type", floor($"value" * 1000).cast("long").as("vm"))
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"vm").as("sum_vm"))
+      .select(unix_millis($"window.start").as("ws"), $"event_type", $"n", $"sum_vm")
+      .orderBy($"ws", $"event_type")
+  }
+
+  // Order-2 sequence mining: counts of every length-3 event-type run
+  // per user — the n-gram generalization of the q74 transition matrix
+  // (one lead() chain in a single window stage, counts on the
+  // |states|³ aggregate). Full matrix output; exact counts.
+  def q86Trigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Markov.sequenceCounts(
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"event_type"),
+        keyCol = "user_id", tsCol = "ms", tieCol = "event_id",
+        typeCol = "event_type", n = 3)
+      .orderBy($"s1", $"s2", $"s3")
+  }
+
+  // Per-class example cap (corpus balancing): at most 40 docs per
+  // language, selected by md5-of-id order — deterministic, append-
+  // stable, attribute-independent. The oracle replays the identical
+  // hash-ordered row_number cut.
+  def q87ClassCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Datasplit.classCap(
+        Tables.documents(s, dir).select($"doc_id", $"lang"),
+        labelCol = "lang", idCol = "doc_id", k = 40)
+      .orderBy($"doc_id")
+  }
+
   // Skew-safe salted join: events (hot user keys) against a per-user
   // cohort dim on (user_id, salt) with ×8 dim replication — the
   // explicit planner-independent skew spread; SaltedJoinSpec proves
@@ -1489,6 +1530,9 @@ object PipelineQueries {
     "q82_snapshot_diff" -> q82SnapshotDiff _,
     "q83_golden_record" -> q83GoldenRecord _,
     "q84_salted_join" -> q84SaltedJoin _,
+    "q85_sliding_window" -> q85SlidingWindow _,
+    "q86_trigrams" -> q86Trigrams _,
+    "q87_class_cap" -> q87ClassCap _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1910,6 +1954,27 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q85_sliding_window" ->
+      """WITH e AS (SELECT epoch_ms(ts) ms, event_type,
+        |        CAST(floor(value * 1000) AS BIGINT) vm FROM events),
+        |w AS (SELECT (ms // 900000) * 900000 - k.k * 900000 ws, event_type, vm
+        |      FROM e, (SELECT unnest(range(0, 4)) k) k)
+        |SELECT ws, event_type, count(*) n, CAST(sum(vm) AS BIGINT) sum_vm
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q86_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type FROM events),
+        |t AS (SELECT event_type s1,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) s2,
+        |        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ms, event_id) s3
+        |       FROM e)
+        |SELECT s1, s2, s3, count(*) n FROM t WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q87_class_cap" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(doc_id::VARCHAR), doc_id) rn
+        |       FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
     "q84_salted_join" ->
       """WITH d AS (SELECT user_id, min(epoch_ms(ts)) // 86400000 cohort_day
         |       FROM events GROUP BY 1),

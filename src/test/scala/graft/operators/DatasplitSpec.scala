@@ -76,4 +76,25 @@ class DatasplitSpec extends SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString()
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("classCap: at most k per label, deterministic, append-stable") {
+    val df = (1L to 100L).map(i => (i, s"lang${i % 3}")).toDF("id", "label")
+    val capped = Datasplit.classCap(df, "label", "id", k = 10)
+      .as[(Long, String)].collect().toSet
+    val sizes = capped.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.values.forall(_ == 10) && capped.size == 30)
+    // determinism
+    assert(Datasplit.classCap(df, "label", "id", k = 10)
+      .as[(Long, String)].collect().toSet == capped)
+    // append stability: adding rows only displaces rows they out-hash —
+    // survivors of the bigger corpus that existed before are a subset
+    // of {old survivors} ∪ {new rows}
+    val bigger = (1L to 130L).map(i => (i, s"lang${i % 3}")).toDF("id", "label")
+    val capped2 = Datasplit.classCap(bigger, "label", "id", k = 10)
+      .as[(Long, String)].collect().toSet
+    assert(capped2.forall(r => r._1 > 100L || capped.contains(r)))
+    // a label with fewer than k rows keeps everything
+    val sparse = Seq((1L, "rare"), (2L, "rare")).toDF("id", "label")
+    assert(Datasplit.classCap(sparse, "label", "id", 10).count() == 2)
+  }
 }

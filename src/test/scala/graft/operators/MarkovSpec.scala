@@ -27,6 +27,16 @@ class MarkovSpec extends SparkTestBase {
     assert(out == Map(("a", "b") -> ((1L, 1.0))))
   }
 
+  test("sequenceCounts counts length-3 runs per key, never across keys") {
+    val out = Markov.sequenceCounts(Seq(
+        (1L, 10L, 0L, "a"), (1L, 20L, 0L, "b"), (1L, 30L, 0L, "c"), (1L, 40L, 0L, "a"),
+        (2L, 10L, 0L, "a"), (2L, 20L, 0L, "b") // too short for a trigram
+      ).toDF("k", "ms", "tie", "et"), "k", "ms", "tie", "et", n = 3)
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(out == Map(("a", "b", "c") -> 1L, ("b", "c", "a") -> 1L))
+  }
+
   test("per-state probabilities sum to ~1") {
     val out = run(Seq(
       (1L, 1L, 0L, "x"), (1L, 2L, 0L, "y"), (1L, 3L, 0L, "x"),

@@ -1208,6 +1208,27 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Mergeable histogram-sketch table → range percentiles: per-day
+  // fixed-width bin counts land in a parquet "sketch table" (q25
+  // pattern), then a 16-day range is answered by MERGING parts —
+  // never rescanning raw events. Unlike the HLL table (q70), bins and
+  // estimates are pure integer math, so the oracle replays sketch,
+  // merge, and estimate exactly; the ±width/2 value error is the
+  // operator's stated contract, checked in HistogramSketchSpec.
+  def q88RangeQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = tempDir("graft-q88").resolve("hist").toString
+    val ev = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        floor($"value" * 1000).cast("long").as("vm"))
+    graft.operators.HistogramSketch.parts(ev, "day", "vm", width = 1000L)
+      .write.mode("overwrite").parquet(tmp)
+    val parts = s.read.parquet(tmp)
+      .filter($"day".between(19727L, 19742L)) // 2024-01-05 .. 2024-01-20
+    graft.operators.HistogramSketch.quantiles(parts, width = 1000L, ps = Seq(50, 90, 99))
+      .orderBy($"p")
+  }
+
   // SLIDING-window rates (1h window, 15m slide): each event lands in
   // exactly 4 overlapping windows — the dashboard "rate over trailing
   // hour, refreshed every 15 min" series. Spark's window() emits the
@@ -1533,6 +1554,7 @@ object PipelineQueries {
     "q85_sliding_window" -> q85SlidingWindow _,
     "q86_trigrams" -> q86Trigrams _,
     "q87_class_cap" -> q87ClassCap _,
+    "q88_range_quantiles" -> q88RangeQuantiles _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1954,6 +1976,17 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q88_range_quantiles" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |        CAST(floor(value * 1000) AS BIGINT) vm FROM events),
+        |h AS (SELECT vm // 1000 bin, count(*) n FROM e
+        |      WHERE day BETWEEN 19727 AND 19742 GROUP BY 1),
+        |c AS (SELECT bin, sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) cum,
+        |       (SELECT sum(n) FROM h) total FROM h)
+        |SELECT p.p, CAST(min(bin) * 1000 + 500 AS BIGINT) est
+        |FROM c, (SELECT unnest([50, 90, 99]) p) p
+        |WHERE cum >= (p.p * total + 99) // 100
+        |GROUP BY 1 ORDER BY p""".stripMargin,
     "q85_sliding_window" ->
       """WITH e AS (SELECT epoch_ms(ts) ms, event_type,
         |        CAST(floor(value * 1000) AS BIGINT) vm FROM events),

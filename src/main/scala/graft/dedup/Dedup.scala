@@ -188,13 +188,19 @@ object Dedup {
     // shingle granularity is pluggable: word k-shingles by default,
     // charShingles(_, n) for the character-n-gram Jaccard family
     val mkShingles = shingleFn.getOrElse((c: Column) => shingles(c, shingleK))
-    // signature hash source likewise: by default xxhash64 of each verify
-    // shingle; a native hasher (e.g. graft_ngram_hashes, which never
-    // materializes gram strings) may replace it as long as it hashes the
-    // same gram identities — duplicates are fine, the per-slot min is
+    // default hash source: the native one-byte-pass word-shingle hasher
+    // (bit-identical values to xxhash64 of the HOF shingle strings,
+    // WordShingleHashSpec; multiset not set — MinHash's per-slot min is
+    // duplicate-insensitive). The HOF fallback only runs for custom
+    // shingleFns without a matching hashesFn.
+    val defaultHashes: Column => Column =
+      if (shingleFn.isEmpty) c => graft.plans.GraftFunctions.wordShingleHashes(c, shingleK)
+      else c => transform(mkShingles(c), s => xxhash64(s))
+    // signature hash source: a caller-supplied native hasher (e.g.
+    // graft_ngram_hashes) must hash the same gram identities as its
+    // shingleFn; duplicates are fine, the per-slot min is
     // multiset-insensitive
-    val mkHashes = hashesFn.getOrElse(
-      (c: Column) => transform(mkShingles(c), s => xxhash64(s)))
+    val mkHashes = hashesFn.getOrElse(defaultHashes)
     // Spread the signature computation: a small source file arrives as
     // ONE input partition, which would serialize the (CPU-heavy) shingle
     // hashing on a single core. One cheap round-robin exchange of the

@@ -124,6 +124,14 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_ngram_hashes n argument must be an integer literal, got $other")
       }),
+    (FunctionIdentifier("graft_word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_word_shingle_hashes"),
+      (args: Seq[Expression]) => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+          WordShingleHashes(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_word_shingle_hashes k argument must be an integer literal, got $other")
+      }),
     (FunctionIdentifier("graft_sig_agreement"),
       new ExpressionInfo(classOf[ArraySigAgreement].getName, "graft_sig_agreement"),
       (args: Seq[Expression]) => ArraySigAgreement(args(0), args(1))))
@@ -143,6 +151,12 @@ object GraftFunctions {
     * (see [[CharNgramHashes]]).
     */
   def ngramHashes(text: Column, n: Int): Column = CharNgramHashes.ngramHashes(text, n)
+
+  /** Word-k-shingle hashes of a string, one byte pass, zero-copy for
+    * single-spaced text (see [[WordShingleHashes]]).
+    */
+  def wordShingleHashes(text: Column, k: Int): Column =
+    WordShingleHashes.wordShingleHashes(text, k)
 
   /** Imperative registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = functions.foreach {

@@ -38,6 +38,14 @@ object PageRank {
     * collapse (simple-graph semantics); self-loops count as ordinary
     * out-edges. Nodes appearing only as destinations are ranked too
     * (they dangle). N is the distinct node count.
+    *
+    * Lineage handling: static frames (edges/outdeg/nodes) persist —
+    * their plans never grow, an eager checkpoint would only pay an
+    * extra materialization job each. The rank frame's plan grows ~3×
+    * per iteration, so it is hard-truncated every `truncateEvery`
+    * iterations (measured: per-iteration eager checkpoints made the
+    * whole run 5× slower at 3 iterations, while pure laziness lets
+    * Catalyst reuse the per-iteration exchanges inside one job).
     */
   def ranks(
       edges: DataFrame,
@@ -47,16 +55,19 @@ object PageRank {
       dampNum: Long = 85L,
       dampDen: Long = 100L,
       scale: Long = 1000000000000L,
+      truncateEvery: Int = 4,
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
-    val e = truncate(edges
+    require(truncateEvery >= 1, "truncateEvery must be >= 1")
+    val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .repartition(col("src"))
-      .distinct())
-    val outdeg = truncate(e.groupBy("src").agg(count(lit(1)).as("deg")))
-    val nodes = truncate(
-      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+      .distinct()
+      .persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct().persist()
 
     // N, and the two literals derived from it, are scalars fixed for the
     // whole run — the one driver-side value this operator ever sees.
@@ -64,8 +75,8 @@ object PageRank {
     val r0 = scale / n
     val base = (dampDen - dampNum) * r0 / dampDen
 
-    var ranks = truncate(nodes.withColumn("r", lit(r0)))
-    for (_ <- 1 to iterations) {
+    var ranks = nodes.withColumn("r", lit(r0))
+    for (it <- 1 to iterations) {
       val share = ranks.join(outdeg, ranks("node") === outdeg("src"))
         .select(col("node"), expr("r div deg").as("share"))
       val contrib = e.join(share, e("src") === share("node"))
@@ -74,13 +85,14 @@ object PageRank {
       // outdeg-0 nodes: their whole mass returns uniformly
       val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-      ranks = truncate(ranks.select(col("node"))
+      ranks = ranks.select(col("node"))
         .join(contrib, col("node") === col("cnode"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit(base) + expr(
             s"($dampNum * (coalesce(contrib, 0L) + (dang div $n))) div $dampDen"))
-            .as("r")))
+            .as("r"))
+      if (it % truncateEvery == 0 && it < iterations) ranks = truncate(ranks)
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

@@ -41,6 +41,10 @@ class PageRankSpec extends SparkTestBase {
     assert(run(g, 4) == serial(g, 4))
   }
 
+  test("periodic lineage truncation (9 iterations crosses it twice) stays exact") {
+    assert(run(g, 9) == serial(g, 9))
+  }
+
   test("dangling mass returns uniformly — sink-heavy graph keeps total mass") {
     // star into a sink: without dangling redistribution the sink would
     // absorb everything and total mass would decay by ~85% per round

@@ -1208,6 +1208,41 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Chunk → reassemble round trip: documents sharded into 64-char
+  // chunks (the context-window primitive), processed row-parallel,
+  // then reassembled in chunk order; md5 of the reassembled text vs
+  // md5 of the UNTOUCHED source is the identity proof — the oracle
+  // never sees the chunking at all.
+  def q90ChunkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = graft.text.Chunker.chunk(
+      Tables.documents(s, dir).select($"doc_id", $"text"), "doc_id", "text", chunkChars = 64)
+    val stats = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+    graft.text.Chunker.reassemble(chunks, "doc_id", "chunk_ix", "chunk")
+      .join(stats, "doc_id")
+      .select($"doc_id", $"n_chunks", length($"text").cast("long").as("len"),
+        md5($"text".cast("binary")).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  // Interval union (coverage islands): every event projects a 30-min
+  // activity span; overlapping/touching spans merge into maximal
+  // covered islands per user — running-max-end gaps-and-islands on one
+  // key partitioning. Output is per-user coverage stats, all integer.
+  def q89IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spans = Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("s_ms"),
+        (unix_millis($"ts") + lit(1800000L)).as("e_ms"))
+    graft.operators.Intervals.merge(spans, "user_id", "s_ms", "e_ms", "event_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"island_end" - $"island_start").as("covered_ms"),
+        max($"island_end" - $"island_start").as("longest_ms"),
+        sum($"n_merged").as("n_spans"))
+      .orderBy($"user_id")
+  }
+
   // Mergeable histogram-sketch table → range percentiles: per-day
   // fixed-width bin counts land in a parquet "sketch table" (q25
   // pattern), then a 16-day range is answered by MERGING parts —
@@ -1555,6 +1590,8 @@ object PipelineQueries {
     "q86_trigrams" -> q86Trigrams _,
     "q87_class_cap" -> q87ClassCap _,
     "q88_range_quantiles" -> q88RangeQuantiles _,
+    "q89_interval_merge" -> q89IntervalMerge _,
+    "q90_chunk_roundtrip" -> q90ChunkRoundtrip _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1976,6 +2013,24 @@ object PipelineQueries {
         |FROM v JOIN b ON v.user_id = b.user_id
         |  AND b_ms > v_ms AND b_ms <= v_ms + 3600000
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q90_chunk_roundtrip" ->
+      """SELECT doc_id,
+        | greatest((length(text) + 63) // 64, 1) n_chunks,
+        | length(text) len, md5(text) fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q89_interval_merge" ->
+      """WITH sp AS (SELECT user_id, event_id, epoch_ms(ts) s_ms,
+        |        epoch_ms(ts) + 1800000 e_ms FROM events),
+        |o AS (SELECT *, max(e_ms) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pme FROM sp),
+        |f AS (SELECT *, CASE WHEN pme IS NULL OR s_ms > pme THEN 1 ELSE 0 END op FROM o),
+        |g AS (SELECT *, sum(op) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+        |        ROWS UNBOUNDED PRECEDING) island FROM f),
+        |i AS (SELECT user_id, island, min(s_ms) st, max(e_ms) en, count(*) nm
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) n_islands, CAST(sum(en - st) AS BIGINT) covered_ms,
+        | CAST(max(en - st) AS BIGINT) longest_ms, CAST(sum(nm) AS BIGINT) n_spans
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q88_range_quantiles" ->
       """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |        CAST(floor(value * 1000) AS BIGINT) vm FROM events),

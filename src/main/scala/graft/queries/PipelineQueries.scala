@@ -1208,6 +1208,37 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // STREAMING SCD2 maintenance end-to-end: the event table arrives in
+  // TWO deliveries (event_id parity) on one checkpoint; each
+  // availableNow run lands its batch idempotently in the history spool
+  // and rebuilds ONLY the touched key buckets of the dimension
+  // (dynamic partition overwrite). The oracle is q72's batch SQL over
+  // the whole table — the incrementally-maintained dim must equal the
+  // full rebuild exactly.
+  def q91StreamScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"event_type")
+    val tmp = tempDir("graft-q91")
+    val src = tmp.resolve("src").toString
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    for (parity <- 0 to 1) {
+      ev.filter($"event_id" % 2 === parity).write.mode("append").parquet(src)
+      val stream = s2.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 100000).parquet(src)
+      graft.operators.Scd2.maintainStream(stream,
+        keyCol = "user_id", tsCol = "ms", valueCol = "event_type", tieCol = "event_id",
+        spoolPath = tmp.resolve("spool").toString,
+        dimPath = tmp.resolve("dim").toString,
+        checkpoint = tmp.resolve("ckpt").toString).awaitTermination()
+    }
+    s.read.parquet(tmp.resolve("dim").toString)
+      .select($"user_id", $"value", $"valid_from", $"valid_to", $"n_events",
+        $"is_current".cast("long").as("is_current"))
+      .orderBy($"user_id", $"valid_from", $"value")
+  }
+
   // Chunk → reassemble round trip: documents sharded into 64-char
   // chunks (the context-window primitive), processed row-parallel,
   // then reassembled in chunk order; md5 of the reassembled text vs
@@ -1592,6 +1623,7 @@ object PipelineQueries {
     "q88_range_quantiles" -> q88RangeQuantiles _,
     "q89_interval_merge" -> q89IntervalMerge _,
     "q90_chunk_roundtrip" -> q90ChunkRoundtrip _,
+    "q91_stream_scd2" -> q91StreamScd2 _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1612,6 +1644,23 @@ object PipelineQueries {
   /** DuckDB word-3-shingle expression over `text` (mirrors
     * Dedup.shingles: slice-of-3 concat, distinct, clamped at the end).
     */
+  /** Batch SCD2 gaps-and-islands — shared by q72 (batch build) and q91
+    * (streaming maintenance: the maintained dim must equal this).
+    */
+  private val scd2OracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type FROM events),
+      |l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) prev FROM e),
+      |r AS (SELECT *, sum(CASE WHEN prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) run FROM l),
+      |g AS (SELECT user_id, run, min(event_type) AS value, min(ms) valid_from,
+      |        count(*) n_events FROM r GROUP BY 1, 2),
+      |v AS (SELECT user_id, value, valid_from,
+      |        lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) valid_to, n_events FROM g)
+      |SELECT user_id, value, valid_from, valid_to,
+      | CAST(n_events AS BIGINT) n_events,
+      | CAST(valid_to IS NULL AS BIGINT) is_current
+      |FROM v ORDER BY user_id, valid_from, value""".stripMargin
+
   private val shingleSql: String =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
       |sh AS (SELECT doc_id,
@@ -2199,19 +2248,10 @@ object PipelineQueries {
         |        + (85 * (COALESCE(c3.c, 0) + (SELECT ds FROM d3))) // 100 r
         |       FROM nd LEFT JOIN c3 ON c3.node = nd.node)
         |SELECT node, CAST(r AS BIGINT) AS pr FROM i3 ORDER BY node""".stripMargin,
-    "q72_scd2" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type FROM events),
-        |l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) prev FROM e),
-        |r AS (SELECT *, sum(CASE WHEN prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
-        |        OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) run FROM l),
-        |g AS (SELECT user_id, run, min(event_type) AS value, min(ms) valid_from,
-        |        count(*) n_events FROM r GROUP BY 1, 2),
-        |v AS (SELECT user_id, value, valid_from,
-        |        lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) valid_to, n_events FROM g)
-        |SELECT user_id, value, valid_from, valid_to,
-        | CAST(n_events AS BIGINT) n_events,
-        | CAST(valid_to IS NULL AS BIGINT) is_current
-        |FROM v ORDER BY user_id, valid_from, value""".stripMargin,
+    // q91's sink is the incrementally-maintained dimension; its oracle
+    // is exactly the batch rebuild q72 proves
+    "q91_stream_scd2" -> scd2OracleSql,
+    "q72_scd2" -> scd2OracleSql,
     "q66_retention_cohorts" ->
       """WITH e AS (SELECT user_id u, epoch_ms(ts) ms FROM events),
         |f AS (SELECT u, min(ms) fm FROM e GROUP BY 1)

@@ -1208,6 +1208,28 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Write-audit-publish end-to-end: the daily event rollup is staged,
+  // audited (non-empty, no null keys, exact row-count reconciliation
+  // against the source), and atomically swapped live; the QUERY reads
+  // the PUBLISHED table, so the oracle (the same rollup straight from
+  // the source) proves the staged→live swap preserved every row.
+  def q92Wap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val live = tempDir("graft-q92").resolve("rollup").toString
+    val src = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), $"event_type",
+        floor($"value" * 1000).cast("long").as("vm"))
+    val rollup = src.groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"vm").as("sum_vm"))
+    val expected = src.count()
+    val rpt = graft.operators.Publish.writeAuditPublish(s, rollup, live, Seq(
+      "non_empty" -> (d => d.count() > 0),
+      "no_null_keys" -> (d => d.filter($"day".isNull || $"event_type".isNull).count() == 0),
+      "reconciles" -> (d => d.agg(sum($"n")).as[Long].head() == expected)))
+    require(rpt.published, s"audit failed: ${rpt.failed}")
+    s.read.parquet(live).orderBy($"day", $"event_type")
+  }
+
   // STREAMING SCD2 maintenance end-to-end: the event table arrives in
   // TWO deliveries (event_id parity) on one checkpoint; each
   // availableNow run lands its batch idempotently in the history spool
@@ -1624,6 +1646,7 @@ object PipelineQueries {
     "q89_interval_merge" -> q89IntervalMerge _,
     "q90_chunk_roundtrip" -> q90ChunkRoundtrip _,
     "q91_stream_scd2" -> q91StreamScd2 _,
+    "q92_wap" -> q92Wap _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2248,6 +2271,10 @@ object PipelineQueries {
         |        + (85 * (COALESCE(c3.c, 0) + (SELECT ds FROM d3))) // 100 r
         |       FROM nd LEFT JOIN c3 ON c3.node = nd.node)
         |SELECT node, CAST(r AS BIGINT) AS pr FROM i3 ORDER BY node""".stripMargin,
+    "q92_wap" ->
+      """SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+        | count(*) n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) sum_vm
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q91's sink is the incrementally-maintained dimension; its oracle
     // is exactly the batch rebuild q72 proves
     "q91_stream_scd2" -> scd2OracleSql,

@@ -1208,6 +1208,26 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Schema-evolution union: three "generations" of the events table
+  // (v1 without value, v2 with value, v3 with value + a props flag)
+  // merged by column name with null-fill and provenance tags — then
+  // audited per source. The oracle is the explicit UNION ALL with
+  // NULL-padded columns.
+  def q93SchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, dir)
+      .select($"event_id", $"event_type", floor($"value" * 1000).cast("long").as("vm"),
+        get_json_object($"props", "$.k").cast("long").as("k"))
+    val v1 = base.filter($"event_id" % 3 === 0).select($"event_id", $"event_type")
+    val v2 = base.filter($"event_id" % 3 === 1).select($"event_id", $"event_type", $"vm")
+    val v3 = base.filter($"event_id" % 3 === 2)
+    graft.operators.SchemaMerge.unionEvolved(Seq("v1" -> v1, "v2" -> v2, "v3" -> v3))
+      .groupBy($"__source", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"vm").as("sum_vm"),
+        count($"vm").as("n_vm"), count($"k").as("n_k"))
+      .orderBy($"__source", $"event_type")
+  }
+
   // Write-audit-publish end-to-end: the daily event rollup is staged,
   // audited (non-empty, no null keys, exact row-count reconciliation
   // against the source), and atomically swapped live; the QUERY reads
@@ -1647,6 +1667,7 @@ object PipelineQueries {
     "q90_chunk_roundtrip" -> q90ChunkRoundtrip _,
     "q91_stream_scd2" -> q91StreamScd2 _,
     "q92_wap" -> q92Wap _,
+    "q93_schema_merge" -> q93SchemaMerge _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2271,6 +2292,22 @@ object PipelineQueries {
         |        + (85 * (COALESCE(c3.c, 0) + (SELECT ds FROM d3))) // 100 r
         |       FROM nd LEFT JOIN c3 ON c3.node = nd.node)
         |SELECT node, CAST(r AS BIGINT) AS pr FROM i3 ORDER BY node""".stripMargin,
+    "q93_schema_merge" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |        CAST(floor(value * 1000) AS BIGINT) vm,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) k
+        |       FROM events),
+        |u AS (
+        | SELECT 'v1' AS __source, event_type, CAST(NULL AS BIGINT) vm,
+        |        CAST(NULL AS BIGINT) k FROM b WHERE event_id % 3 = 0
+        | UNION ALL
+        | SELECT 'v2', event_type, vm, CAST(NULL AS BIGINT) FROM b WHERE event_id % 3 = 1
+        | UNION ALL
+        | SELECT 'v3', event_type, vm, k FROM b WHERE event_id % 3 = 2)
+        |SELECT __source, event_type, count(*) n,
+        | CAST(sum(vm) AS BIGINT) sum_vm,
+        | CAST(count(vm) AS BIGINT) n_vm, CAST(count(k) AS BIGINT) n_k
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q92_wap" ->
       """SELECT epoch_ms(ts) // 86400000 AS day, event_type,
         | count(*) n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) sum_vm

@@ -1208,6 +1208,19 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Exact-integer k-means over the embedding corpus: 4 clusters, 2
+  // Lloyd iterations (init = 4 smallest vec_ids, integer squared-L2,
+  // floor-div centroid means) — every step deterministic, so the
+  // oracle unrolls both iterations in SQL and the ASSIGNMENTS compare
+  // exactly, not approximately.
+  def q94Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.similarity.KMeans.assign(
+        Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+        idCol = "vec_id", vecCol = "embedding", k = 4, iterations = 2)
+      .orderBy($"vec_id")
+  }
+
   // Schema-evolution union: three "generations" of the events table
   // (v1 without value, v2 with value, v3 with value + a props flag)
   // merged by column name with null-fill and provenance tags — then
@@ -1668,6 +1681,7 @@ object PipelineQueries {
     "q91_stream_scd2" -> q91StreamScd2 _,
     "q92_wap" -> q92Wap _,
     "q93_schema_merge" -> q93SchemaMerge _,
+    "q94_kmeans" -> q94Kmeans _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2292,6 +2306,31 @@ object PipelineQueries {
         |        + (85 * (COALESCE(c3.c, 0) + (SELECT ds FROM d3))) // 100 r
         |       FROM nd LEFT JOIN c3 ON c3.node = nd.node)
         |SELECT node, CAST(r AS BIGINT) AS pr FROM i3 ORDER BY node""".stripMargin,
+    "q94_kmeans" ->
+      """WITH iv AS (SELECT vec_id, unnest(embedding) e,
+        |        generate_subscripts(embedding, 1) i FROM embeddings),
+        |vm AS (SELECT vec_id, i, CAST(floor(e::DOUBLE * 10000000) AS BIGINT) x FROM iv),
+        |c0 AS (SELECT vec_id AS cluster, i, x cx FROM vm WHERE vec_id < 4),
+        |d1 AS (SELECT vm.vec_id, c0.cluster,
+        |        CAST(sum((vm.x - c0.cx) * (vm.x - c0.cx)) AS BIGINT) dist
+        |       FROM vm JOIN c0 USING (i) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |        SELECT vec_id, cluster,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) rn
+        |        FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a1.cluster, vm.i, CAST(sum(vm.x) AS BIGINT) s, count(*) n
+        |       FROM a1 JOIN vm USING (vec_id) GROUP BY 1, 2),
+        |cv1 AS (SELECT cluster, i, s // n cx FROM s1),
+        |c1 AS (SELECT c0.cluster, c0.i, COALESCE(cv1.cx, c0.cx) cx
+        |       FROM c0 LEFT JOIN cv1 ON cv1.cluster = c0.cluster AND cv1.i = c0.i),
+        |d2 AS (SELECT vm.vec_id, c1.cluster,
+        |        CAST(sum((vm.x - c1.cx) * (vm.x - c1.cx)) AS BIGINT) dist
+        |       FROM vm JOIN c1 USING (i) GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |        SELECT vec_id, cluster,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) rn
+        |        FROM d2) WHERE rn = 1)
+        |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
     "q93_schema_merge" ->
       """WITH b AS (SELECT event_id, event_type,
         |        CAST(floor(value * 1000) AS BIGINT) vm,

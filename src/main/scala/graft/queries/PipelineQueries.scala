@@ -1208,6 +1208,30 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Hybrid search: the q64 TF-IDF lexical ranking and a brute-force
+  // cosine ranking (query vec 4) fused by reciprocal-rank fusion —
+  // only ranks enter, so incomparable score scales don't matter, and
+  // the fixed two-operand fusion sum lets the oracle replay both
+  // rankings and the fusion exactly. (doc_id and vec_id share the
+  // 0..N-1 id space in the driver corpus — documents ↔ embeddings.)
+  def q95HybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byScore = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"id")
+    val text = graft.text.Tfidf.searchTopK(Tables.documents(s, dir),
+        "doc_id", "text", Seq("spark", "shuffle", "dup"), k = 20)
+      .select($"doc_id".as("id"), $"score")
+      .withColumn("rank", row_number().over(byScore)) // 20-row frame
+      .select($"id", $"rank")
+    val emb = Tables.embeddings(s, dir)
+    val vec = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" === 4).select($"embedding".as("qvec")), k = 20)
+      .select($"vec_id".as("id"), $"cos".as("score"))
+      .withColumn("rank", row_number().over(byScore)) // 20-row frame
+      .select($"id", $"rank")
+    graft.operators.RankFusion.rrf(Seq(text, vec), "id", "rank", k0 = 60, topK = 20)
+  }
+
   // Exact-integer k-means over the embedding corpus: 4 clusters, 2
   // Lloyd iterations (init = 4 smallest vec_ids, integer squared-L2,
   // floor-div centroid means) — every step deterministic, so the
@@ -1682,6 +1706,7 @@ object PipelineQueries {
     "q92_wap" -> q92Wap _,
     "q93_schema_merge" -> q93SchemaMerge _,
     "q94_kmeans" -> q94Kmeans _,
+    "q95_hybrid_search" -> q95HybridSearch _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2306,6 +2331,35 @@ object PipelineQueries {
         |        + (85 * (COALESCE(c3.c, 0) + (SELECT ds FROM d3))) // 100 r
         |       FROM nd LEFT JOIN c3 ON c3.node = nd.node)
         |SELECT node, CAST(r AS BIGINT) AS pr FROM i3 ORDER BY node""".stripMargin,
+    "q95_hybrid_search" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |stats AS (SELECT count(*) n,
+        |  sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) df0,
+        |  sum(CASE WHEN list_contains(tk, 'shuffle') THEN 1 ELSE 0 END) df1,
+        |  sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) df2
+        | FROM toks),
+        |scored AS (SELECT doc_id,
+        |  round(
+        |   len(list_filter(tk, x -> x = 'spark'))::DOUBLE * (ln((n + 1.0) / (df0 + 1.0)) + 1.0)
+        |   + len(list_filter(tk, x -> x = 'shuffle'))::DOUBLE * (ln((n + 1.0) / (df1 + 1.0)) + 1.0)
+        |   + len(list_filter(tk, x -> x = 'dup'))::DOUBLE * (ln((n + 1.0) / (df2 + 1.0)) + 1.0), 6) score
+        | FROM toks, stats),
+        |tr AS (SELECT doc_id id, row_number() OVER (ORDER BY score DESC, doc_id) rnk
+        |       FROM (SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |q AS (SELECT v qv FROM e WHERE vec_id = 4),
+        |cs AS (SELECT vec_id,
+        |        round(list_dot_product(v, qv)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) cos
+        |       FROM e, q),
+        |vr AS (SELECT vec_id id, row_number() OVER (ORDER BY cos DESC, vec_id) rnk
+        |       FROM (SELECT * FROM cs ORDER BY cos DESC, vec_id LIMIT 20))
+        |SELECT id, round(COALESCE(1.0 / (60 + tr.rnk), 0.0)
+        |         + COALESCE(1.0 / (60 + vr.rnk), 0.0), 6) rrf,
+        | CAST((CASE WHEN tr.rnk IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN vr.rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n_sources
+        |FROM tr FULL JOIN vr USING (id)
+        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "q94_kmeans" ->
       """WITH iv AS (SELECT vec_id, unnest(embedding) e,
         |        generate_subscripts(embedding, 1) i FROM embeddings),

@@ -1208,6 +1208,15 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // BM25 ranked search (the Lucene-default scorer): saturating tf +
+  // document-length normalization over the same zero-explode stats
+  // shape as q64 — one single-row aggregate (now also carrying Σ dl
+  // for avgdl), broadcast back, row-local scoring, TakeOrdered.
+  def q96Bm25(s: SparkSession, dir: String): DataFrame = {
+    graft.text.Tfidf.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      Seq("spark", "shuffle", "dup"), k = 20)
+  }
+
   // Hybrid search: the q64 TF-IDF lexical ranking and a brute-force
   // cosine ranking (query vec 4) fused by reciprocal-rank fusion —
   // only ranks enter, so incomparable score scales don't matter, and
@@ -1707,6 +1716,7 @@ object PipelineQueries {
     "q93_schema_merge" -> q93SchemaMerge _,
     "q94_kmeans" -> q94Kmeans _,
     "q95_hybrid_search" -> q95HybridSearch _,
+    "q96_bm25" -> q96Bm25 _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2331,6 +2341,32 @@ object PipelineQueries {
         |        + (85 * (COALESCE(c3.c, 0) + (SELECT ds FROM d3))) // 100 r
         |       FROM nd LEFT JOIN c3 ON c3.node = nd.node)
         |SELECT node, CAST(r AS BIGINT) AS pr FROM i3 ORDER BY node""".stripMargin,
+    // BM25 shapes mirror the Column chain exactly; note (1.2 + 1.0),
+    // NOT 2.2 — the folded sum differs from the literal by one ulp
+    "q96_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |stats AS (SELECT count(*) n, CAST(sum(len(tk)) AS BIGINT) sum_dl,
+        |  sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) df0,
+        |  sum(CASE WHEN list_contains(tk, 'shuffle') THEN 1 ELSE 0 END) df1,
+        |  sum(CASE WHEN list_contains(tk, 'dup') THEN 1 ELSE 0 END) df2
+        | FROM toks),
+        |scored AS (SELECT doc_id,
+        |  round(
+        |   ln(1.0 + (n::DOUBLE - df0::DOUBLE + 0.5) / (df0::DOUBLE + 0.5))
+        |    * (len(list_filter(tk, x -> x = 'spark'))::DOUBLE * (1.2 + 1.0))
+        |    / (len(list_filter(tk, x -> x = 'spark'))::DOUBLE
+        |       + 1.2 * (1.0 - 0.75 + 0.75 * len(tk)::DOUBLE / (sum_dl::DOUBLE / n::DOUBLE)))
+        |   + ln(1.0 + (n::DOUBLE - df1::DOUBLE + 0.5) / (df1::DOUBLE + 0.5))
+        |    * (len(list_filter(tk, x -> x = 'shuffle'))::DOUBLE * (1.2 + 1.0))
+        |    / (len(list_filter(tk, x -> x = 'shuffle'))::DOUBLE
+        |       + 1.2 * (1.0 - 0.75 + 0.75 * len(tk)::DOUBLE / (sum_dl::DOUBLE / n::DOUBLE)))
+        |   + ln(1.0 + (n::DOUBLE - df2::DOUBLE + 0.5) / (df2::DOUBLE + 0.5))
+        |    * (len(list_filter(tk, x -> x = 'dup'))::DOUBLE * (1.2 + 1.0))
+        |    / (len(list_filter(tk, x -> x = 'dup'))::DOUBLE
+        |       + 1.2 * (1.0 - 0.75 + 0.75 * len(tk)::DOUBLE / (sum_dl::DOUBLE / n::DOUBLE))), 6) score
+        | FROM toks, stats)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q95_hybrid_search" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
         |stats AS (SELECT count(*) n,

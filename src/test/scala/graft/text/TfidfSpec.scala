@@ -28,6 +28,45 @@ class TfidfSpec extends SparkTestBase {
     assert(got.map(_._1) == Seq(2L))
   }
 
+  test("bm25: saturating tf and length normalization beat raw tf*idf biases") {
+    val corpus = Seq(
+      // tf=10 in a LONG doc: raw tf*idf loves it, bm25 saturates + length-penalizes
+      (0L, ("spark " * 10) + ("filler " * 90)),
+      // tf=3 in a short doc: bm25's winner
+      (1L, "spark spark spark join"),
+      (2L, "join window window"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val bm = Tfidf.bm25TopK(corpus, "doc_id", "text", Seq("spark"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val tf = Tfidf.searchTopK(corpus, "doc_id", "text", Seq("spark"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(tf.map(_._1) == Seq(0L, 1L))  // raw tf ranks the stuffed doc first
+    assert(bm.map(_._1) == Seq(1L, 0L))  // bm25 prefers the concentrated short doc
+    // zero-score docs drop in both
+    assert(!bm.map(_._1).contains(2L) && !bm.map(_._1).contains(3L))
+  }
+
+  test("bm25 matches a serial reference computation") {
+    val got = Tfidf.bm25TopK(docs, "doc_id", "text", Seq("spark", "join"), 10)
+      .as[(Long, Double)].collect().toMap
+    // serial: N=4, dl = (4,3,3,1) ("" splits to one empty token), avgdl=11/4
+    val dls = Map(0L -> 4.0, 1L -> 3.0, 2L -> 3.0, 3L -> 1.0)
+    val tfs = Map(0L -> Map("spark" -> 3.0, "join" -> 1.0), 1L -> Map("spark" -> 1.0, "join" -> 1.0))
+    def score(id: Long): Double = {
+      val (k1, b) = (1.2, 0.75)
+      val avgdl = 11.0 / 4.0
+      val s = Seq("spark" -> 2.0, "join" -> 2.0).map { case (t, df) =>
+        val tf = tfs(id).getOrElse(t, 0.0)
+        val idf = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+        idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dls(id) / avgdl))
+      }.reduceLeft(_ + _)
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(got(0L) - score(0L)) < 1e-9)
+    assert(math.abs(got(1L) - score(1L)) < 1e-9)
+  }
+
   test("plan: single-row stats broadcast + TakeOrderedAndProject, no global sort") {
     val parquetDocs = graft.sources.Tables.documents(spark, sfSmoke)
     val plan = Tfidf.searchTopK(parquetDocs, "doc_id", "text", Seq("spark"), 5)

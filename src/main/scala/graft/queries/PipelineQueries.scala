@@ -1208,6 +1208,26 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // Dedup-AWARE train/val/test split: the leakage-safe split key is
+  // the near-duplicate CLUSTER (q61's transitive closure), not the
+  // document — so near-copies can never straddle train/test even
+  // when similarity is non-transitive; singletons key on their own
+  // id. Composes the MinHash pipeline, connected components, and the
+  // md5 hash split; the oracle replays all three.
+  def q97ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.neardupPairs(Tables.documents(s, dir), "doc_id", "text",
+      shingleK = 3, p = 64, bands = 16, threshold = 0.8)
+    val clusters = graft.operators.ConnectedComponents.labels(pairs, "id_a", "id_b")
+      .select($"node".as("doc_id"), $"cluster")
+    val keyed = Tables.documents(s, dir).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+    graft.operators.Datasplit.hashSplit(keyed, "cluster",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy($"doc_id")
+  }
+
   // BM25 ranked search (the Lucene-default scorer): saturating tf +
   // document-length normalization over the same zero-explode stats
   // shape as q64 — one single-row aggregate (now also carrying Σ dl
@@ -1717,6 +1737,7 @@ object PipelineQueries {
     "q94_kmeans" -> q94Kmeans _,
     "q95_hybrid_search" -> q95HybridSearch _,
     "q96_bm25" -> q96Bm25 _,
+    "q97_cluster_split" -> q97ClusterSplit _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1753,6 +1774,22 @@ object PipelineQueries {
       | CAST(n_events AS BIGINT) n_events,
       | CAST(valid_to IS NULL AS BIGINT) is_current
       |FROM v ORDER BY user_id, valid_from, value""".stripMargin
+
+  /** Brute-force 0.8-jaccard pairs closed transitively (recursive CTE)
+    * — shared by q61 (cluster labels) and q97 (cluster-keyed split).
+    * Requires `shingleSql` and a WITH RECURSIVE context.
+    */
+  private val clusterCtes: String =
+    """pairs AS (
+      | SELECT a.doc_id id_a, b.doc_id id_b
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8),
+      |ed AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      | SELECT a AS node, a AS lbl FROM ed
+      | UNION
+      | SELECT e.b, r.lbl FROM ed e JOIN reach r ON e.a = r.node)""".stripMargin
 
   private val shingleSql: String =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
@@ -2534,18 +2571,22 @@ object PipelineQueries {
         |FROM f ORDER BY doc_id""".stripMargin,
     "q61_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleSql,
-         |pairs AS (
-         | SELECT a.doc_id id_a, b.doc_id id_b
-         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |   / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8),
-         |ed AS (SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         | SELECT a AS node, a AS lbl FROM ed
-         | UNION
-         | SELECT e.b, r.lbl FROM ed e JOIN reach r ON e.a = r.node)
+         |$clusterCtes
          |SELECT node AS doc_id, min(lbl) AS cluster
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q97_cluster_split" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |$clusterCtes,
+         |cl AS (SELECT node AS doc_id, min(lbl) AS clid FROM reach GROUP BY 1),
+         |ac AS (SELECT d.doc_id, COALESCE(cl.clid, d.doc_id) clid
+         |       FROM documents d LEFT JOIN cl USING (doc_id)),
+         |u AS (SELECT doc_id, clid,
+         |       CAST(concat('0x', substring(md5(clid::VARCHAR), 1, 8)) AS BIGINT)
+         |         / 4294967296.0 AS u
+         |      FROM ac)
+         |SELECT doc_id, clid AS "cluster",
+         | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
     "q58_decontaminate" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),

@@ -226,7 +226,12 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmErrors.size},"sf":"$sfDir"}""")
+    // Contract line must survive the collector's bounded stdout tail
+    // (~2000 chars, round 2/3 lost the head of a full per-query map), so
+    // it carries totals + the slowest-12 and points at the sidecar for
+    // the rest. Keep it comfortably under ~1500 chars.
+    val slow = jmap(cold.sortBy(-_._2).take(12))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ordered.size},"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmErrors.size},"slowest":$slow,"errors":${jsmap(coldErrors.take(4))},"detail":"$detailPath","sf":"$sfDir"}""")
     fallback.foreach(_.stop())
   }
 }

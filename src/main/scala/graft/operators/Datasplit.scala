@@ -164,4 +164,33 @@ object Datasplit {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Temperature-based corpus mixing: downsample each stratum (source /
+    * language) so kept mass scales with n^alpha instead of n — the
+    * standard multiplier for flattening a skewed pretraining mixture
+    * (alpha=1 keeps the natural mix, alpha→0 approaches uniform).
+    * Realized as per-stratum keep rates r_s = (n_min/n_s)^(1-alpha):
+    * the rarest stratum keeps everything, bigger strata are thinned,
+    * and a row survives iff its id's deterministic uniform falls under
+    * its stratum's rate — stable under re-runs, replayable in SQL.
+    *
+    * Scale shape: stratum counts are one algebraic aggregation over a
+    * column that's typically low-cardinality (languages, sources), the
+    * tiny rate table broadcasts back, and the keep decision is
+    * row-local — one small shuffle total, no windows over raw rows.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .withColumn("__nmin", min(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(strataCol),
+        pow(col("__nmin").cast("double") / col("__n").cast("double"),
+          lit(1.0 - alpha)).as("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashUniform(col(idCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
 }

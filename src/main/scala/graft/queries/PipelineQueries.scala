@@ -1662,6 +1662,144 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  // CDC changelog application (MERGE INTO): snapshot = per-user latest
+  // state over the first half of the event stream; changes = the second
+  // half with op derived from the event type (error→delete,
+  // signup→insert, else update), version order = (ms, event_id) made a
+  // single total-order key. One argmax aggregation reduces the
+  // changelog, one full-outer key join applies it — the oracle replays
+  // winner selection and the merge in SQL.
+  def q98MergeCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      $"user_id", $"event_type".as("typ"),
+      floor($"value" * 1000).cast("long").as("vm"),
+      (unix_millis($"ts") * 1000000L + $"event_id" % 1000000L).as("seq"),
+      unix_millis($"ts").as("ms"))
+    val mm = e.agg(min($"ms"), max($"ms")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val snapshot = e.filter($"ms" < mid)
+      .groupBy($"user_id")
+      .agg(max_by(struct($"typ", $"vm"), $"seq").as("w"))
+      .select($"user_id", $"w.typ".as("typ"), $"w.vm".as("vm"))
+    val changes = e.filter($"ms" >= mid)
+      .withColumn("op",
+        when($"typ" === "error", "D").when($"typ" === "signup", "I").otherwise("U"))
+    graft.operators.MergeApply(snapshot, changes, "user_id", "seq", "op",
+        Seq("typ", "vm"))
+      .orderBy($"user_id")
+  }
+
+  // File-level min/max data skipping: events written range-partitioned
+  // on the metric into 16 files with a side stats index; a range query
+  // reads ONLY the files whose [min,max] envelope intersects, plus the
+  // row-level residual filter. The oracle runs the same predicate over
+  // the source table — pruning must be invisible to results. Pruning
+  // effectiveness (files actually skipped) is asserted in FileStatsSpec.
+  def q99FileSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = tempDir("graft-q99").resolve("ev").toString
+    val src = Tables.events(s, dir)
+      .select($"event_id", $"event_type", floor($"value" * 1000).cast("long").as("vm"))
+    graft.sources.FileStats.writeWithStats(src, path, "vm", numFiles = 16)
+    val (pruned, nSel, nTot) = graft.sources.FileStats.prunedRead(s, path, 50000L, 150000L)
+    require(nSel < nTot, s"expected file skipping, read $nSel of $nTot")
+    pruned.filter($"vm" >= 50000L && $"vm" <= 150000L)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), sum($"vm").as("sum_vm"))
+      .orderBy($"event_type")
+  }
+
+  // Temperature-based corpus mixing over the skewed language mix
+  // (alpha=0.5): big languages thinned toward uniform, rarest kept
+  // whole, keep decisions replayable (md5 uniforms). Integer-only
+  // output (kept counts + id checksum per language).
+  def q100TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Datasplit.temperatureMix(
+        Tables.documents(s, dir).select($"doc_id", $"lang"),
+        "doc_id", "lang", alpha = 0.5, salt = "tm")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_ids"))
+      .orderBy($"lang")
+  }
+
+  // C4-style corpus-wide segment dedup: 12-word segments, first
+  // occurrence (by doc id, then position) wins globally, documents
+  // rebuilt from surviving segments. Output is per-doc segment counts +
+  // the md5 fingerprint of the rebuilt text, so the oracle pins BOTH
+  // the drop decisions and the reassembly order.
+  def q101SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.text.SegmentDedup.dedupSegments(
+        Tables.documents(s, dir), "doc_id", "text", width = 12)
+      .orderBy($"doc_id")
+  }
+
+  // Edit-distance-1 fuzzy self-join on supplier names via SymSpell
+  // deletion-neighborhood blocking + exact levenshtein verify. The
+  // oracle brute-forces all pairs — the engine never does.
+  def q102FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.text.FuzzyJoin.editDistance1Pairs(
+        Tables.supplier(s, dir), "s_suppkey", "s_name")
+      .withColumn("dist", $"dist".cast("long"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // Star-schema revenue rollup: lineitem ⋈ orders ⋈ customer with the
+  // nation/region dims broadcast — the canonical warehouse join tree
+  // (fact-side shuffles on join keys only, dims never shuffle).
+  // Revenue integerized at cents so the compare is exact.
+  def q103StarJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        floor(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * lit(100.0))).cast("long").as("revenue_cents"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"r_name", $"o_year")
+  }
+
+  // Per-type winsorization of the event metric at exact [p05, p95]
+  // rank bounds (deterministic tie order), then clamped totals — pure
+  // integer order statistics, replayed bit-for-bit by the oracle.
+  def q104Winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"event_id", floor($"value" * 1000).cast("long").as("vm"))
+    graft.operators.Winsorize.clamp(ev, "event_type", "vm", "event_id", 0.05, 0.95)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), min($"clamped").as("lo_v"),
+        max($"clamped").as("hi_v"), sum($"clamped").as("sum_clamped"))
+      .orderBy($"event_type")
+  }
+
+  // Data-quality expectation gates: four named rules evaluated in one
+  // scan, per-rule violation counts + ok/quarantine totals. Rules are
+  // chosen so each bucket is non-trivially populated at every SF.
+  private def q105Rules(s: SparkSession): Seq[(String, org.apache.spark.sql.Column)] = {
+    import s.implicits._
+    Seq(
+      "value_in_range" -> ($"value".isNotNull && $"value" >= 0.0 && $"value" <= 250.0),
+      "known_type" -> $"event_type".isin("view", "click", "purchase", "signup", "error"),
+      "valid_user" -> ($"user_id".isNotNull && $"user_id" >= 0L),
+      "props_k_low" -> {
+        val k = regexp_extract($"props", "\"k\": (\\d+)", 1)
+        (k =!= "") && k.cast("long").between(0L, 49L)
+      })
+  }
+
+  def q105Expectations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Expectations.report(Tables.events(s, dir), q105Rules(s))
+      .orderBy($"rule")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -1738,6 +1876,14 @@ object PipelineQueries {
     "q95_hybrid_search" -> q95HybridSearch _,
     "q96_bm25" -> q96Bm25 _,
     "q97_cluster_split" -> q97ClusterSplit _,
+    "q98_merge_cdc" -> q98MergeCdc _,
+    "q99_file_skip" -> q99FileSkip _,
+    "q100_temperature_mix" -> q100TemperatureMix _,
+    "q101_segment_dedup" -> q101SegmentDedup _,
+    "q102_fuzzy_join" -> q102FuzzyJoin _,
+    "q103_star_join" -> q103StarJoin _,
+    "q104_winsorize" -> q104Winsorize _,
+    "q105_expectations" -> q105Expectations _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -1915,6 +2061,116 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q98_merge_cdc" ->
+      """WITH e AS (
+        | SELECT user_id, event_type AS typ, CAST(floor(value * 1000) AS BIGINT) vm,
+        |  epoch_ms(ts) * 1000000 + event_id % 1000000 AS seq, epoch_ms(ts) ms
+        | FROM events),
+        |m AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM e),
+        |snap AS (
+        | SELECT user_id, typ, vm FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
+        |  FROM e, m WHERE ms < mid) WHERE rn = 1),
+        |ch AS (
+        | SELECT e.*, CASE WHEN typ = 'error' THEN 'D'
+        |   WHEN typ = 'signup' THEN 'I' ELSE 'U' END AS op
+        | FROM e, m WHERE ms >= mid),
+        |win AS (
+        | SELECT user_id, op, typ, vm FROM (
+        |  SELECT ch.*, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC, op DESC) rn
+        |  FROM ch) WHERE rn = 1)
+        |SELECT coalesce(s.user_id, c.user_id) AS user_id,
+        | CASE WHEN c.user_id IS NOT NULL THEN c.typ ELSE s.typ END AS typ,
+        | CASE WHEN c.user_id IS NOT NULL THEN c.vm ELSE s.vm END AS vm
+        |FROM snap s FULL OUTER JOIN win c ON s.user_id = c.user_id
+        |WHERE c.user_id IS NULL OR c.op <> 'D'
+        |ORDER BY 1""".stripMargin,
+    "q99_file_skip" ->
+      """WITH e AS (
+        | SELECT event_type, CAST(floor(value * 1000) AS BIGINT) vm FROM events)
+        |SELECT event_type, count(*) AS n_rows, CAST(sum(vm) AS BIGINT) AS sum_vm
+        |FROM e WHERE vm BETWEEN 50000 AND 150000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q100_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n) nmin FROM c),
+        |r AS (SELECT lang, pow(CAST(nmin AS DOUBLE) / n, 0.5) rate FROM c, mn),
+        |k AS (
+        | SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        | WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'tm'), 1, 8)) AS BIGINT)
+        |   / 4294967296.0 < rate)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q101_segment_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |segs AS (
+        | SELECT doc_id, i - 1 AS idx,
+        |  array_to_string(list_slice(tk, (i - 1) * 12 + 1, (i - 1) * 12 + 12), ' ') seg
+        | FROM toks, unnest(range(1, CAST(ceil(len(tk) / 12.0) AS BIGINT) + 1)) t(i)),
+        |rk AS (
+        | SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) rn FROM segs)
+        |SELECT doc_id, count(*) AS n_segs,
+        | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx), '')) AS fp
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q102_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        | a.s_name AS str_a, b.s_name AS str_b,
+        | levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+    "q103_star_join" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(floor(sum(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q104_winsorize" ->
+      """WITH e AS (
+        | SELECT event_type, event_id, CAST(floor(value * 1000) AS BIGINT) vm FROM events),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id) rn,
+        |  count(*) OVER (PARTITION BY event_type) n FROM e),
+        |b AS (
+        | SELECT event_type, min(vm) lo, max(vm) hi FROM r
+        | WHERE rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1
+        |    OR rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+        | GROUP BY 1),
+        |c AS (
+        | SELECT e.event_type, greatest(least(vm, hi), lo) cl
+        | FROM e JOIN b USING (event_type))
+        |SELECT event_type, count(*) AS n_rows, min(cl) AS lo_v, max(cl) AS hi_v,
+        | CAST(sum(cl) AS BIGINT) AS sum_clamped
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q105_expectations" ->
+      """WITH e AS (
+        | SELECT
+        |  CASE WHEN value IS NOT NULL AND value >= 0 AND value <= 250.0 THEN 0 ELSE 1 END f1,
+        |  CASE WHEN event_type IN ('view','click','purchase','signup','error') THEN 0 ELSE 1 END f2,
+        |  CASE WHEN user_id IS NOT NULL AND user_id >= 0 THEN 0 ELSE 1 END f3,
+        |  CASE WHEN coalesce(regexp_extract(props, '"k": (\d+)', 1), '') <> ''
+        |    AND CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) BETWEEN 0 AND 49
+        |   THEN 0 ELSE 1 END f4
+        | FROM events),
+        |t AS (
+        | SELECT sum(f1) s1, sum(f2) s2, sum(f3) s3, sum(f4) s4, count(*) total,
+        |  sum(CASE WHEN f1 + f2 + f3 + f4 = 0 THEN 1 ELSE 0 END) ok
+        | FROM e)
+        |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows FROM (
+        | SELECT 'value_in_range' AS rule, s1 AS n_rows FROM t UNION ALL
+        | SELECT 'known_type', s2 FROM t UNION ALL
+        | SELECT 'valid_user', s3 FROM t UNION ALL
+        | SELECT 'props_k_low', s4 FROM t UNION ALL
+        | SELECT '__total', total FROM t UNION ALL
+        | SELECT '__ok', ok FROM t UNION ALL
+        | SELECT '__quarantined', total - ok FROM t)
+        |ORDER BY rule""".stripMargin,
     "q33_rolling_fingerprint" ->
       """WITH ch AS (SELECT doc_id, string_split(text, '') cs FROM documents)
         |SELECT doc_id,

@@ -97,4 +97,25 @@ class DatasplitSpec extends SparkTestBase {
     val sparse = Seq((1L, "rare"), (2L, "rare")).toDF("id", "label")
     assert(Datasplit.classCap(sparse, "label", "id", 10).count() == 2)
   }
+
+  test("temperatureMix: rarest stratum kept whole, bigger strata thinned toward n^alpha") {
+    val rows = (1L to 800L).map(i => (i, if (i <= 640) "big" else if (i <= 760) "mid" else "small"))
+    val df = rows.toDF("id", "s")
+    val kept = Datasplit.temperatureMix(df, "id", "s", alpha = 0.5)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    // rate_small = 1 → all 40 survive
+    assert(kept("small") == 40L)
+    // rate_big = sqrt(40/640) = 0.25, rate_mid = sqrt(40/120) ≈ 0.577 —
+    // realized counts are deterministic md5 draws near n*rate
+    assert(kept("big") > 640 * 0.15 && kept("big") < 640 * 0.35)
+    assert(kept("mid") > 120 * 0.45 && kept("mid") < 120 * 0.72)
+    // alpha=1 keeps the natural mix entirely
+    assert(Datasplit.temperatureMix(df, "id", "s", alpha = 1.0).count() == 800)
+    // deterministic across invocations
+    val again = Datasplit.temperatureMix(df, "id", "s", alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    val first = Datasplit.temperatureMix(df, "id", "s", alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+  }
 }

@@ -1800,6 +1800,85 @@ object PipelineQueries {
       .orderBy($"rule")
   }
 
+  // Robust per-type location/scale: exact lower median + MAD of the
+  // integerized metric, plus robust-z outlier counts at 5 MADs —
+  // rank-based integers only, replayed bit-for-bit by the oracle.
+  def q106RobustScale(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"event_id", floor($"value" * 1000).cast("long").as("vm"))
+    graft.operators.RobustStats.medianMadOutliers(ev, "event_type", "vm", "event_id", zmax = 5L)
+      .orderBy($"event_type")
+  }
+
+  // Exact triangle count over the co-purchase part graph (parts that
+  // appear in the same order), via degree-ordered orientation — the
+  // skew-capped wedge join. The oracle brute-forces the 3-way join on
+  // canonical a<b<c edges; the engine never materializes unoriented
+  // wedges.
+  def q107Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    graft.operators.Triangles.count(edges, "src", "dst")
+  }
+
+  // K-anonymity audit of a customer extract under the quasi-identifier
+  // (nation, market segment, balance rounded to thousands): class
+  // sizes, classes/rows below k=5 — the privacy gate a training
+  // extract passes before release.
+  def q108KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qi = Tables.customer(s, dir).select(
+      $"c_nationkey".cast("long").as("nat"),
+      $"c_mktsegment".as("seg"),
+      floor($"c_acctbal" / 1000.0).cast("long").as("bal_k"))
+    graft.operators.KAnonymity.audit(qi, Seq("nat", "seg", "bal_k"), k = 5L)
+  }
+
+  // Arbitrary GROUPING SETS (not rollup/cube): per (type, day), per
+  // type, and grand total in ONE pass over events — Spark's Expand
+  // feeds all three grains into a single aggregation, the way a
+  // dashboard requests exactly the grains it renders.
+  def q109GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(
+      $"event_type", expr("unix_millis(ts) div 86400000").as("day"),
+      floor($"value" * 1000).cast("long").as("vm"))
+    ev.groupingSets(
+        Seq(Seq($"event_type", $"day"), Seq($"event_type"), Seq.empty),
+        $"event_type", $"day")
+      .agg(count(lit(1)).as("n"), sum($"vm").as("sum_vm"),
+        grouping_id().as("gid"))
+      .select(coalesce($"event_type", lit("ALL")).as("event_type"),
+        coalesce($"day", lit(-1L)).as("day"), $"n", $"sum_vm", $"gid")
+      .orderBy($"gid", $"event_type", $"day")
+  }
+
+  // Entity resolution end-to-end: edit-distance-1 blocking+verify on
+  // supplier names (q102's join) → connected-component closure → one
+  // golden record per cluster (richest member's name, deterministic
+  // ties). Composes three operator families the way a real MDM
+  // pipeline chains them; the oracle replays pairs, closure (recursive
+  // CTE) and survivorship in SQL.
+  def q110EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_name",
+      floor($"s_acctbal" * 100).cast("long").as("bal_c"))
+    val pairs = graft.text.FuzzyJoin.editDistance1Pairs(sup, "s_suppkey", "s_name")
+    val labels = graft.operators.ConnectedComponents.labels(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "s_suppkey").withColumnRenamed("cluster", "cl")
+    sup.join(labels, Seq("s_suppkey"), "left")
+      .withColumn("cluster", coalesce($"cl", $"s_suppkey"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max_by($"s_name", struct($"bal_c", -$"s_suppkey")).as("best_name"),
+        max($"bal_c").as("max_bal_c"))
+      .orderBy($"cluster")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -1884,6 +1963,11 @@ object PipelineQueries {
     "q103_star_join" -> q103StarJoin _,
     "q104_winsorize" -> q104Winsorize _,
     "q105_expectations" -> q105Expectations _,
+    "q106_robust_scale" -> q106RobustScale _,
+    "q107_triangles" -> q107Triangles _,
+    "q108_k_anonymity" -> q108KAnonymity _,
+    "q109_grouping_sets" -> q109GroupingSets _,
+    "q110_entity_resolution" -> q110EntityResolution _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2061,6 +2145,82 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q106_robust_scale" ->
+      """WITH e AS (
+        | SELECT event_type, event_id, CAST(floor(value * 1000) AS BIGINT) vm FROM events),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id) rn,
+        |  count(*) OVER (PARTITION BY event_type) n FROM e),
+        |med AS (SELECT event_type, vm AS med FROM r WHERE rn = (n - 1) // 2 + 1),
+        |d AS (
+        | SELECT e.event_type, e.vm, e.event_id, med, abs(e.vm - med) AS dev
+        | FROM e JOIN med USING (event_type)),
+        |r2 AS (
+        | SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, vm, event_id) rn,
+        |  count(*) OVER (PARTITION BY event_type) n FROM d),
+        |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n - 1) // 2 + 1)
+        |SELECT event_type, count(*) AS n, min(med) AS med, min(mad) AS mad,
+        | CAST(sum(CASE WHEN dev > 5 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q107_triangles" ->
+      """WITH p AS (
+        | SELECT x.l_partkey a, y.l_partkey b
+        | FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        | WHERE x.l_partkey < y.l_partkey),
+        |e AS (SELECT DISTINCT a, b FROM p),
+        |v AS (SELECT a AS n FROM e UNION SELECT b FROM e)
+        |SELECT (SELECT count(*) FROM v) AS n_nodes,
+        | (SELECT count(*) FROM e) AS n_edges,
+        | (SELECT count(*) FROM e e1
+        |   JOIN e e2 ON e2.a = e1.b
+        |   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
+    "q108_k_anonymity" ->
+      """WITH q AS (
+        | SELECT CAST(c_nationkey AS BIGINT) nat, c_mktsegment seg,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) bal_k
+        | FROM customer),
+        |c AS (SELECT nat, seg, bal_k, count(*) cs FROM q GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(cs) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        | CAST(sum(CASE WHEN cs < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_at_risk,
+        | CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        | min(cs) AS min_class, max(cs) AS max_class
+        |FROM c""".stripMargin,
+    "q109_grouping_sets" ->
+      """WITH e AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(floor(value * 1000) AS BIGINT) vm
+        | FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        | coalesce(day, -1) AS day, count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_vm,
+        | CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+        |FROM e GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        |ORDER BY gid, event_type, day""".stripMargin,
+    "q110_entity_resolution" ->
+      """WITH RECURSIVE s AS (
+        | SELECT s_suppkey, s_name, CAST(floor(s_acctbal * 100) AS BIGINT) bal_c
+        | FROM supplier),
+        |p AS (
+        | SELECT a.s_suppkey u, b.s_suppkey v
+        | FROM s a JOIN s b ON a.s_suppkey < b.s_suppkey
+        | WHERE levenshtein(a.s_name, b.s_name) <= 1),
+        |ed AS (SELECT u a, v b FROM p UNION SELECT v, u FROM p),
+        |reach AS (
+        | SELECT a AS node, a AS lbl FROM ed
+        | UNION
+        | SELECT e.b, r.lbl FROM ed e JOIN reach r ON e.a = r.node),
+        |cl AS (SELECT node, min(lbl) cl FROM reach GROUP BY 1),
+        |m AS (
+        | SELECT coalesce(cl.cl, s.s_suppkey) AS cluster, s.s_suppkey, s.s_name, s.bal_c
+        | FROM s LEFT JOIN cl ON s.s_suppkey = cl.node),
+        |best AS (
+        | SELECT cluster, s_name FROM (
+        |  SELECT m.*, row_number() OVER (PARTITION BY cluster ORDER BY bal_c DESC, s_suppkey) rn
+        |  FROM m) WHERE rn = 1)
+        |SELECT m.cluster AS "cluster", count(*) AS n_members,
+        | min(best.s_name) AS best_name, max(m.bal_c) AS max_bal_c
+        |FROM m JOIN best ON m.cluster = best.cluster
+        |GROUP BY m.cluster ORDER BY m.cluster""".stripMargin,
     "q98_merge_cdc" ->
       """WITH e AS (
         | SELECT user_id, event_type AS typ, CAST(floor(value * 1000) AS BIGINT) vm,

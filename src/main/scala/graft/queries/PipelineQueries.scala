@@ -1879,6 +1879,29 @@ object PipelineQueries {
       .orderBy($"cluster")
   }
 
+  // Incremental view maintenance: a per-(user, type) count/sum view
+  // built from the first half of the events stream, then maintained
+  // under the second half as a SIGNED changelog (errors retract) —
+  // work is O(touched keys), never a history rescan. The oracle
+  // recomputes the view from scratch with the same signs; maintained
+  // must equal rebuilt exactly.
+  def q111IncrementalView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      $"user_id", $"event_type".as("typ"),
+      floor($"value" * 1000).cast("long").as("vm"),
+      unix_millis($"ts").as("ms"))
+    val mm = e.agg(min($"ms"), max($"ms")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val view = graft.operators.IncrementalView.build(
+      e.filter($"ms" < mid), Seq("user_id", "typ"), "vm", "n", "sum_vm")
+    val delta = e.filter($"ms" >= mid)
+      .withColumn("sign", when($"typ" === "error", -1L).otherwise(1L))
+    graft.operators.IncrementalView.applyDelta(
+        view, delta, Seq("user_id", "typ"), "n", "sum_vm", "sign", "vm")
+      .orderBy($"user_id", $"typ")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -1968,6 +1991,7 @@ object PipelineQueries {
     "q108_k_anonymity" -> q108KAnonymity _,
     "q109_grouping_sets" -> q109GroupingSets _,
     "q110_entity_resolution" -> q110EntityResolution _,
+    "q111_incremental_view" -> q111IncrementalView _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2145,6 +2169,19 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q111_incremental_view" ->
+      """WITH e AS (
+        | SELECT user_id, event_type typ, CAST(floor(value * 1000) AS BIGINT) vm,
+        |  epoch_ms(ts) ms FROM events),
+        |m AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM e),
+        |s AS (
+        | SELECT user_id, typ, vm,
+        |  CASE WHEN ms >= (SELECT mid FROM m) AND typ = 'error' THEN -1 ELSE 1 END AS sign
+        | FROM e)
+        |SELECT user_id, typ, CAST(sum(sign) AS BIGINT) AS n,
+        | CAST(sum(sign * vm) AS BIGINT) AS sum_vm
+        |FROM s GROUP BY user_id, typ HAVING sum(sign) > 0
+        |ORDER BY user_id, typ""".stripMargin,
     "q106_robust_scale" ->
       """WITH e AS (
         | SELECT event_type, event_id, CAST(floor(value * 1000) AS BIGINT) vm FROM events),

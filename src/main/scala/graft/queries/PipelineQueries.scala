@@ -1902,6 +1902,22 @@ object PipelineQueries {
       .orderBy($"user_id", $"typ")
   }
 
+  // Sorted-neighborhood near-dup candidates: block on the first 32
+  // chars, compare only rank-adjacent docs within a 5-wide window,
+  // verify with edit distance over the 80-char prefix. w·n candidates
+  // by construction (skew-immune), and the global ordering comes from
+  // GlobalRank's distributed range sort — no single-partition window.
+  // The oracle replays the same window definition with a row_number
+  // self-join.
+  def q112SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    graft.text.SortedNeighborhood.nearDupPairs(docs, "doc_id", "text",
+        t => substring(t, 1, 32), w = 5, verifyPrefix = 80, maxDist = 16)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -1992,6 +2008,7 @@ object PipelineQueries {
     "q109_grouping_sets" -> q109GroupingSets _,
     "q110_entity_resolution" -> q110EntityResolution _,
     "q111_incremental_view" -> q111IncrementalView _,
+    "q112_sorted_neighborhood" -> q112SortedNeighborhood _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2169,6 +2186,16 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q112_sorted_neighborhood" ->
+      """WITH r AS (
+        | SELECT doc_id, text,
+        |  row_number() OVER (ORDER BY substr(text, 1, 32), doc_id) rn
+        | FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+        |WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 16
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q111_incremental_view" ->
       """WITH e AS (
         | SELECT user_id, event_type typ, CAST(floor(value * 1000) AS BIGINT) vm,

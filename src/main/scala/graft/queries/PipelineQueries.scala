@@ -1918,6 +1918,24 @@ object PipelineQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // Daily resample of the per-type metric series with LOCF gap fill
+  // onto the table's full [min,max] day range (the bounds probe is one
+  // tiny min/max agg — metadata-scale, same convention as q16's span
+  // probe). The oracle replays the calendar with generate_series and
+  // an IGNORE NULLS running window.
+  def q113GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type".as("typ"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        floor($"value" * 1000).cast("long").as("vm"))
+      .groupBy($"typ", $"day").agg(sum($"vm").as("sum_vm"))
+    val mm = daily.agg(min($"day"), max($"day")).head()
+    graft.operators.Resample.fillForward(
+        daily, "typ", "day", "sum_vm", mm.getLong(0), mm.getLong(1))
+      .orderBy($"typ", $"day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2009,6 +2027,7 @@ object PipelineQueries {
     "q110_entity_resolution" -> q110EntityResolution _,
     "q111_incremental_view" -> q111IncrementalView _,
     "q112_sorted_neighborhood" -> q112SortedNeighborhood _,
+    "q113_gap_fill" -> q113GapFill _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2186,6 +2205,22 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q113_gap_fill" ->
+      """WITH e AS (
+        | SELECT event_type typ, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(floor(value * 1000) AS BIGINT) vm FROM events),
+        |d AS (SELECT typ, day, CAST(sum(vm) AS BIGINT) s FROM e GROUP BY typ, day),
+        |b AS (SELECT min(day) lo, max(day) hi FROM d),
+        |cal AS (
+        | SELECT t.typ, g.day
+        | FROM (SELECT DISTINCT typ FROM d) t
+        | CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS day) g),
+        |j AS (SELECT c.typ, c.day, d.s FROM cal c LEFT JOIN d ON c.typ = d.typ AND c.day = d.day)
+        |SELECT typ, day,
+        | coalesce(last_value(s IGNORE NULLS) OVER (
+        |   PARTITION BY typ ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS sum_vm,
+        | CAST(CASE WHEN s IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed
+        |FROM j ORDER BY typ, day""".stripMargin,
     "q112_sorted_neighborhood" ->
       """WITH r AS (
         | SELECT doc_id, text,

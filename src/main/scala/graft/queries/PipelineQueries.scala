@@ -1936,6 +1936,20 @@ object PipelineQueries {
       .orderBy($"typ", $"day")
   }
 
+  // Pareto frontier of parts under (minimize price, maximize size) —
+  // "the cheapest part at every size class". The engine's two-phase
+  // sort-sweep never forms a dominance join; the oracle IS the O(n²)
+  // NOT EXISTS dominance definition, so the sweep's tie handling is
+  // pinned exactly.
+  def q114Skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir).select($"p_partkey",
+      floor($"p_retailprice" * 100).cast("long").as("price_c"),
+      $"p_size".cast("long").as("sz"))
+    graft.operators.Skyline.pareto2d(p, "price_c", "sz")
+      .orderBy($"price_c", $"sz", $"p_partkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2028,6 +2042,7 @@ object PipelineQueries {
     "q111_incremental_view" -> q111IncrementalView _,
     "q112_sorted_neighborhood" -> q112SortedNeighborhood _,
     "q113_gap_fill" -> q113GapFill _,
+    "q114_skyline" -> q114Skyline _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2205,6 +2220,16 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q114_skyline" ->
+      """WITH p AS (
+        | SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) price_c,
+        |  CAST(p_size AS BIGINT) sz FROM part)
+        |SELECT p_partkey, price_c, sz FROM p a
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM p b
+        | WHERE b.price_c <= a.price_c AND b.sz >= a.sz
+        |  AND (b.price_c < a.price_c OR b.sz > a.sz))
+        |ORDER BY price_c, sz, p_partkey""".stripMargin,
     "q113_gap_fill" ->
       """WITH e AS (
         | SELECT event_type typ, epoch_ms(ts) // 86400000 AS day,

@@ -1950,6 +1950,21 @@ object PipelineQueries {
       .orderBy($"price_c", $"sz", $"p_partkey")
   }
 
+  // Per-(returnflag, linestatus) OLS fit of price-on-quantity via
+  // exact integer sufficient stats — one algebraic agg, slope as an
+  // exact integer num/den pair plus a floor-divided milli quotient
+  // (the q88 floor correction). The oracle recomputes the same closed
+  // form.
+  def q115GroupRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir).select(
+      $"l_returnflag".as("rf"), $"l_linestatus".as("ls"),
+      $"l_quantity".cast("long").as("x"),
+      floor($"l_extendedprice").cast("long").as("y"))
+    graft.operators.Regression.olsStats(l, Seq("rf", "ls"), "x", "y")
+      .orderBy($"rf", $"ls")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2043,6 +2058,7 @@ object PipelineQueries {
     "q112_sorted_neighborhood" -> q112SortedNeighborhood _,
     "q113_gap_fill" -> q113GapFill _,
     "q114_skyline" -> q114Skyline _,
+    "q115_group_regression" -> q115GroupRegression _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2220,6 +2236,22 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q115_group_regression" ->
+      """WITH l AS (
+        | SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(l_quantity AS BIGINT) x,
+        |  CAST(floor(l_extendedprice) AS BIGINT) y FROM lineitem),
+        |a AS (
+        | SELECT rf, ls, count(*) AS n, CAST(sum(x) AS BIGINT) sx,
+        |  CAST(sum(y) AS BIGINT) sy, CAST(sum(x * y) AS BIGINT) sxy,
+        |  CAST(sum(x * x) AS BIGINT) sxx
+        | FROM l GROUP BY rf, ls)
+        |SELECT rf, ls, n, sx, sy, sxy, sxx,
+        | n * sxy - sx * sy AS slope_num,
+        | n * sxx - sx * sx AS slope_den,
+        | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |  ELSE (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) END AS slope_milli
+        |FROM a ORDER BY rf, ls""".stripMargin,
     "q114_skyline" ->
       """WITH p AS (
         | SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) price_c,

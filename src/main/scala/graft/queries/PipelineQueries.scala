@@ -1965,6 +1965,24 @@ object PipelineQueries {
       .orderBy($"rf", $"ls")
   }
 
+  // Distribution-drift gate between the first and second half of the
+  // events stream: metric values binned at 20-unit width, per-bin
+  // frequencies in exact ppm, drift flag at 0.5%. All integer
+  // arithmetic — ppm stays bounded at any scale, unlike cross-
+  // multiplied chi-square terms.
+  def q116FrequencyDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      expr("floor(value * 1000) div 20000").cast("long").as("bin"),
+      unix_millis($"ts").as("ms"))
+    val mm = e.agg(min($"ms"), max($"ms")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    graft.operators.Drift.frequencyDrift(
+        e.filter($"ms" < mid), e.filter($"ms" >= mid), "bin",
+        thresholdPpm = 5000L)
+      .orderBy($"bin")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2059,6 +2077,7 @@ object PipelineQueries {
     "q113_gap_fill" -> q113GapFill _,
     "q114_skyline" -> q114Skyline _,
     "q115_group_regression" -> q115GroupRegression _,
+    "q116_frequency_drift" -> q116FrequencyDrift _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2236,6 +2255,24 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q116_frequency_drift" ->
+      """WITH e AS (
+        | SELECT CAST(floor(value * 1000) AS BIGINT) // 20000 AS bin,
+        |  epoch_ms(ts) ms FROM events),
+        |m AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM e),
+        |ca AS (SELECT bin, count(*) n_a FROM e WHERE ms < (SELECT mid FROM m) GROUP BY bin),
+        |cb AS (SELECT bin, count(*) n_b FROM e WHERE ms >= (SELECT mid FROM m) GROUP BY bin),
+        |bins AS (
+        | SELECT coalesce(ca.bin, cb.bin) bin, coalesce(n_a, 0) n_a, coalesce(n_b, 0) n_b
+        | FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |t AS (SELECT sum(n_a) ta, sum(n_b) tb FROM bins)
+        |SELECT bin, CAST(n_a AS BIGINT) n_a, CAST(n_b AS BIGINT) n_b,
+        | CAST(n_a * 1000000 // ta AS BIGINT) ppm_a,
+        | CAST(n_b * 1000000 // tb AS BIGINT) ppm_b,
+        | CAST(n_a * 1000000 // ta - n_b * 1000000 // tb AS BIGINT) d_ppm,
+        | CAST(CASE WHEN abs(n_a * 1000000 // ta - n_b * 1000000 // tb) > 5000
+        |  THEN 1 ELSE 0 END AS BIGINT) drifted
+        |FROM bins, t ORDER BY bin""".stripMargin,
     "q115_group_regression" ->
       """WITH l AS (
         | SELECT l_returnflag AS rf, l_linestatus AS ls,

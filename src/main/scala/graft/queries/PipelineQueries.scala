@@ -1983,6 +1983,18 @@ object PipelineQueries {
       .orderBy($"bin")
   }
 
+  // Market-basket mining over orders: parts co-purchased in the same
+  // order, Apriori item prune before the pair join, support/confidence/
+  // lift as exact integers. The oracle replays the same counting.
+  def q117AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("tx"), $"l_partkey".as("item"))
+    graft.operators.AssociationRules.frequentPairs(
+        li, "tx", "item", minSupItem = 10L, minSupPair = 3L)
+      .orderBy($"item_a", $"item_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2078,6 +2090,7 @@ object PipelineQueries {
     "q114_skyline" -> q114Skyline _,
     "q115_group_regression" -> q115GroupRegression _,
     "q116_frequency_drift" -> q116FrequencyDrift _,
+    "q117_association_rules" -> q117AssociationRules _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2255,6 +2268,21 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q117_association_rules" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey tx, l_partkey item FROM lineitem),
+        |isup AS (SELECT item, count(*) sup FROM i GROUP BY item HAVING count(*) >= 10),
+        |f AS (SELECT i.tx, i.item FROM i JOIN isup ON i.item = isup.item),
+        |p AS (
+        | SELECT a.item item_a, b.item item_b, count(*) sup_ab
+        | FROM f a JOIN f b ON a.tx = b.tx AND a.item < b.item
+        | GROUP BY 1, 2 HAVING count(*) >= 3),
+        |t AS (SELECT count(DISTINCT tx) n_tx FROM i)
+        |SELECT item_a, item_b, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b, n_tx,
+        | 100 * sup_ab // sa.sup AS conf_pct,
+        | CAST(CASE WHEN sup_ab * n_tx > sa.sup * sb.sup THEN 1 ELSE 0 END AS BIGINT) AS lift_pos
+        |FROM p JOIN isup sa ON p.item_a = sa.item
+        | JOIN isup sb ON p.item_b = sb.item, t
+        |ORDER BY item_a, item_b""".stripMargin,
     "q116_frequency_drift" ->
       """WITH e AS (
         | SELECT CAST(floor(value * 1000) AS BIGINT) // 20000 AS bin,

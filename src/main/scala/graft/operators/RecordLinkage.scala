@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Record-linkage pair scoring in the Fellegi–Sunter style: candidate
+  * pairs from equality blocking, then a weighted agreement score over
+  * comparison fields, thresholded into match candidates. The
+  * probabilistic weights of a real FS model arrive here as caller-
+  * supplied integers (log-odds scaled); agreement is exact equality on
+  * caller-DERIVED comparison keys (bucketed balances, name suffixes,
+  * phonetic codes, ...), keeping the whole score integer-exact.
+  *
+  * Scale shape: pair generation is a self equi-join on the blocking
+  * key — candidate volume is Σ C(block,2), controlled by blocking-key
+  * cardinality, never corpus-quadratic. Audit block sizes with
+  * [[KAnonymity.audit]] before running: an oversized block is both a
+  * privacy smell and a join hot key (the same guard LSH gets from
+  * `maxBucketSize`, and sorted-neighborhood from its fixed window).
+  */
+object RecordLinkage {
+
+  /** Score blocked pairs of `df` rows. `fields` are (comparisonCol,
+    * weight); score = Σ weight·[equal] over non-null equal fields.
+    * Output: id_a, id_b (id_a < id_b), per-field agreement bits
+    * (`agree_<col>`), score — pairs at or above `minScore` only.
+    */
+  def scorePairs(df: DataFrame, idCol: String, blockCols: Seq[String],
+      fields: Seq[(String, Long)], minScore: Long): DataFrame = {
+    val cols = (Seq(idCol) ++ blockCols ++ fields.map(_._1)).distinct
+    val base = df.select(cols.map(col): _*)
+    val a = base.select((Seq(col(idCol).as("id_a")) ++
+      blockCols.map(col) ++
+      fields.map { case (f, _) => col(f).as(s"__a_$f") }): _*)
+    val b = base.select((Seq(col(idCol).as("id_b")) ++
+      blockCols.map(col) ++
+      fields.map { case (f, _) => col(f).as(s"__b_$f") }): _*)
+    val agreeBits = fields.map { case (f, _) =>
+      when(col(s"__a_$f").isNotNull && col(s"__b_$f").isNotNull &&
+        col(s"__a_$f") === col(s"__b_$f"), 1L).otherwise(0L).as(s"agree_$f")
+    }
+    val score = fields.map { case (f, w) => col(s"agree_$f") * w }
+      .reduce(_ + _).as("score")
+    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+      .select(Seq(col("id_a"), col("id_b")) ++ agreeBits: _*)
+      .select(col("*"), score)
+      .filter(col("score") >= minScore)
+  }
+}

@@ -1995,6 +1995,22 @@ object PipelineQueries {
       .orderBy($"item_a", $"item_b")
   }
 
+  // Record-linkage candidate scoring over customers: block on nation,
+  // weighted agreement on (segment, balance bucket, name suffix) with
+  // integer log-odds-style weights, threshold at 70. The oracle
+  // replays the blocked join and CASE-sum score.
+  def q118RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).select(
+      $"c_custkey", $"c_nationkey".cast("long").as("nat"),
+      $"c_mktsegment".as("seg"),
+      floor($"c_acctbal" / 500.0).cast("long").as("bal_b"),
+      substring($"c_name", -2, 2).as("suffix"))
+    graft.operators.RecordLinkage.scorePairs(c, "c_custkey", Seq("nat"),
+        Seq(("seg", 30L), ("bal_b", 40L), ("suffix", 30L)), minScore = 70L)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2091,6 +2107,7 @@ object PipelineQueries {
     "q115_group_regression" -> q115GroupRegression _,
     "q116_frequency_drift" -> q116FrequencyDrift _,
     "q117_association_rules" -> q117AssociationRules _,
+    "q118_record_linkage" -> q118RecordLinkage _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2268,6 +2285,23 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q118_record_linkage" ->
+      """WITH c AS (
+        | SELECT c_custkey, CAST(c_nationkey AS BIGINT) nat, c_mktsegment seg,
+        |  CAST(floor(c_acctbal / 500.0) AS BIGINT) bal_b,
+        |  substr(c_name, length(c_name) - 1, 2) suffix
+        | FROM customer),
+        |p AS (
+        | SELECT a.c_custkey id_a, b.c_custkey id_b,
+        |  CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END ag_seg,
+        |  CASE WHEN a.bal_b = b.bal_b THEN 1 ELSE 0 END ag_bal,
+        |  CASE WHEN a.suffix = b.suffix THEN 1 ELSE 0 END ag_suf
+        | FROM c a JOIN c b ON a.nat = b.nat AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, CAST(ag_seg AS BIGINT) AS agree_seg,
+        | CAST(ag_bal AS BIGINT) AS agree_bal_b, CAST(ag_suf AS BIGINT) AS agree_suffix,
+        | CAST(30 * ag_seg + 40 * ag_bal + 30 * ag_suf AS BIGINT) AS score
+        |FROM p WHERE 30 * ag_seg + 40 * ag_bal + 30 * ag_suf >= 70
+        |ORDER BY id_a, id_b""".stripMargin,
     "q117_association_rules" ->
       """WITH i AS (SELECT DISTINCT l_orderkey tx, l_partkey item FROM lineitem),
         |isup AS (SELECT item, count(*) sup FROM i GROUP BY item HAVING count(*) >= 10),

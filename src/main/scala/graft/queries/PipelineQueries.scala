@@ -2011,6 +2011,17 @@ object PipelineQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // Per-user activity streaks: maximal runs of consecutive active days
+  // via the rank-difference islands trick — one user-partitioned
+  // window + one hash-agg. Oracle replays the identical trick.
+  def q119ActivityIslands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"user_id",
+      expr("unix_millis(ts) div 86400000").as("day"))
+    graft.operators.Islands.detect(e, "user_id", "day")
+      .orderBy($"user_id", $"island_start")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2108,6 +2119,7 @@ object PipelineQueries {
     "q116_frequency_drift" -> q116FrequencyDrift _,
     "q117_association_rules" -> q117AssociationRules _,
     "q118_record_linkage" -> q118RecordLinkage _,
+    "q119_activity_islands" -> q119ActivityIslands _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2285,6 +2297,17 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q119_activity_islands" ->
+      """WITH d AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |r AS (
+        | SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        | FROM d)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        | count(*) AS island_len
+        |FROM r GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin,
     "q118_record_linkage" ->
       """WITH c AS (
         | SELECT c_custkey, CAST(c_nationkey AS BIGINT) nat, c_mktsegment seg,

@@ -2022,6 +2022,20 @@ object PipelineQueries {
       .orderBy($"user_id", $"island_start")
   }
 
+  // 7-observation trailing sum/mean of the per-type daily metric —
+  // the dashboard smoothing window — group-partitioned rows frame,
+  // truncated integer mean. Oracle: identical window in DuckDB.
+  def q120RollingMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type".as("typ"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        floor($"value" * 1000).cast("long").as("vm"))
+      .groupBy($"typ", $"day").agg(sum($"vm").as("sum_vm"))
+    graft.operators.RollingAgg.trailing(daily, "typ", "day", "sum_vm", k = 7)
+      .orderBy($"typ", $"day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2120,6 +2134,7 @@ object PipelineQueries {
     "q117_association_rules" -> q117AssociationRules _,
     "q118_record_linkage" -> q118RecordLinkage _,
     "q119_activity_islands" -> q119ActivityIslands _,
+    "q120_rolling_metrics" -> q120RollingMetrics _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2297,6 +2312,18 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q120_rolling_metrics" ->
+      """WITH d AS (
+        | SELECT event_type typ, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) sum_vm
+        | FROM events GROUP BY 1, 2)
+        |SELECT typ, day, sum_vm,
+        | CAST(sum(sum_vm) OVER w AS BIGINT) AS mov_sum,
+        | CAST(count(*) OVER w AS BIGINT) AS mov_n,
+        | CAST(sum(sum_vm) OVER w AS BIGINT) // CAST(count(*) OVER w AS BIGINT) AS mov_avg
+        |FROM d
+        |WINDOW w AS (PARTITION BY typ ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY typ, day""".stripMargin,
     "q119_activity_islands" ->
       """WITH d AS (
         | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),

@@ -2036,6 +2036,18 @@ object PipelineQueries {
       .orderBy($"typ", $"day")
   }
 
+  // Inter-arrival gaps between consecutive events of the same user,
+  // summarized per type (of the later event) with exact count/min/max/
+  // lower-median milliseconds. Oracle replays the lag window and the
+  // rank-selected median.
+  def q121InterArrival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"user_id",
+      unix_millis($"ts").as("ms"), $"event_type".as("typ"), $"event_id")
+    graft.operators.InterArrival.stats(e, "user_id", "ms", "typ", "event_id")
+      .orderBy($"typ")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2135,6 +2147,7 @@ object PipelineQueries {
     "q118_record_linkage" -> q118RecordLinkage _,
     "q119_activity_islands" -> q119ActivityIslands _,
     "q120_rolling_metrics" -> q120RollingMetrics _,
+    "q121_inter_arrival" -> q121InterArrival _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2312,6 +2325,24 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q121_inter_arrival" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_ms(ts) ms, event_type typ, event_id FROM events),
+        |d AS (
+        | SELECT typ, event_id,
+        |  ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS delta
+        | FROM e),
+        |dd AS (SELECT * FROM d WHERE delta IS NOT NULL),
+        |r AS (
+        | SELECT typ, delta,
+        |  row_number() OVER (PARTITION BY typ ORDER BY delta, event_id) rn,
+        |  count(*) OVER (PARTITION BY typ) n
+        | FROM dd),
+        |med AS (SELECT typ, delta med_ms FROM r WHERE rn = (n - 1) // 2 + 1)
+        |SELECT typ, count(*) AS n_deltas, min(delta) AS min_ms,
+        | max(delta) AS max_ms, min(med_ms) AS med_ms
+        |FROM dd JOIN med USING (typ)
+        |GROUP BY typ ORDER BY typ""".stripMargin,
     "q120_rolling_metrics" ->
       """WITH d AS (
         | SELECT event_type typ, epoch_ms(ts) // 86400000 AS day,

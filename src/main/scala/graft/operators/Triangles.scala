@@ -27,6 +27,48 @@ object Triangles {
     * (n_nodes, n_edges, n_triangles).
     */
   def count(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (e, dir, deg, closed) = closedWedges(edges, srcCol, dstCol)
+    val nTri = closed.count()
+    val nNodes = deg.count()
+    val nEdges = e.count()
+    e.unpersist(); dir.unpersist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
+  }
+
+  /** Per-node triangle participation and clustering coefficient as the
+    * exact integer pair (coef_num, coef_den) = (2·tri, deg·(deg−1)) —
+    * the coefficient itself is their ratio; keeping the pieces integral
+    * keeps the output engine-exact. Every node of the graph appears,
+    * zero-triangle nodes included. Output: node, deg, n_tri, coef_num,
+    * coef_den.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val (e, dir, deg, closed) = closedWedges(edges, srcCol, dstCol)
+    // credit each triangle to all three corners
+    val corners = closed.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_tri"))
+    val out = deg.withColumnRenamed("v", "node").withColumnRenamed("d", "deg")
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coef_num", lit(2L) * col("n_tri"))
+      .withColumn("coef_den", col("deg") * (col("deg") - 1L))
+      .localCheckpoint(eager = true) // materialize before unpersisting inputs
+    e.unpersist(); dir.unpersist()
+    out
+  }
+
+  /** Shared core: canonical edge set, degrees, and the closed-wedge
+    * triples (u, x, y) — one row per triangle, u the lowest-order
+    * corner. The canonical edge frame `e` is returned persisted;
+    * callers unpersist after their actions.
+    */
+  private def closedWedges(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -53,14 +95,10 @@ object Triangles {
     val w1 = dir.select(col("u"), col("v").as("x"), col("kv").as("kx"))
     val w2 = dir.select(col("u"), col("v").as("y"), col("kv").as("ky"))
     val wedges = w1.join(w2, Seq("u")).filter(col("kx") < col("ky"))
-      .select(col("x"), col("y"))
+      .select(col("u"), col("x"), col("y"))
     val closing = dir.select(col("u").as("x"), col("v").as("y"))
-    val nTri = wedges.join(closing, Seq("x", "y")).count()
-    val nNodes = deg.count()
-    val nEdges = e.count()
-    e.unpersist(); dir.unpersist()
-    val spark = edges.sparkSession
-    import spark.implicits._
-    Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
+    val closed = wedges.join(closing, Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    (e, dir, deg, closed)
   }
 }

@@ -2048,6 +2048,21 @@ object PipelineQueries {
       .orderBy($"typ")
   }
 
+  // Per-node clustering coefficient over the q107 co-purchase graph:
+  // triangle credit from the oriented closing join exploded to all
+  // three corners, coefficient as the exact pair (2·tri, deg·(deg−1)).
+  // The oracle brute-forces the 3-way canonical-edge join and counts
+  // corner appearances.
+  def q122ClusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    graft.operators.Triangles.clusteringCoefficient(edges, "src", "dst")
+      .orderBy($"node")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2148,6 +2163,7 @@ object PipelineQueries {
     "q119_activity_islands" -> q119ActivityIslands _,
     "q120_rolling_metrics" -> q120RollingMetrics _,
     "q121_inter_arrival" -> q121InterArrival _,
+    "q122_clustering_coefficient" -> q122ClusteringCoefficient _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2325,6 +2341,26 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q122_clustering_coefficient" ->
+      """WITH p AS (
+        | SELECT x.l_partkey a, y.l_partkey b
+        | FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        | WHERE x.l_partkey < y.l_partkey),
+        |e AS (SELECT DISTINCT a, b FROM p),
+        |deg AS (
+        | SELECT n AS node, count(*) AS deg
+        | FROM (SELECT a n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |t AS (
+        | SELECT e1.a x, e1.b y, e2.b z
+        | FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        | SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t),
+        |tc AS (SELECT node, count(*) n_tri FROM corners GROUP BY 1)
+        |SELECT deg.node, deg.deg, CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        | CAST(2 * coalesce(tc.n_tri, 0) AS BIGINT) AS coef_num,
+        | CAST(deg.deg * (deg.deg - 1) AS BIGINT) AS coef_den
+        |FROM deg LEFT JOIN tc USING (node) ORDER BY node""".stripMargin,
     "q121_inter_arrival" ->
       """WITH e AS (
         | SELECT user_id, epoch_ms(ts) ms, event_type typ, event_id FROM events),

@@ -2063,6 +2063,64 @@ object PipelineQueries {
       .orderBy($"node")
   }
 
+  // Exact rolling 7-day distinct active users per day via credit
+  // explosion — each (user, day) activity credits the 7 windows it
+  // keeps the user active in; no per-day rescan, no window function.
+  // The oracle recounts each day's trailing window with a range join.
+  def q123RollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"user_id",
+      expr("unix_millis(ts) div 86400000").as("day"))
+    graft.operators.RollingDistinct.trailingDistinct(e, "user_id", "day", k = 7)
+      .orderBy($"day")
+  }
+
+  // Quantity-weighted lower-median price per return flag — the
+  // volume-weighted typical price. Cross-multiplied half-mass test,
+  // (value, tie) deterministic order; oracle replays the running-sum
+  // window and the first-qualifying-row select.
+  def q124WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir).select(
+      $"l_returnflag".as("rf"),
+      floor($"l_extendedprice").cast("long").as("v"),
+      $"l_quantity".cast("long").as("w"),
+      ($"l_orderkey" * 10L + $"l_linenumber").as("tie"))
+    graft.operators.WeightedMedian.weightedMedian(l, "rf", "v", "w", "tie")
+      .orderBy($"rf")
+  }
+
+  // CUSUM change-point per event type over the daily metric series:
+  // reference level = the series' own lower median, peak |CUSUM| day
+  // reported with earliest-day ties. Oracle replays median select,
+  // running CUSUM and peak pick.
+  def q125ChangePoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type".as("typ"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        floor($"value" * 1000).cast("long").as("vm"))
+      .groupBy($"typ", $"day").agg(sum($"vm").as("s"))
+    graft.operators.ChangePoint.cusumPeak(daily, "typ", "day", "s")
+      .orderBy($"typ")
+  }
+
+  // Which event types drove the metric's change between the two
+  // halves of the stream: per-segment sums, delta, and signed ppm
+  // share of the total delta. One conditional-sum agg + broadcast
+  // total.
+  def q126Contribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_type".as("seg"),
+      floor($"value" * 1000).cast("long").as("vm"),
+      unix_millis($"ts").as("ms"))
+    val mm = e.agg(min($"ms"), max($"ms")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    graft.operators.Contribution.deltaShares(
+        e.withColumn("in_b", $"ms" >= mid), "seg", "vm", "in_b")
+      .orderBy($"seg")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2164,6 +2222,10 @@ object PipelineQueries {
     "q120_rolling_metrics" -> q120RollingMetrics _,
     "q121_inter_arrival" -> q121InterArrival _,
     "q122_clustering_coefficient" -> q122ClusteringCoefficient _,
+    "q123_rolling_active_users" -> q123RollingActiveUsers _,
+    "q124_weighted_median" -> q124WeightedMedian _,
+    "q125_change_point" -> q125ChangePoint _,
+    "q126_contribution" -> q126Contribution _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2341,6 +2403,69 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q125_change_point" ->
+      """WITH d AS (
+        | SELECT event_type typ, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) s
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT typ, day, s,
+        |  row_number() OVER (PARTITION BY typ ORDER BY s, day) rn,
+        |  count(*) OVER (PARTITION BY typ) n
+        | FROM d),
+        |med AS (SELECT typ, s med FROM r WHERE rn = (n - 1) // 2 + 1),
+        |c AS (
+        | SELECT d.typ, d.day, med.med,
+        |  sum(d.s - med.med) OVER (PARTITION BY d.typ ORDER BY d.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cusum
+        | FROM d JOIN med USING (typ)),
+        |p AS (
+        | SELECT typ, med, day, cusum,
+        |  row_number() OVER (PARTITION BY typ ORDER BY abs(cusum) DESC, day) rn
+        | FROM c),
+        |cnt AS (SELECT typ, count(*) n_buckets FROM d GROUP BY 1)
+        |SELECT p.typ, p.med, p.day AS cp_bucket,
+        | CAST(p.cusum AS BIGINT) AS cp_cusum, cnt.n_buckets
+        |FROM p JOIN cnt USING (typ) WHERE p.rn = 1 ORDER BY p.typ""".stripMargin,
+    "q126_contribution" ->
+      """WITH e AS (
+        | SELECT event_type seg, CAST(floor(value * 1000) AS BIGINT) vm,
+        |  epoch_ms(ts) ms FROM events),
+        |m AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM e),
+        |a AS (
+        | SELECT seg,
+        |  CAST(sum(CASE WHEN ms < (SELECT mid FROM m) THEN vm ELSE 0 END) AS BIGINT) sum_a,
+        |  CAST(sum(CASE WHEN ms >= (SELECT mid FROM m) THEN vm ELSE 0 END) AS BIGINT) sum_b
+        | FROM e GROUP BY seg),
+        |t AS (SELECT sum(sum_b - sum_a) tot FROM a)
+        |SELECT seg, sum_a, sum_b, sum_b - sum_a AS delta,
+        | CASE WHEN tot = 0 THEN NULL
+        |  ELSE (sum_b - sum_a) * 1000000 // tot END AS share_ppm
+        |FROM a, t ORDER BY seg""".stripMargin,
+    "q123_rolling_active_users" ->
+      """WITH a AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |b AS (SELECT min(day) lo, max(day) hi FROM a),
+        |cal AS (
+        | SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS day)
+        |SELECT c.day, count(DISTINCT a.user_id) AS n_distinct
+        |FROM cal c JOIN a ON a.day <= c.day AND a.day > c.day - 7
+        |GROUP BY c.day ORDER BY c.day""".stripMargin,
+    "q124_weighted_median" ->
+      """WITH l AS (
+        | SELECT l_returnflag rf, CAST(floor(l_extendedprice) AS BIGINT) v,
+        |  CAST(l_quantity AS BIGINT) w,
+        |  l_orderkey * 10 + l_linenumber AS tie
+        | FROM lineitem),
+        |r AS (
+        | SELECT rf, v, w, tie,
+        |  sum(w) OVER (PARTITION BY rf ORDER BY v, tie
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cumw,
+        |  sum(w) OVER (PARTITION BY rf) totw
+        | FROM l)
+        |SELECT rf, min(v) AS w_median, CAST(max(totw) AS BIGINT) AS tot_w
+        |FROM r WHERE 2 * cumw >= totw
+        |GROUP BY rf ORDER BY rf""".stripMargin,
     "q122_clustering_coefficient" ->
       """WITH p AS (
         | SELECT x.l_partkey a, y.l_partkey b

@@ -67,4 +67,60 @@ object RangeJoin {
       .filter(col(pointMs) >= col(startMs) && col(pointMs) < col(endMs))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join: pair every left interval with
+    * every right interval it overlaps (half-open `[start, end)`,
+    * `startL < endR && startR < endL`), optionally restricted to rows
+    * agreeing on equi-key pairs.
+    *
+    * Same bin-bucketing idea as [[pointInInterval]], but BOTH sides
+    * explode onto their covered bins, so an overlapping pair can meet
+    * in many bins. Exactly-once emission without a dedup shuffle: a
+    * pair is emitted only in its RESPONSIBILITY BIN — the bin holding
+    * `max(startL, startR)`. Both sides provably cover that bin (each
+    * interval covers its own start's bin, and the earlier-starting
+    * interval covers it because its start ≤ maxStart < its end when
+    * they overlap), and it is unique per pair, so the residual
+    * `__bin == floorDiv(greatest(startL, startR))` keeps one copy.
+    *
+    * The join itself is an ordinary equi-join on (keys…, __bin) that
+    * Catalyst shuffles/broadcasts/AQE-splits like any other — no
+    * BroadcastNestedLoopJoin, no cartesian. `binWidth` trades fan-out
+    * (rows per interval = len/binWidth + 1) against bin co-residency;
+    * set it near the typical interval length.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      startL: String,
+      endL: String,
+      startR: String,
+      endR: String,
+      binWidth: Long,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    Seq(startL, endL, startR, endR).foreach(c =>
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"time column '$c' must be a simple identifier (rename before joining)"))
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left and right column names collide — rename before joining")
+    require(!(left.columns ++ right.columns).contains("__bin"),
+      "column name __bin is reserved by intervalOverlap")
+
+    val w = s"${binWidth}L"
+    def floorDiv(x: String) =
+      expr(s"($x) div $w - (CASE WHEN ($x) % $w < 0 THEN 1 ELSE 0 END)")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bin", explode(sequence(floorDiv(s), floorDiv(s"$e - 1"))))
+
+    val l = binned(left, startL, endL)
+    val r = binned(right, startR, endR)
+    val cond = keys.map { case (lk, rk) => l(lk) === r(rk) }
+      .foldLeft(l("__bin") === r("__bin"))(_ && _)
+    l.join(r, cond)
+      .filter(col(startL) < col(endR) && col(startR) < col(endL))
+      .filter(l("__bin") === floorDiv(s"greatest($startL, $startR)"))
+      .drop("__bin")
+  }
 }

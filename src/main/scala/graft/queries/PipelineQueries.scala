@@ -2121,6 +2121,67 @@ object PipelineQueries {
       .orderBy($"seg")
   }
 
+  // Concurrent shipments of the same part: interval-overlap SELF-join
+  // on bin-bucketed ship spans ([ship_day, ship_day + qty%28 + 3)),
+  // each overlapping pair emitted exactly once in its responsibility
+  // bin — an ordinary equi-join on (part, bin) Catalyst can shuffle
+  // and AQE-split, never a nested-loop. The oracle brute-forces the
+  // quadratic self-join; the engine never does.
+  def q127OverlapShipments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, dir).select(
+        $"l_partkey",
+        expr("datediff(cast(l_shipdate as date), date'1970-01-01')")
+          .cast("long").as("sd"),
+        ($"l_orderkey" * 10L + $"l_linenumber").as("lid"),
+        ($"l_quantity".cast("long") % 28L + 3L).as("len"))
+      .withColumn("ed", $"sd" + $"len")
+    val lft = base.select($"l_partkey".as("pk_l"), $"sd".as("s_l"),
+      $"ed".as("e_l"), $"lid".as("id_l"))
+    val rgt = base.select($"l_partkey".as("pk_r"), $"sd".as("s_r"),
+      $"ed".as("e_r"), $"lid".as("id_r"))
+    graft.operators.RangeJoin.intervalOverlap(
+        lft, rgt, "s_l", "e_l", "s_r", "e_r", binWidth = 32L,
+        keys = Seq("pk_l" -> "pk_r"))
+      .filter($"id_l" < $"id_r")
+      .groupBy($"pk_l".as("partkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least($"e_l", $"e_r") - greatest($"s_l", $"s_r")).as("overlap_days"))
+      .orderBy($"partkey")
+  }
+
+  // Category-tree flatten over a derived part hierarchy (parent(k) =
+  // max(k div 3, 1) — a ternary tree rooted at 1, depth ≈ log₃ N):
+  // pointer doubling resolves every node's (root, depth) in
+  // ⌈log₂ depth⌉ self-joins where a WITH-RECURSIVE walk (the oracle)
+  // takes depth sequential ones.
+  def q128HierarchyFlatten(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.part(s, dir).select($"p_partkey".as("node"),
+      greatest(expr("p_partkey div 3"), lit(1L)).as("parent"))
+    graft.operators.Hierarchy.flatten(edges, "node", "parent")
+      .orderBy($"node")
+  }
+
+  // Melt lineitem's four measure columns to long form (Expand —
+  // map-side row fan-out, no shuffle, no UDF), then one generic
+  // hash-agg over (flag, measure). Exact cents keep both engines
+  // integer. The oracle melts with UNION ALL.
+  def q129MeltMeasures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.lineitem(s, dir).select(
+      $"l_returnflag".as("rf"),
+      floor($"l_quantity" * 100).cast("long").as("quantity"),
+      floor($"l_extendedprice" * 100).cast("long").as("extendedprice"),
+      floor($"l_discount" * 100).cast("long").as("discount"),
+      floor($"l_tax" * 100).cast("long").as("tax"))
+    graft.operators.Reshape.melt(wide, Seq("rf"),
+        Seq("quantity", "extendedprice", "discount", "tax"), "measure", "cents")
+      .groupBy($"rf", $"measure")
+      .agg(sum($"cents").as("total_cents"), count(lit(1)).as("n"))
+      .orderBy($"rf", $"measure")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2226,6 +2287,9 @@ object PipelineQueries {
     "q124_weighted_median" -> q124WeightedMedian _,
     "q125_change_point" -> q125ChangePoint _,
     "q126_contribution" -> q126Contribution _,
+    "q127_overlap_shipments" -> q127OverlapShipments _,
+    "q128_hierarchy_flatten" -> q128HierarchyFlatten _,
+    "q129_melt_measures" -> q129MeltMeasures _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2403,6 +2467,42 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q127_overlap_shipments" ->
+      """WITH b AS (
+        | SELECT l_partkey pk, epoch_ms(l_shipdate) // 86400000 AS sd,
+        |  epoch_ms(l_shipdate) // 86400000 + CAST(l_quantity AS BIGINT) % 28 + 3 AS ed,
+        |  l_orderkey * 10 + l_linenumber AS lid
+        | FROM lineitem)
+        |SELECT x.pk AS partkey, count(*) AS n_pairs,
+        | CAST(sum(least(x.ed, y.ed) - greatest(x.sd, y.sd)) AS BIGINT) AS overlap_days
+        |FROM b x JOIN b y ON x.pk = y.pk AND x.lid < y.lid
+        | AND x.sd < y.ed AND y.sd < x.ed
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q128_hierarchy_flatten" ->
+      """WITH RECURSIVE e AS (
+        | SELECT p_partkey AS node, greatest(p_partkey // 3, 1) AS parent FROM part),
+        |h AS (
+        | SELECT node, node AS root, CAST(0 AS BIGINT) AS depth FROM e WHERE parent = node
+        | UNION ALL
+        | SELECT e.node, h.root, h.depth + 1 FROM e JOIN h ON e.parent = h.node
+        |  WHERE e.parent <> e.node)
+        |SELECT node, root, depth FROM h ORDER BY node""".stripMargin,
+    "q129_melt_measures" ->
+      """WITH w AS (
+        | SELECT l_returnflag rf,
+        |  CAST(floor(l_quantity * 100) AS BIGINT) AS quantity,
+        |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS extendedprice,
+        |  CAST(floor(l_discount * 100) AS BIGINT) AS discount,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax
+        | FROM lineitem),
+        |m AS (
+        | SELECT rf, 'quantity' AS measure, quantity AS cents FROM w
+        | UNION ALL SELECT rf, 'extendedprice', extendedprice FROM w
+        | UNION ALL SELECT rf, 'discount', discount FROM w
+        | UNION ALL SELECT rf, 'tax', tax FROM w)
+        |SELECT rf, measure, CAST(sum(cents) AS BIGINT) AS total_cents,
+        | count(*) AS n
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q125_change_point" ->
       """WITH d AS (
         | SELECT event_type typ, epoch_ms(ts) // 86400000 AS day,

@@ -75,6 +75,60 @@ class RangeJoinSpec extends SparkTestBase {
     assert(plan.contains("Join"), plan)
   }
 
+  test("intervalOverlap matches brute force exactly once, keyed and unkeyed, across bin widths") {
+    val rnd = new scala.util.Random(20260813L)
+    // lengths 0..499: empty, sub-bin, multi-bin; starts may be negative
+    def mk(n: Int) = (1L to n.toLong).map { i =>
+      val s = rnd.nextInt(6000).toLong - 3000L
+      (i, i % 5, s, s + rnd.nextInt(500).toLong)
+    }.toSeq
+    val ls = mk(120)
+    val rs = mk(90)
+    val expectedKeyed = (for {
+      (li, lk, s1, e1) <- ls
+      (ri, rk, s2, e2) <- rs
+      if lk == rk && s1 < e2 && s2 < e1
+    } yield (li, ri)).sorted
+    val expectedUnkeyed = (for {
+      (li, _, s1, e1) <- ls
+      (ri, _, s2, e2) <- rs
+      if s1 < e2 && s2 < e1
+    } yield (li, ri)).sorted
+
+    val ldf = ls.toDF("id_l", "k_l", "s_l", "e_l")
+    val rdf = rs.toDF("id_r", "k_r", "s_r", "e_r")
+    for (w <- Seq(1L, 64L, 300L, 100000L)) {
+      val keyed = RangeJoin.intervalOverlap(ldf, rdf, "s_l", "e_l", "s_r", "e_r",
+          binWidth = w, keys = Seq("k_l" -> "k_r"))
+        .select($"id_l", $"id_r").as[(Long, Long)].collect().toSeq
+      assert(keyed.sorted == expectedKeyed, s"keyed mismatch at binWidth=$w")
+      val unkeyed = RangeJoin.intervalOverlap(ldf, rdf, "s_l", "e_l", "s_r", "e_r",
+          binWidth = w)
+        .select($"id_l", $"id_r").as[(Long, Long)].collect().toSeq
+      assert(unkeyed.sorted == expectedUnkeyed, s"unkeyed mismatch at binWidth=$w")
+    }
+  }
+
+  test("intervalOverlap half-open semantics: touching spans do not overlap") {
+    val ldf = Seq((1L, 100L, 200L)).toDF("id_l", "s_l", "e_l")
+    val rdf = Seq((10L, 200L, 300L), (11L, 199L, 200L), (12L, 50L, 101L),
+      (13L, 250L, 250L)).toDF("id_r", "s_r", "e_r")
+    val got = RangeJoin.intervalOverlap(ldf, rdf, "s_l", "e_l", "s_r", "e_r", 100L)
+      .select($"id_l", $"id_r").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L), (1L, 12L)))
+  }
+
+  test("intervalOverlap plans as an equi hash join — no nested-loop or cartesian fallback") {
+    val ldf = (1L to 50L).map(i => (i, i * 37 % 900, i * 37 % 900 + 80)).toDF("id_l", "s_l", "e_l")
+    val rdf = (1L to 50L).map(i => (i, i * 53 % 900, i * 53 % 900 + 60)).toDF("id_r", "s_r", "e_r")
+    val joined = RangeJoin.intervalOverlap(ldf, rdf, "s_l", "e_l", "s_r", "e_r", 128L)
+    joined.collect()
+    val plan = planString(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
   test("reserved/colliding column names are rejected") {
     val pdf = Seq((1L, 1L)).toDF("pid", "p")
     intercept[IllegalArgumentException] {

@@ -2182,6 +2182,65 @@ object PipelineQueries {
       .orderBy($"rf", $"measure")
   }
 
+  // Relational→nested training-example assembly: each order packs its
+  // lines into a sorted array<struct> (one hash-agg + one
+  // co-partitioned join, sort_array row-local). Compared via a
+  // canonical string signature — struct hashing is engine-specific,
+  // strings are not. Childless orders keep empty arrays ('' sig).
+  def q130OrderDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir).select(
+      $"l_orderkey",
+      $"l_linenumber".cast("long").as("ln"),
+      $"l_partkey".as("pk"),
+      $"l_quantity".cast("long").as("qty"),
+      floor($"l_extendedprice" * 100).cast("long").as("cents"))
+    graft.operators.Nest.assemble(
+        Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        items, "o_orderkey", "l_orderkey", Seq("ln", "pk", "qty", "cents"))
+      .select($"o_orderkey".as("order_key"), $"o_custkey".as("cust_key"),
+        size($"items").cast("long").as("n_items"),
+        expr("aggregate(items, 0L, (a, x) -> a + x.cents)").as("total_cents"),
+        expr("array_join(transform(items, x -> " +
+          "concat(x.ln, ':', x.pk, ':', x.qty, ':', x.cents)), '|')")
+          .as("items_sig"))
+      .orderBy($"order_key")
+  }
+
+  // Phrase mining: top bigram collocations by exact integer PMI lift
+  // (DECIMAL(38,0) ≡ DuckDB HUGEINT — no log(), no doubles). The
+  // oracle recounts unigrams/bigrams and replays the ppm division.
+  def q131Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.text.Collocations.pmiBigrams(
+      Tables.documents(s, dir), "text", minCount = 5L, k = 50)
+  }
+
+  // Tokenizer vocab of the top-30 tokens (GlobalRank ids — no
+  // single-partition window) + per-doc OOV audit; id_sum pins the id
+  // ASSIGNMENT, not just vocabulary membership.
+  def q132VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocab = graft.text.Vocab.build(docs, "text", vocabSize = 30)
+    graft.text.Vocab.coverage(docs, vocab, "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  // Quantile-normalize the event metric per type onto the global
+  // distribution (exact integer rank mapping), then per-type summary.
+  // The oracle replays both row_number ladders and the position join.
+  def q133QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_type".as("typ"),
+      floor($"value" * 1000).cast("long").as("vm"), $"event_id")
+    graft.operators.QuantileNorm.normalize(e, "typ", "vm", "event_id")
+      .groupBy($"typ")
+      .agg(count(lit(1)).as("n"), sum($"norm").as("sum_norm"),
+        min($"norm").as("min_norm"), max($"norm").as("max_norm"))
+      .orderBy($"typ")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2290,6 +2349,10 @@ object PipelineQueries {
     "q127_overlap_shipments" -> q127OverlapShipments _,
     "q128_hierarchy_flatten" -> q128HierarchyFlatten _,
     "q129_melt_measures" -> q129MeltMeasures _,
+    "q130_order_documents" -> q130OrderDocuments _,
+    "q131_collocations" -> q131Collocations _,
+    "q132_vocab_coverage" -> q132VocabCoverage _,
+    "q133_quantile_norm" -> q133QuantileNorm _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2503,6 +2566,73 @@ object PipelineQueries {
         |SELECT rf, measure, CAST(sum(cents) AS BIGINT) AS total_cents,
         | count(*) AS n
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q130_order_documents" ->
+      """WITH i AS (
+        | SELECT l_orderkey, CAST(l_linenumber AS BIGINT) ln, l_partkey pk,
+        |  CAST(l_quantity AS BIGINT) qty,
+        |  CAST(floor(l_extendedprice * 100) AS BIGINT) cents
+        | FROM lineitem),
+        |g AS (
+        | SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  string_agg(ln || ':' || pk || ':' || qty || ':' || cents, '|'
+        |   ORDER BY ln, pk, qty, cents) AS sig
+        | FROM i GROUP BY 1)
+        |SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+        | coalesce(g.n_items, 0) AS n_items,
+        | coalesce(g.total_cents, 0) AS total_cents,
+        | coalesce(g.sig, '') AS items_sig
+        |FROM orders o LEFT JOIN g ON o.o_orderkey = g.l_orderkey
+        |ORDER BY order_key""".stripMargin,
+    "q131_collocations" ->
+      """WITH toks AS (
+        | SELECT string_split_regex(trim(text), '\s+') tk FROM documents),
+        |uni AS (SELECT unnest(tk) w FROM toks),
+        |uc AS (SELECT w, count(*) c FROM uni GROUP BY 1),
+        |nu AS (SELECT count(*) n FROM uni),
+        |bi AS (
+        | SELECT unnest([struct_pack(w1 := tk[i], w2 := tk[i + 1])
+        |  FOR i IN range(1, len(tk))]) AS b FROM toks),
+        |bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) c_ab FROM bi GROUP BY 1, 2),
+        |nb AS (SELECT count(*) n FROM bi)
+        |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+        | CAST(CAST(c_ab AS HUGEINT) * nu.n * nu.n * 1000000 //
+        |  (CAST(nb.n AS HUGEINT) * a.c * b.c) AS BIGINT) AS lift_ppm
+        |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, nu, nb
+        |WHERE c_ab >= 5
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q132_vocab_coverage" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |u AS (SELECT doc_id, unnest(tk) w FROM toks),
+        |c AS (SELECT w, count(*) c FROM u GROUP BY 1),
+        |v AS (SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) id
+        |      FROM c QUALIFY id <= 30),
+        |j AS (SELECT u.doc_id, v.id FROM u LEFT JOIN v ON u.w = v.w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) * 1000000
+        |  // count(*) AS BIGINT) AS oov_ppm,
+        | CAST(coalesce(sum(id), 0) AS BIGINT) AS id_sum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q133_quantile_norm" ->
+      """WITH e AS (
+        | SELECT event_type typ, CAST(floor(value * 1000) AS BIGINT) vm, event_id
+        | FROM events),
+        |nn AS (SELECT count(*) n FROM e),
+        |g AS (SELECT vm, CAST(row_number() OVER (ORDER BY vm, event_id) AS BIGINT) gr
+        |      FROM e),
+        |r AS (SELECT typ, vm, event_id,
+        |  CAST(row_number() OVER (PARTITION BY typ ORDER BY vm, event_id) AS BIGINT) r,
+        |  count(*) OVER (PARTITION BY typ) cnt FROM e),
+        |x AS (SELECT typ,
+        |  CASE WHEN cnt = 1 THEN ((SELECT n FROM nn) + 1) // 2
+        |   ELSE (r - 1) * ((SELECT n FROM nn) - 1) // (cnt - 1) + 1 END AS idx
+        | FROM r),
+        |m AS (SELECT x.typ, g.vm AS norm FROM x JOIN g ON g.gr = x.idx)
+        |SELECT typ, count(*) AS n, CAST(sum(norm) AS BIGINT) AS sum_norm,
+        | min(norm) AS min_norm, max(norm) AS max_norm
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q125_change_point" ->
       """WITH d AS (
         | SELECT event_type typ, epoch_ms(ts) // 86400000 AS day,

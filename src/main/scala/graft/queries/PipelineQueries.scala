@@ -2241,6 +2241,93 @@ object PipelineQueries {
       .orderBy($"typ")
   }
 
+  // Deterministic integer Welch A/B readout per event type (arm =
+  // user-id parity): one conditional-sum hash-agg; variances in
+  // DECIMAL(38,0) ≡ HUGEINT; the 2σ gate is exact integer arithmetic
+  // both engines replay bit-identically — no float, no order drift.
+  def q134AbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_type".as("typ"),
+      floor($"value" * 1000).cast("long").as("vm"),
+      ($"user_id" % 2 === 1).as("arm_b"))
+    graft.operators.AbTest.welchGate(e, "typ", "arm_b", "vm").orderBy($"typ")
+  }
+
+  // k-core (k=80) of the co-purchase graph: monotone peeling to a
+  // fixpoint (degree agg + two id joins per round, lineage truncated).
+  // The oracle unrolls 10 peeling rounds — rounds past the fixpoint
+  // are no-ops, which is what makes a non-recursive replay sound.
+  // Nonempty core at sf0.01, empty at sf0.001 — both gated.
+  def q135KCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    graft.operators.KCore.core(edges, "src", "dst", k = 80).orderBy($"node")
+  }
+
+  // Missing-run detection over the delivered-order id sequence
+  // (present = totalprice not ≡ 0 mod 5): GlobalRank + rank(r)↔(r+1)
+  // equi-join — never a single-partition lead() window (that's the
+  // oracle's job).
+  def q136SequenceGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val present = Tables.orders(s, dir)
+      .filter(expr("CAST(floor(o_totalprice) AS BIGINT) % 5 != 0"))
+      .select($"o_orderkey")
+    graft.operators.SequenceGaps.gaps(present, "o_orderkey")
+      .orderBy($"gap_start")
+  }
+
+  // Referential-integrity audit over 5 declared relationships, one of
+  // them a conformance rule with real violations (orders must point at
+  // ACTIVE customers — negative balances orphan ~8% of orders). One
+  // left join + conditional count per rule.
+  def q137IntegrityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Integrity.RefRule
+    val cust = Tables.customer(s, dir)
+    graft.operators.Integrity.audit(Seq(
+      RefRule("lineitem.orderkey->orders", Tables.lineitem(s, dir),
+        "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+      RefRule("lineitem.suppkey->supplier", Tables.lineitem(s, dir),
+        "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+      RefRule("orders.custkey->customer", Tables.orders(s, dir),
+        "o_custkey", cust, "c_custkey"),
+      RefRule("orders.custkey->active_customer", Tables.orders(s, dir),
+        "o_custkey", cust.filter($"c_acctbal" >= 0), "c_custkey"),
+      RefRule("events.user_id->customer", Tables.events(s, dir),
+        "user_id", cust, "c_custkey")))
+  }
+
+  /** q135's oracle: `rounds` unrolled peel rounds — sound because
+    * peeling is monotone and idempotent past its fixpoint (verified ≤6
+    * rounds at both gated SFs; 10 leaves margin).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e0 AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)""".stripMargin)
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+        |d${i + 1} AS MATERIALIZED (SELECT node, count(*) deg FROM
+        |  (SELECT src AS node FROM e$i UNION ALL SELECT dst FROM e$i) GROUP BY 1),
+        |e${i + 1} AS MATERIALIZED (SELECT e$i.src, e$i.dst FROM e$i
+        |  JOIN d${i + 1} a ON e$i.src = a.node
+        |  JOIN d${i + 1} b ON e$i.dst = b.node
+        |  WHERE a.deg >= $k AND b.deg >= $k)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM
+      | (SELECT src AS node FROM e$rounds UNION ALL SELECT dst FROM e$rounds)
+      |GROUP BY 1 ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2353,6 +2440,10 @@ object PipelineQueries {
     "q131_collocations" -> q131Collocations _,
     "q132_vocab_coverage" -> q132VocabCoverage _,
     "q133_quantile_norm" -> q133QuantileNorm _,
+    "q134_ab_test" -> q134AbTest _,
+    "q135_kcore" -> q135KCore _,
+    "q136_sequence_gaps" -> q136SequenceGaps _,
+    "q137_integrity_audit" -> q137IntegrityAudit _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2633,6 +2724,74 @@ object PipelineQueries {
         |SELECT typ, count(*) AS n, CAST(sum(norm) AS BIGINT) AS sum_norm,
         | min(norm) AS min_norm, max(norm) AS max_norm
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q134_ab_test" ->
+      """WITH e AS (
+        | SELECT event_type typ, CAST(floor(value * 1000) AS BIGINT) vm,
+        |  user_id % 2 = 1 AS b FROM events),
+        |a AS (SELECT typ,
+        | CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) n_a,
+        | CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) n_b,
+        | CAST(sum(CASE WHEN NOT b THEN vm ELSE 0 END) AS BIGINT) sum_a,
+        | CAST(sum(CASE WHEN b THEN vm ELSE 0 END) AS BIGINT) sum_b,
+        | CAST(sum(CASE WHEN NOT b THEN vm * vm ELSE 0 END) AS BIGINT) ss_a,
+        | CAST(sum(CASE WHEN b THEN vm * vm ELSE 0 END) AS BIGINT) ss_b
+        | FROM e GROUP BY 1),
+        |m AS (SELECT typ, n_a, n_b,
+        | sum_a // nullif(n_a, 0) AS mean_a, sum_b // nullif(n_b, 0) AS mean_b,
+        | CAST((CAST(n_a AS HUGEINT) * ss_a - CAST(sum_a AS HUGEINT) * sum_a) //
+        |  (CAST(n_a AS HUGEINT) * nullif(n_a, 0)) AS BIGINT) AS var_a,
+        | CAST((CAST(n_b AS HUGEINT) * ss_b - CAST(sum_b AS HUGEINT) * sum_b) //
+        |  (CAST(n_b AS HUGEINT) * nullif(n_b, 0)) AS BIGINT) AS var_b
+        | FROM a)
+        |SELECT typ, n_a, n_b, mean_a, mean_b, var_a, var_b,
+        | mean_b - mean_a AS diff,
+        | CAST(CASE WHEN (mean_b - mean_a) * (mean_b - mean_a) >
+        |  4 * (var_a // nullif(n_a, 0) + var_b // nullif(n_b, 0))
+        |  THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM m ORDER BY typ""".stripMargin,
+    "q135_kcore" -> kcoreOracle(k = 80, rounds = 10),
+    "q136_sequence_gaps" ->
+      """WITH p AS (
+        | SELECT o_orderkey k FROM orders
+        | WHERE CAST(floor(o_totalprice) AS BIGINT) % 5 != 0),
+        |g AS (SELECT k, lead(k) OVER (ORDER BY k) nk FROM p)
+        |SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS missing
+        |FROM g WHERE nk > k + 1 ORDER BY gap_start""".stripMargin,
+    "q137_integrity_audit" ->
+      """WITH r1 AS (
+        | SELECT 'lineitem.orderkey->orders' AS relationship,
+        |  count(*) AS child_rows,
+        |  CAST(sum(CASE WHEN c.l_orderkey IS NOT NULL AND p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+        |  count(DISTINCT CASE WHEN c.l_orderkey IS NOT NULL AND p.__pk IS NULL THEN c.l_orderkey END) AS orphan_keys
+        | FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS __pk FROM orders) p
+        |  ON c.l_orderkey = p.__pk),
+        |r2 AS (
+        | SELECT 'lineitem.suppkey->supplier', count(*),
+        |  CAST(sum(CASE WHEN c.l_suppkey IS NOT NULL AND p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT CASE WHEN c.l_suppkey IS NOT NULL AND p.__pk IS NULL THEN c.l_suppkey END)
+        | FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS __pk FROM supplier) p
+        |  ON c.l_suppkey = p.__pk),
+        |r3 AS (
+        | SELECT 'orders.custkey->customer', count(*),
+        |  CAST(sum(CASE WHEN c.o_custkey IS NOT NULL AND p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT CASE WHEN c.o_custkey IS NOT NULL AND p.__pk IS NULL THEN c.o_custkey END)
+        | FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS __pk FROM customer) p
+        |  ON c.o_custkey = p.__pk),
+        |r4 AS (
+        | SELECT 'orders.custkey->active_customer', count(*),
+        |  CAST(sum(CASE WHEN c.o_custkey IS NOT NULL AND p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT CASE WHEN c.o_custkey IS NOT NULL AND p.__pk IS NULL THEN c.o_custkey END)
+        | FROM orders c LEFT JOIN
+        |  (SELECT DISTINCT c_custkey AS __pk FROM customer WHERE c_acctbal >= 0) p
+        |  ON c.o_custkey = p.__pk),
+        |r5 AS (
+        | SELECT 'events.user_id->customer', count(*),
+        |  CAST(sum(CASE WHEN c.user_id IS NOT NULL AND p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT CASE WHEN c.user_id IS NOT NULL AND p.__pk IS NULL THEN c.user_id END)
+        | FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS __pk FROM customer) p
+        |  ON c.user_id = p.__pk)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5""".stripMargin,
     "q125_change_point" ->
       """WITH d AS (
         | SELECT event_type typ, epoch_ms(ts) // 86400000 AS day,

@@ -25,9 +25,16 @@ class PipelineQueriesSpec extends SparkTestBase {
       ("A", "a2", 2L, 1L), ("A", "a3", 2L, 2L)))
   }
 
+  // Queries whose correct answer is the empty set at sf0.001 (the
+  // CORRECTNESS gate runs at sf0.01, where they are non-empty). They
+  // must still execute; their semantics are pinned by dedicated specs
+  // (e.g. KCoreSpec) and the sf0.01 oracle.
+  private val emptyAtSmoke = Set("q135_kcore")
+
   for ((name, fn) <- PipelineQueries.all.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows on sf0.001") {
-      assert(fn(spark, sfSmoke).count() > 0)
+      val n = fn(spark, sfSmoke).count()
+      if (emptyAtSmoke(name)) assert(n >= 0) else assert(n > 0)
     }
   }
 

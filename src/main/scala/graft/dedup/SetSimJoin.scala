@@ -97,4 +97,82 @@ object SetSimJoin {
       .filter(lit(tDen.toLong) * col("shared") >= lit(tNum.toLong) * col("un"))
       .select(col("id_a"), col("id_b"), col("shared"), col("un"))
   }
+
+  /** EXACT containment self-join: pairs with
+    * |A∩B| ≥ (tNum/tDen)·min(|A|,|B|) — the ASYMMETRIC near-dup
+    * relation Jaccard misses: a quote, excerpt, or boilerplate-wrapped
+    * copy is almost fully contained in its host but has tiny Jaccard
+    * against it, so [[jaccardJoin]]/MinHash banding never surface the
+    * pair. Containment is the standard screen for sub-document
+    * duplication in pre-training corpora.
+    *
+    * Candidate generation is one-sided prefix filtering (the
+    * containment/superset-join variant of the SSJoin family): order
+    * elements by ascending document frequency; the SMALLER set of a
+    * qualifying pair needs overlap ≥ ⌈t·n_small⌉, so if its first
+    *   L = n − ⌈t·n⌉ + 1
+    * elements all miss B, the remaining n − L = ⌈t·n⌉ − 1 can't reach
+    * the bar (pigeonhole). Hence: probe every set's PREFIX against a
+    * FULL inverted index, keeping candidates where the prefix side is
+    * the smaller (ties broken by id so each pair arises once per
+    * direction it qualifies in). The full-postings side is what makes
+    * containment intrinsically heavier than the symmetric join — but
+    * prefixes hold only the df-rarest elements, so each probe touches
+    * short postings lists; boilerplate elements never leave the
+    * suffix. Verify is exact on the materialized sets. Same
+    * hash-don't-shuffle-strings discipline as [[jaccardJoin]].
+    */
+  def containmentJoin(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val base = sets
+      .select(col(idCol).cast("long").as("__id"),
+        array_distinct(col(setCol)).as("__set"))
+      .filter(size(col("__set")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val ex = base.select(col("__id"), explode(col("__set")).as("__el"))
+      .withColumn("__eh", xxhash64(col("__el")))
+    val dfreq = ex.groupBy("__eh").agg(count(lit(1)).as("__df"))
+    val ordered = ex.join(dfreq, "__eh")
+      .groupBy("__id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__df"), col("__eh"), col("__el")))),
+        x => x("__eh")).as("__ord"))
+      .withColumn("__n", size(col("__ord")))
+      .withColumn("__L",
+        col("__n") - expr(s"(($tNum * __n + $tDen - 1) div $tDen)") + 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // probe side: prefixes only; index side: full postings
+    val probe = ordered
+      .select(col("__id").as("__pid"), col("__n").as("__pn"),
+        explode(slice(col("__ord"), lit(1), col("__L"))).as("__eh"))
+    val index = ordered
+      .select(col("__id").as("__iid"), col("__n").as("__in"),
+        explode(col("__ord")).as("__eh"))
+    val cands = probe.join(index,
+        probe("__eh") === index("__eh") && col("__pid") =!= col("__iid") &&
+          // probe must be the (weakly) smaller side; strict id tiebreak
+          // on equal sizes so a pair isn't generated from both ends
+          (col("__pn") < col("__in") ||
+            (col("__pn") === col("__in") && col("__pid") < col("__iid"))))
+      .select(least(col("__pid"), col("__iid")).as("id_a"),
+        greatest(col("__pid"), col("__iid")).as("id_b"))
+      .distinct()
+
+    val sa = base.select(col("__id").as("id_a"), col("__set").as("__sa"))
+    val sb = base.select(col("__id").as("id_b"), col("__set").as("__sb"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("shared", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("n_a", size(col("__sa")).cast("long"))
+      .withColumn("n_b", size(col("__sb")).cast("long"))
+      .filter(lit(tDen.toLong) * col("shared") >=
+        lit(tNum.toLong) * least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
+  }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded-hop BFS: minimum hop distance from a seed set to every
+  * node reachable within `maxHops` undirected hops — blast-radius /
+  * neighborhood-expansion queries (which parts co-occur within 2
+  * purchases of a recalled part; which users sit within 3 edges of a
+  * banned ring). The bounded form is the scalable one: unbounded
+  * reachability is [[ConnectedComponents]]; a fixed hop budget keeps
+  * the frontier-join count deterministic, which also lets a
+  * non-recursive SQL oracle unroll the exact same `maxHops` rounds.
+  *
+  * Classic frontier expansion: visited holds min-hop labels, the
+  * frontier is only the NEWLY reached nodes (so each round's join
+  * touches the growing wave, never the full visited set), and each
+  * round is one equi-join frontier⋈edges + an anti-join against
+  * visited + a min-dedup. Per-round lineage truncation keeps the plan
+  * flat, same discipline as [[KCore]]/[[ConnectedComponents]]. A
+  * frontier that goes empty short-circuits the remaining rounds.
+  */
+object Bfs {
+
+  /** (node, hop) for every node within `maxHops` of `seeds` (hop 0 =
+    * seed itself; seeds absent from the edge set still appear at hop
+    * 0). Edges are undirected; duplicates/self-loops ignored.
+    */
+  def hops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    // symmetric adjacency once: frontier joins probe a single table
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var visited = truncate(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("hop", lit(0L)))
+    var frontier = visited
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.select(col("node").as("u"))
+        .join(adj, "u").select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop))
+      frontier = truncate(next)
+      visited = truncate(visited.union(frontier))
+    }
+    adj.unpersist()
+    visited
+  }
+}

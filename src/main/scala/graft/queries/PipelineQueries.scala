@@ -2328,6 +2328,76 @@ object PipelineQueries {
     sb.toString
   }
 
+  // Trending event types under a 7-day half-life: dyadic step decay in
+  // exact 2^-16 integer units (one map-combinable hash-agg; no float
+  // sum → summation-order-independent, hash-exact oracle). Value
+  // stream integerized to cents with floor (round() ties differ across
+  // engines; floor doesn't).
+  def q138DecayedTrends(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val ref = ev.agg(max(to_date($"ts")).as("__ref"))
+    val base = ev.crossJoin(broadcast(ref))
+      .select($"event_type",
+        datediff($"__ref", to_date($"ts")).as("age"),
+        floor($"value" * 100).cast("long").as("vc"))
+    graft.operators.Decay.decayedCounts(base, "event_type", "age", "vc",
+        halfLife = 7L, maxK = 16)
+      .orderBy($"event_type")
+  }
+
+  // lang × source contingency audit: exact cell/marginal counts, with
+  // expected-under-independence and lift derived per cell by a fixed
+  // two-op float expression (no cross-cell float sum — a summed chi²
+  // would depend on summation order). Marginal windows run on the
+  // cell frame (r×c rows), never on the documents.
+  def q139LangSourceIndependence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Independence.crosstab(
+        Tables.documents(s, dir), "lang", "source")
+      .orderBy($"lang", $"source")
+  }
+
+  // Benford leading-digit audit of order totals: exact integer ppm
+  // math against hard-coded log10(1+1/d) ppm literals (libm log()
+  // differs in the last ulp across engines; literals don't).
+  def q140BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Benford.firstDigit(Tables.orders(s, dir), "o_totalprice")
+      .orderBy($"digit")
+  }
+
+  // Asymmetric containment near-dup pairs on the q75 word-3-shingle
+  // sets: |A∩B| ≥ 0.8·min(|A|,|B|) — catches excerpt/quote containment
+  // that Jaccard misses (C ≥ J always, so this is a superset of q75's
+  // pairs at the same threshold). Prefix-probe against a full inverted
+  // index keeps the exact form subquadratic; the oracle brute-forces.
+  def q141ContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // spread the shingle HOF
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    graft.dedup.SetSimJoin.containmentJoin(sets, "doc_id", "sh",
+        tNum = 8, tDen = 10)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // Blast radius: min hop distance within 2 undirected hops of seed
+  // parts (p_partkey ≤ 5) over the co-purchase graph — frontier-join
+  // BFS whose fixed hop budget the oracle unrolls as two CTE rounds
+  // (same unroll-soundness argument as q135's peeling).
+  def q142KhopReach(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    val seeds = Tables.part(s, dir).filter($"p_partkey" <= 5)
+    graft.operators.Bfs.hops(edges, "src", "dst", seeds, "p_partkey",
+        maxHops = 2)
+      .orderBy($"node")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2444,6 +2514,11 @@ object PipelineQueries {
     "q135_kcore" -> q135KCore _,
     "q136_sequence_gaps" -> q136SequenceGaps _,
     "q137_integrity_audit" -> q137IntegrityAudit _,
+    "q138_decayed_trends" -> q138DecayedTrends _,
+    "q139_lang_source_independence" -> q139LangSourceIndependence _,
+    "q140_benford_audit" -> q140BenfordAudit _,
+    "q141_containment_pairs" -> q141ContainmentPairs _,
+    "q142_khop_reach" -> q142KhopReach _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2792,6 +2867,71 @@ object PipelineQueries {
         |  ON c.user_id = p.__pk)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
         |UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5""".stripMargin,
+    "q138_decayed_trends" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  date_diff('day', CAST(ts AS DATE), (SELECT max(CAST(ts AS DATE)) FROM events)) AS age,
+        |  CAST(floor(value * 100) AS BIGINT) AS vc
+        | FROM events),
+        |w AS (SELECT event_type, vc,
+        |       (1::BIGINT << CAST(16 - least(age // 7, 16) AS INT)) AS wu FROM b)
+        |SELECT event_type, count(*) AS n,
+        | CAST(sum(wu) AS BIGINT) AS decayed_units,
+        | CAST(sum(vc * wu) AS BIGINT) AS dec_value_units,
+        | CAST(CAST(sum(wu) AS BIGINT) AS DOUBLE) / 65536.0 AS decayed
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q139_lang_source_independence" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, source, obs,
+        |       CAST(sum(obs) OVER (PARTITION BY lang) AS BIGINT) AS row_total,
+        |       CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS col_total,
+        |       CAST(sum(obs) OVER () AS BIGINT) AS grand_total
+        |      FROM cells),
+        |e AS (SELECT *, CAST(row_total AS DOUBLE) * col_total / grand_total AS expected FROM t)
+        |SELECT lang, source, obs, row_total, col_total, grand_total, expected,
+        | CAST(obs AS DOUBLE) / expected AS lift
+        |FROM e ORDER BY lang, source""".stripMargin,
+    "q140_benford_audit" ->
+      """WITH d AS (
+        | SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        | FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT c.*, (SELECT CAST(sum(n) AS BIGINT) FROM c) AS tot FROM c),
+        |o AS (SELECT digit, n, (n * 1000000) // tot AS obs_ppm,
+        |       CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |        WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |        WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |        ELSE 45757 END AS BIGINT) AS expected_ppm FROM t)
+        |SELECT digit, n, CAST(obs_ppm AS BIGINT) AS obs_ppm, expected_ppm,
+        | CAST(obs_ppm - expected_ppm AS BIGINT) AS dev_ppm
+        |FROM o ORDER BY digit""".stripMargin,
+    "q141_containment_pairs" ->
+      s"""WITH $shingleSql,
+         |p AS (SELECT a.doc_id ida, b.doc_id idb,
+         |       len(list_intersect(a.sh, b.sh)) shared, len(a.sh) na, len(b.sh) nb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT ida AS id_a, idb AS id_b, CAST(shared AS BIGINT) AS shared,
+         | CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+         |FROM p WHERE least(na, nb) > 0 AND 10 * shared >= 8 * least(na, nb)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q142_khop_reach" ->
+      """WITH e0 AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |adj AS MATERIALIZED (
+        | SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
+        |h0 AS (SELECT p_partkey AS node FROM part WHERE p_partkey <= 5),
+        |h1 AS MATERIALIZED (
+        | SELECT DISTINCT v AS node FROM adj JOIN h0 ON adj.u = h0.node
+        | WHERE v NOT IN (SELECT node FROM h0)),
+        |h2 AS (
+        | SELECT DISTINCT v AS node FROM adj JOIN h1 ON adj.u = h1.node
+        | WHERE v NOT IN (SELECT node FROM h0) AND v NOT IN (SELECT node FROM h1))
+        |SELECT node, CAST(0 AS BIGINT) AS hop FROM h0
+        |UNION ALL SELECT node, CAST(1 AS BIGINT) FROM h1
+        |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM h2
+        |ORDER BY node""".stripMargin,
     "q125_change_point" ->
       """WITH d AS (
         | SELECT event_type typ, epoch_ms(ts) // 86400000 AS day,

@@ -62,4 +62,50 @@ class SetSimJoinSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(a == b && a == brute(corpus, 6, 10))
   }
+
+  // ---- containmentJoin ----
+
+  private def bruteCont(sets: Seq[(Long, Seq[String])], tNum: Int, tDen: Int) = {
+    val m = sets.map { case (id, s) => id -> s.distinct.toSet }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- m; (ib, sb) <- m if ia < ib
+      shared = (sa & sb).size.toLong
+      if tDen * shared >= tNum * math.min(sa.size, sb.size)
+    } yield (ia, ib, shared, sa.size.toLong, sb.size.toLong)).toSet
+  }
+
+  private def runCont(sets: Seq[(Long, Seq[String])], tNum: Int, tDen: Int) =
+    SetSimJoin.containmentJoin(sets.toDF("id", "set"), "id", "set", tNum, tDen)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("containment matches brute force across thresholds") {
+    for ((tn, td) <- Seq((1, 2), (8, 10), (9, 10), (1, 1))) {
+      assert(runCont(corpus, tn, td) == bruteCont(corpus, tn, td), s"t=$tn/$td")
+    }
+  }
+
+  test("containment finds the excerpt pair Jaccard misses") {
+    // small ⊂ big: containment 1.0, jaccard 3/20 — jaccardJoin at 0.8
+    // must NOT report it, containmentJoin at 0.8 must
+    val sets = Seq(
+      1L -> (0 until 20).map(i => s"w$i"),
+      2L -> Seq("w3", "w4", "w5"))
+    assert(run(sets, 8, 10).isEmpty)
+    assert(runCont(sets, 8, 10) == Set((1L, 2L, 3L, 20L, 3L)))
+  }
+
+  test("containment threshold is inclusive and uses the smaller set") {
+    // shared 4, min 5 → containment 0.8 exactly
+    val sets = Seq(
+      1L -> Seq("a", "b", "c", "d", "e"),
+      2L -> Seq("a", "b", "c", "d", "z", "y", "x"))
+    assert(runCont(sets, 8, 10) == Set((1L, 2L, 4L, 5L, 7L)))
+    assert(runCont(sets, 81, 100).isEmpty)
+  }
+
+  test("equal-size sets pair exactly once; empties never match") {
+    val sets = Seq(
+      1L -> Seq("x", "y"), 2L -> Seq("x", "y"), 3L -> Seq.empty[String])
+    assert(runCont(sets, 1, 1) == Set((1L, 2L, 2L, 2L, 2L)))
+  }
 }

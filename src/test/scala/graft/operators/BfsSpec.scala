@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class BfsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], seeds: Seq[Long], k: Int) =
+    Bfs.hops(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("n"), "n", maxHops = k)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain graph: hop = distance, truncated at maxHops") {
+    val chain = (1L to 5L).sliding(2).map(p => (p(0), p(1))).toSeq
+    assert(run(chain, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(run(chain, Seq(1L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("edges are undirected and min-hop wins over longer paths") {
+    // 1-2-3-4 plus shortcut 1-4: node 4 is 1 hop away, not 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(run(edges, Seq(1L), 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("multiple seeds expand together; nearest seed sets the hop") {
+    val chain = (1L to 7L).sliding(2).map(p => (p(0), p(1))).toSeq
+    assert(run(chain, Seq(1L, 7L), 1) ==
+      Map(1L -> 0L, 2L -> 1L, 6L -> 1L, 7L -> 0L))
+  }
+
+  test("disconnected components stay unreached; isolated seeds stay hop 0") {
+    val edges = Seq((1L, 2L), (10L, 11L))
+    assert(run(edges, Seq(1L, 99L), 5) ==
+      Map(1L -> 0L, 2L -> 1L, 99L -> 0L))
+  }
+
+  test("self-loops and duplicate edges are ignored") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L))
+    assert(run(edges, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("maxHops = 0 returns exactly the seed set") {
+    assert(run(Seq((1L, 2L)), Seq(1L), 0) == Map(1L -> 0L))
+  }
+}

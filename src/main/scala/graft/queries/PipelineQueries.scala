@@ -2398,6 +2398,67 @@ object PipelineQueries {
       .orderBy($"node")
   }
 
+  // Peak concurrent 5-minute sessions per epoch day: sweep-line as
+  // relational algebra — ±1 minute deltas pre-aggregated (map-side) to
+  // ≤1440 rows/day, running-sum window only on that bounded frame. All
+  // integer minute indexes; DuckDB replays the identical windows.
+  def q143PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = Tables.events(s, dir)
+      .select(unix_millis($"ts").as("sms"),
+        (unix_millis($"ts") + 300000L).as("ems"))
+    graft.operators.Concurrency.dailyPeak(iv, "sms", "ems")
+      .orderBy($"day")
+  }
+
+  // Top 20 opening 3-event paths per user-day: one entity-day hash-agg
+  // builds the ordered prefix row-locally (sorted-struct collect, never
+  // a raw-row window); the path count frame is ≤|types|³.
+  def q144TopPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", expr("unix_millis(ts) div 86400000L").as("day"),
+        unix_millis($"ts").as("ms"), $"event_id", $"event_type")
+    graft.operators.SessionPaths.topPaths(ev, "user_id", "day",
+      "ms", "event_id", "event_type", k = 3, topK = 20)
+  }
+
+  // Floored running balance per customer (credits floored at zero):
+  // order totals as deposits, every third order key a withdrawal. The
+  // sequential-looking clamp recurrence runs as two key-partitioned
+  // prefix windows via b_i = cum_i − min(0, runmin_i).
+  def q145FlooredBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.orders(s, dir)
+      .select($"o_custkey".as("custkey"), $"o_orderdate", $"o_orderkey",
+        (floor($"o_totalprice" * 100).cast("long") *
+          when($"o_orderkey" % 3 === 0, -1L).otherwise(1L)).as("delta"))
+    graft.operators.RunningBalance.floored(d, "custkey",
+        Seq("o_orderdate", "o_orderkey"), "delta")
+      .orderBy($"custkey")
+  }
+
+  // Gini concentration of document length per language — "how unequal
+  // is the char mass across docs". Exact integer rank form (decimal
+  // intermediates, q134 convention), one group sort + one hash-agg.
+  def q146GiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Gini.concentration(
+        Tables.documents(s, dir).select($"lang", $"n_chars", $"doc_id"),
+        "lang", "n_chars", "doc_id")
+      .orderBy($"lang")
+  }
+
+  // Embedding-column quality gate per label: dimensionality, finite-
+  // ness, and integerized-squared-norm degeneracy checks, one scan.
+  def q147EmbeddingAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.similarity.EmbeddingAudit.audit(
+        Tables.embeddings(s, dir).withColumn("label", $"label".cast("long")),
+        "label", "embedding", expectedDim = 64, minSqNorm = 100000L)
+      .orderBy($"label")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2519,6 +2580,11 @@ object PipelineQueries {
     "q140_benford_audit" -> q140BenfordAudit _,
     "q141_containment_pairs" -> q141ContainmentPairs _,
     "q142_khop_reach" -> q142KhopReach _,
+    "q143_peak_concurrency" -> q143PeakConcurrency _,
+    "q144_top_paths" -> q144TopPaths _,
+    "q145_floored_balance" -> q145FlooredBalance _,
+    "q146_gini_concentration" -> q146GiniConcentration _,
+    "q147_embedding_audit" -> q147EmbeddingAudit _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2914,6 +2980,84 @@ object PipelineQueries {
          | CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
          |FROM p WHERE least(na, nb) > 0 AND 10 * shared >= 8 * least(na, nb)
          |ORDER BY id_a, id_b""".stripMargin,
+    "q143_peak_concurrency" ->
+      """WITH iv AS (SELECT epoch_ms(ts) AS sms, epoch_ms(ts) + 300000 AS ems FROM events),
+        |sp AS (SELECT (sms // 60000) // 1440 AS day, sms // 60000 AS s,
+        |        least((ems + 59999) // 60000, ((sms // 60000) // 1440 + 1) * 1440) AS e
+        |       FROM iv),
+        |dl AS (SELECT day, s AS minute, 1 AS d FROM sp
+        |       UNION ALL SELECT day, e, -1 FROM sp),
+        |ag AS (SELECT day, minute, CAST(sum(d) AS BIGINT) AS delta FROM dl GROUP BY 1, 2),
+        |rn AS (SELECT day, minute,
+        |        sum(delta) OVER (PARTITION BY day ORDER BY minute ROWS UNBOUNDED PRECEDING) AS conc
+        |       FROM ag),
+        |pk AS (SELECT day, max(conc) AS peak FROM rn GROUP BY 1)
+        |SELECT CAST(rn.day AS BIGINT) AS day, CAST(pk.peak AS BIGINT) AS peak,
+        | CAST(min(rn.minute) % 1440 AS BIGINT) AS peak_minute
+        |FROM rn JOIN pk ON rn.day = pk.day AND rn.conc = pk.peak
+        |GROUP BY rn.day, pk.peak ORDER BY day""".stripMargin,
+    "q144_top_paths" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |        epoch_ms(ts) AS ms, event_id, event_type FROM events),
+        |g AS (SELECT user_id, day,
+        |       array_to_string((list(event_type ORDER BY ms, event_id))[1:3], '>') AS path
+        |      FROM e GROUP BY 1, 2),
+        |c AS (SELECT path, count(*) AS n FROM g GROUP BY 1)
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q145_floored_balance" ->
+      """WITH d AS (SELECT o_custkey AS k, o_orderdate AS dt, o_orderkey AS id,
+        |        CAST(floor(o_totalprice * 100) AS BIGINT) *
+        |         (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END) AS delta
+        |       FROM orders),
+        |w1 AS (SELECT *, sum(delta) OVER
+        |        (PARTITION BY k ORDER BY dt, id ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM d),
+        |w2 AS (SELECT *, cum - least(min(cum) OVER
+        |        (PARTITION BY k ORDER BY dt, id ROWS UNBOUNDED PRECEDING), 0) AS bal,
+        |       CASE WHEN cum < least(coalesce(min(cum) OVER
+        |        (PARTITION BY k ORDER BY dt, id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0)
+        |        THEN 1 ELSE 0 END AS hit
+        |       FROM w1),
+        |f AS (SELECT k, bal, row_number() OVER
+        |       (PARTITION BY k ORDER BY dt DESC, id DESC) AS rn FROM w2),
+        |a AS (SELECT k, max(bal) AS mx,
+        |       CAST(sum(hit) AS BIGINT) AS fh
+        |      FROM w2 GROUP BY k)
+        |SELECT a.k AS custkey, f.bal AS final_balance, a.mx AS max_balance,
+        | a.fh AS floor_hits
+        |FROM a JOIN f ON a.k = f.k AND f.rn = 1 ORDER BY custkey""".stripMargin,
+    "q146_gini_concentration" ->
+      """WITH r AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS r
+        |       FROM documents),
+        |a AS (SELECT lang, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+        |       sum(CAST(r AS HUGEINT) * v) AS rw FROM r GROUP BY 1),
+        |g AS (SELECT lang, n, sum_v,
+        |       2 * rw - (CAST(n AS HUGEINT) + 1) * sum_v AS num,
+        |       CAST(n AS HUGEINT) * sum_v AS den FROM a)
+        |SELECT lang, n, sum_v,
+        | CAST(num AS BIGINT) AS gini_num, CAST(den AS BIGINT) AS gini_den,
+        | CASE WHEN den != 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS gini
+        |FROM g ORDER BY lang""".stripMargin,
+    "q147_embedding_audit" ->
+      """WITH b AS (
+        | SELECT CAST(label AS BIGINT) AS label,
+        |  len(embedding) != 64 AS bad,
+        |  len(list_filter(embedding, x -> isnan(x) OR NOT isfinite(x))) > 0 AS nf,
+        |  list_sum(list_transform(embedding, x ->
+        |   CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) *
+        |   CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS sq
+        | FROM embeddings),
+        |c AS (SELECT label, bad, nf,
+        |       CASE WHEN NOT bad AND NOT nf THEN sq END AS csq FROM b)
+        |SELECT label, count(*) AS n_vecs,
+        | CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+        | CAST(sum(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        | CAST(sum(CASE WHEN csq < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero,
+        | CAST(min(csq) AS BIGINT) AS min_sq_norm,
+        | CAST(max(csq) AS BIGINT) AS max_sq_norm
+        |FROM c GROUP BY 1 ORDER BY label""".stripMargin,
     "q142_khop_reach" ->
       """WITH e0 AS MATERIALIZED (
         | SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst

@@ -2459,6 +2459,63 @@ object PipelineQueries {
       .orderBy($"label")
   }
 
+  // Language-ID confusion matrix: predicted langId vs labeled lang,
+  // with exact integer per-true-class ppm shares. One scan + one cell
+  // hash-agg; the row-total window runs on the |langs|² cell frame.
+  def q148LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .select($"lang", graft.text.TextAnalysis.langId($"text").as("lang_id"))
+      .groupBy($"lang", $"lang_id").agg(count(lit(1)).as("n"))
+    val byTrue = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    cells.withColumn("row_total", sum($"n").over(byTrue))
+      .withColumn("share_ppm", expr("(n * 1000000L) div row_total"))
+      .orderBy($"lang", $"lang_id")
+  }
+
+  // Lag-1/lag-7 autocorrelation of daily per-type event value: exact
+  // BIGINT sufficient stats over the lag self-join of the AGGREGATED
+  // series; only the final Pearson r is float (IEEE sqrt reproduces).
+  def q149Autocorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type",
+        expr("unix_millis(ts) div 86400000L").as("day"))
+      // whole-unit (not milli) quantization keeps n·Σx² inside int64
+      // at bench scale — the Correlate caller-scaling convention
+      .agg(sum(floor($"value").cast("long")).as("vm"))
+    graft.operators.Autocorr.lagK(daily, "event_type", "day", "vm",
+        lags = Seq(1L, 7L))
+      .orderBy($"event_type", $"lag")
+  }
+
+  // Cohort LTV curves: users cohorted by first event day; per age the
+  // active count, value collected (cents), and running cohort total.
+  def q150CohortValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", expr("unix_millis(ts) div 86400000L").as("day"),
+        floor($"value" * 100).cast("long").as("vc"))
+    graft.operators.CohortValue.curves(ev, "user_id", "day", "vc")
+      .orderBy($"cohort_day", $"age")
+  }
+
+  // Revenue concentration per nation: HHI + CR-4 of customer order
+  // totals in exact truncating ppm — the dominance audit next to
+  // q146's Gini. Holder totals pre-aggregate; windows on the holder
+  // frame only.
+  def q151RevenueConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("nationkey"), $"o_custkey".as("custkey"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+    graft.operators.Concentration.hhi(rev, "nationkey", "custkey",
+        "cents", k = 4)
+      .orderBy($"nationkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2585,6 +2642,10 @@ object PipelineQueries {
     "q145_floored_balance" -> q145FlooredBalance _,
     "q146_gini_concentration" -> q146GiniConcentration _,
     "q147_embedding_audit" -> q147EmbeddingAudit _,
+    "q148_lang_confusion" -> q148LangConfusion _,
+    "q149_autocorrelation" -> q149Autocorrelation _,
+    "q150_cohort_value" -> q150CohortValue _,
+    "q151_revenue_concentration" -> q151RevenueConcentration _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -2648,6 +2709,31 @@ object PipelineQueries {
   /** DuckDB mirror of TextAnalysis.langScore for one profile. */
   private def langScoreSql(words: Seq[String]): String =
     words.map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
+
+  /** q148's oracle: the q21 langId replication feeding a confusion
+    * matrix with integer ppm shares per true class.
+    */
+  private lazy val q148Sql: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      s"${langScoreSql(words)} AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langProfiles.map(_._1)
+    val anyVote = langs.map(l => s"s_$l").mkString(" + ") + " > 0"
+    val chain = langs.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH scored AS (SELECT lang, text, $scores FROM documents),
+       |p AS (SELECT lang,
+       |       CASE WHEN NOT ($anyVote) THEN 'und'
+       |       $chain
+       |       ELSE 'und' END AS lang_id FROM scored),
+       |c AS (SELECT lang, lang_id, count(*) AS n FROM p GROUP BY 1, 2),
+       |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS row_total FROM c)
+       |SELECT lang, lang_id, n, row_total,
+       | CAST((n * 1000000) // row_total AS BIGINT) AS share_ppm
+       |FROM t ORDER BY lang, lang_id""".stripMargin
+  }
 
   private lazy val q21Sql: String = {
     val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
@@ -3058,6 +3144,57 @@ object PipelineQueries {
         | CAST(min(csq) AS BIGINT) AS min_sq_norm,
         | CAST(max(csq) AS BIGINT) AS max_sq_norm
         |FROM c GROUP BY 1 ORDER BY label""".stripMargin,
+    "q148_lang_confusion" -> q148Sql,
+    "q149_autocorrelation" ->
+      """WITH d AS (SELECT event_type AS et, epoch_ms(ts) // 86400000 AS day,
+        |        CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS vm
+        |       FROM events GROUP BY 1, 2),
+        |l AS (SELECT k AS lag FROM (VALUES (1), (7)) t(k)),
+        |p AS (SELECT a.et, l.lag, a.vm AS x, b.vm AS y
+        |      FROM d a JOIN l ON true
+        |      JOIN d b ON a.et = b.et AND b.day = a.day + l.lag),
+        |s AS (SELECT et, lag, count(*) AS n,
+        |       CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+        |       CAST(sum(x * x) AS BIGINT) sxx, CAST(sum(y * y) AS BIGINT) syy,
+        |       CAST(sum(x * y) AS BIGINT) sxy
+        |      FROM p GROUP BY 1, 2)
+        |SELECT et AS event_type, CAST(lag AS BIGINT) AS lag, n,
+        | CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0 THEN NULL
+        |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS r
+        |FROM s ORDER BY event_type, lag""".stripMargin,
+    "q150_cohort_value" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |        CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        |c AS (SELECT user_id, min(day) AS cd FROM e GROUP BY 1),
+        |j AS (SELECT e.user_id, c.cd, e.day - c.cd AS age, e.vc
+        |      FROM e JOIN c USING (user_id)),
+        |g AS (SELECT cd, age, count(DISTINCT user_id) AS n_active,
+        |       CAST(sum(vc) AS BIGINT) AS value_units FROM j GROUP BY 1, 2)
+        |SELECT CAST(cd AS BIGINT) AS cohort_day, CAST(age AS BIGINT) AS age,
+        | n_active, value_units,
+        | CAST(sum(value_units) OVER (PARTITION BY cd ORDER BY age
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value
+        |FROM g ORDER BY cohort_day, age""".stripMargin,
+    "q151_revenue_concentration" ->
+      """WITH rev AS (SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+        |        CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        |       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |h AS (SELECT nationkey, custkey, CAST(sum(cents) AS BIGINT) AS v
+        |      FROM rev GROUP BY 1, 2),
+        |t AS (SELECT nationkey, CAST(sum(v) AS BIGINT) AS tot,
+        |       count(*) AS n_holders FROM h GROUP BY 1),
+        |s AS (SELECT h.nationkey, h.v, t.tot, t.n_holders,
+        |       (h.v * 1000000) // t.tot AS ppm,
+        |       row_number() OVER (PARTITION BY h.nationkey
+        |         ORDER BY h.v DESC, h.custkey) AS rk
+        |      FROM h JOIN t ON h.nationkey = t.nationkey WHERE t.tot > 0)
+        |SELECT nationkey, n_holders, tot AS total,
+        | CAST(sum(ppm * ppm) AS BIGINT) AS hhi_ppm2,
+        | CAST(sum(CASE WHEN rk <= 4 THEN ppm ELSE 0 END) AS BIGINT) AS crk_ppm
+        |FROM s GROUP BY 1, 2, 3 ORDER BY nationkey""".stripMargin,
     "q142_khop_reach" ->
       """WITH e0 AS MATERIALIZED (
         | SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst

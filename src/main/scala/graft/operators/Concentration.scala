@@ -44,4 +44,32 @@ object Concentration {
         sum(col("__ppm") * col("__ppm")).as("hhi_ppm2"),
         sum(when(col("__rk") <= k, col("__ppm")).otherwise(0L)).as("crk_ppm"))
   }
+
+  /** Pareto point per group: the smallest number of top holders (by
+    * value desc, holder-key tiebreak) whose running mass reaches
+    * `tNum/tDen` of the group total — "how many customers are 80% of
+    * revenue". Exact integer test (tDen·running ≥ tNum·total), holder
+    * pre-agg + rank/running windows on the holder frame only.
+    * Output per group: n_holders, total, pareto_k.
+    */
+  def paretoK(df: DataFrame, groupCol: String, holderCol: String,
+      valueCol: String, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val holders = df.groupBy(col(groupCol), col(holderCol))
+      .agg(sum(col(valueCol).cast("long")).as("__v"))
+    val totals = holders.groupBy(col(groupCol))
+      .agg(sum(col("__v")).as("__tot"), count(lit(1)).as("n_holders"))
+      .filter(col("__tot") > 0)
+    val rk = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v").desc, col(holderCol))
+    val run = rk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    holders.join(broadcast(totals), groupCol: String)
+      .withColumn("__rk", row_number().over(rk).cast("long"))
+      .withColumn("__run", sum(col("__v")).over(run))
+      .filter(lit(tDen.toLong) * col("__run") >= lit(tNum.toLong) * col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_holders")).as("n_holders"),
+        first(col("__tot")).as("total"),
+        min(col("__rk")).as("pareto_k"))
+  }
 }

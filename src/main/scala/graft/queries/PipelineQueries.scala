@@ -2516,6 +2516,98 @@ object PipelineQueries {
       .orderBy($"nationkey")
   }
 
+  // Hierarchical share-of-parent: nation revenue as ppm of its region,
+  // region as ppm of the grand total — percent-of-parent at every
+  // drill level. Fact side shuffles once on the customer key; nation/
+  // region broadcast; all windows on the 25-row nation frame. (ppm
+  // numerators bound totals to ~9e12 value-units per int64 — cents at
+  // planetary revenue want a coarser unit, the q126 convention.)
+  def q152ShareOfParent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    val byRegion = org.apache.spark.sql.expressions.Window.partitionBy($"r_name")
+    val overall = org.apache.spark.sql.expressions.Window.partitionBy()
+    rev
+      .withColumn("region_cents", sum($"cents").over(byRegion))
+      .withColumn("total_cents", sum($"cents").over(overall))
+      .withColumn("nation_share_ppm", expr("(cents * 1000000L) div region_cents"))
+      .withColumn("region_share_ppm", expr("(region_cents * 1000000L) div total_cents"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  // New-vs-returning daily split: one user-keyed min-agg + join back
+  // (co-partitioned), then a day agg with a conditional distinct.
+  def q153NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", expr("unix_millis(ts) div 86400000L").as("day"))
+    val first = e.groupBy($"user_id").agg(min($"day").as("fd"))
+    e.join(first, "user_id")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("n_users"),
+        countDistinct(when($"day" === $"fd", $"user_id")).as("n_new"))
+      .withColumn("n_returning", $"n_users" - $"n_new")
+      .orderBy($"day")
+  }
+
+  // Recency/churn buckets: last-activity distance from the corpus max
+  // day, CASE-bucketed — one user max-agg, broadcast reference, tiny
+  // bucket agg.
+  def q154RecencyChurn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", expr("unix_millis(ts) div 86400000L").as("day"))
+    val last = e.groupBy($"user_id").agg(max($"day").as("ld"))
+    val ref = e.agg(max($"day").as("__ref"))
+    last.crossJoin(broadcast(ref))
+      .withColumn("rec", $"__ref" - $"ld")
+      .withColumn("bucket_id",
+        when($"rec" < 7, 0L).when($"rec" < 14, 1L)
+          .when($"rec" < 30, 2L).otherwise(3L))
+      .withColumn("bucket",
+        when($"rec" < 7, "active").when($"rec" < 14, "cooling")
+          .when($"rec" < 30, "at_risk").otherwise("churned"))
+      .groupBy($"bucket_id", $"bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min($"rec").as("min_recency"), max($"rec").as("max_recency"))
+      .orderBy($"bucket_id")
+  }
+
+  // Ship-SLA attainment per order priority: order→ship lag in days
+  // (date arithmetic, never epoch millis on NTZ dates), exact ppm.
+  def q155SlaAttainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val j = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate",
+        $"o_orderpriority"), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority".as("priority"),
+        datediff($"l_shipdate", $"o_orderdate").cast("long").as("d"))
+    j.groupBy($"priority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"d" <= 7, 1L).otherwise(0L)).as("n_within_7d"),
+        max($"d").as("max_delay_days"))
+      .withColumn("attain_ppm", expr("(n_within_7d * 1000000L) div n_lines"))
+      .orderBy($"priority")
+  }
+
+  // Pareto point per nation: how many top customers carry 80% of
+  // revenue — exact integer threshold on holder-frame running mass.
+  def q156ParetoK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("nationkey"), $"o_custkey".as("custkey"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+    graft.operators.Concentration.paretoK(rev, "nationkey", "custkey",
+        "cents", tNum = 8, tDen = 10)
+      .orderBy($"nationkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2646,6 +2738,11 @@ object PipelineQueries {
     "q149_autocorrelation" -> q149Autocorrelation _,
     "q150_cohort_value" -> q150CohortValue _,
     "q151_revenue_concentration" -> q151RevenueConcentration _,
+    "q152_share_of_parent" -> q152ShareOfParent _,
+    "q153_new_vs_returning" -> q153NewVsReturning _,
+    "q154_recency_churn" -> q154RecencyChurn _,
+    "q155_sla_attainment" -> q155SlaAttainment _,
+    "q156_pareto_k" -> q156ParetoK _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -3195,6 +3292,72 @@ object PipelineQueries {
         | CAST(sum(ppm * ppm) AS BIGINT) AS hhi_ppm2,
         | CAST(sum(CASE WHEN rk <= 4 THEN ppm ELSE 0 END) AS BIGINT) AS crk_ppm
         |FROM s GROUP BY 1, 2, 3 ORDER BY nationkey""".stripMargin,
+    "q152_share_of_parent" ->
+      """WITH rev AS (SELECT r.r_name, n.n_name,
+        |        CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        |       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |       JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |g AS (SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM rev GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |       CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+        |       CAST(sum(cents) OVER () AS BIGINT) AS total_cents FROM g)
+        |SELECT r_name, n_name, cents, region_cents, total_cents,
+        | CAST((cents * 1000000) // region_cents AS BIGINT) AS nation_share_ppm,
+        | CAST((region_cents * 1000000) // total_cents AS BIGINT) AS region_share_ppm
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
+    "q153_new_vs_returning" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS fd FROM e GROUP BY 1),
+        |j AS (SELECT e.user_id, e.day, f.fd FROM e JOIN f USING (user_id))
+        |SELECT CAST(day AS BIGINT) AS day,
+        | count(DISTINCT user_id) AS n_users,
+        | count(DISTINCT CASE WHEN day = fd THEN user_id END) AS n_new,
+        | count(DISTINCT user_id) -
+        |  count(DISTINCT CASE WHEN day = fd THEN user_id END) AS n_returning
+        |FROM j GROUP BY day ORDER BY day""".stripMargin,
+    "q154_recency_churn" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |l AS (SELECT user_id, max(day) AS ld FROM e GROUP BY 1),
+        |r AS (SELECT user_id, (SELECT max(day) FROM e) - ld AS rec FROM l),
+        |b AS (SELECT rec,
+        |       CASE WHEN rec < 7 THEN 0 WHEN rec < 14 THEN 1
+        |            WHEN rec < 30 THEN 2 ELSE 3 END AS bucket_id,
+        |       CASE WHEN rec < 7 THEN 'active' WHEN rec < 14 THEN 'cooling'
+        |            WHEN rec < 30 THEN 'at_risk' ELSE 'churned' END AS bucket
+        |      FROM r)
+        |SELECT CAST(bucket_id AS BIGINT) AS bucket_id, bucket,
+        | count(*) AS n_users, CAST(min(rec) AS BIGINT) AS min_recency,
+        | CAST(max(rec) AS BIGINT) AS max_recency
+        |FROM b GROUP BY 1, 2 ORDER BY bucket_id""".stripMargin,
+    "q155_sla_attainment" ->
+      """WITH j AS (SELECT o.o_orderpriority AS priority,
+        |        date_diff('day', o.o_orderdate, l.l_shipdate) AS d
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT priority, count(*) AS n_lines,
+        | CAST(sum(CASE WHEN d <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_7d,
+        | CAST(max(d) AS BIGINT) AS max_delay_days,
+        | CAST((sum(CASE WHEN d <= 7 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS attain_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q156_pareto_k" ->
+      """WITH rev AS (SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+        |        CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        |       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |h AS (SELECT nationkey, custkey, CAST(sum(cents) AS BIGINT) AS v
+        |      FROM rev GROUP BY 1, 2),
+        |t AS (SELECT nationkey, CAST(sum(v) AS BIGINT) AS tot,
+        |       count(*) AS n_holders FROM h GROUP BY 1),
+        |s AS (SELECT h.nationkey, t.tot, t.n_holders,
+        |       CAST(row_number() OVER (PARTITION BY h.nationkey
+        |         ORDER BY h.v DESC, h.custkey) AS BIGINT) AS rk,
+        |       CAST(sum(h.v) OVER (PARTITION BY h.nationkey
+        |         ORDER BY h.v DESC, h.custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |      FROM h JOIN t USING (nationkey) WHERE t.tot > 0)
+        |SELECT nationkey, n_holders, tot AS total,
+        | CAST(min(rk) AS BIGINT) AS pareto_k
+        |FROM s WHERE 10 * run >= 8 * tot GROUP BY 1, 2, 3
+        |ORDER BY nationkey""".stripMargin,
     "q142_khop_reach" ->
       """WITH e0 AS MATERIALIZED (
         | SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst

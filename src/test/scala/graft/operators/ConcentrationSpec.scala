@@ -48,4 +48,31 @@ class ConcentrationSpec extends SparkTestBase {
     val got = run(Seq(("a", 1L, 0L), ("b", 1L, 5L)), k = 1)
     assert(got.keySet == Set("b"))
   }
+
+  // ---- paretoK ----
+
+  private def runPareto(rows: Seq[(String, Long, Long)], tn: Int, td: Int) =
+    Concentration.paretoK(rows.toDF("g", "h", "v"), "g", "h", "v", tn, td)
+      .select("g", "n_holders", "total", "pareto_k")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+
+  test("pareto point: one dominant holder covers the threshold alone") {
+    val rows = Seq(("a", 1L, 80L), ("a", 2L, 10L), ("a", 3L, 10L))
+    assert(runPareto(rows, 8, 10)("a") == (("a", 3L, 100L, 1L)))
+  }
+
+  test("pareto point accumulates until the bar is reached, inclusive") {
+    // 4 × 25: exactly 80% needs... 3 holders (75% < 80% ≤ 100%... 4×25:
+    // running 25/50/75/100 → first ≥80 is rank 4
+    val rows = (1L to 4L).map(h => ("a", h, 25L))
+    assert(runPareto(rows, 8, 10)("a")._4 == 4L)
+    // threshold exactly met at a prefix: 50% with 2×25 of 100 → rank 2
+    assert(runPareto(rows, 1, 2)("a")._4 == 2L)
+  }
+
+  test("pareto ties on value resolve by holder key") {
+    val rows = Seq(("a", 2L, 50L), ("a", 1L, 50L))
+    assert(runPareto(rows, 1, 2)("a")._4 == 1L)
+  }
 }

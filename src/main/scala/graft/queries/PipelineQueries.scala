@@ -2608,6 +2608,65 @@ object PipelineQueries {
       .orderBy($"nationkey")
   }
 
+  // Corpus novelty per ingestion batch (50 docs each, doc_id order):
+  // the fraction of a batch's distinct word 3-shingles whose corpus-
+  // wide FIRST occurrence is that batch — the "are we still finding
+  // new text" curve. First-occurrence-by-min keeps the cumulative
+  // semantics order-free: one gram-keyed shuffle, no stateful scan.
+  def q157NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // codegen'd one-pass shingle hashing (the q18 lesson: the
+    // interpreted HOF shingle build was the whole query's cost — 3.6 s
+    // vs 0.4 s at sf0.1). Distinct-on-hash ≡ distinct-on-string absent
+    // xxhash64 collisions (~n²/2⁶⁵: ~2e-9 at the bench corpus), the
+    // same contract q18's banded candidates rest on; the exchange
+    // carries 8-byte longs instead of shingle strings.
+    val d = Tables.documents(s, dir)
+      .select(expr("doc_id div 50").as("batch"),
+        graft.plans.GraftFunctions.wordShingleHashes($"text", 3).as("sh"))
+    graft.operators.Novelty.ngramNovelty(d, "batch", $"sh")
+      .orderBy($"batch")
+  }
+
+  // Join-key health audit over the keys the pipeline's joins depend
+  // on: null ppm, duplicate ppm, worst multiplicity — each audit is
+  // the key-partitioned count the real join would shuffle anyway.
+  def q158KeyHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.KeyHealth.KeySpec
+    graft.operators.KeyHealth.keyHealth(s, Seq(
+        KeySpec(Tables.customer(s, dir), "customer", "c_custkey"),
+        KeySpec(Tables.orders(s, dir), "orders", "o_custkey"),
+        KeySpec(Tables.lineitem(s, dir), "lineitem", "l_orderkey"),
+        KeySpec(Tables.lineitem(s, dir), "lineitem", "l_partkey"),
+        KeySpec(Tables.events(s, dir), "events", "user_id")))
+      .orderBy($"table_name", $"key_name")
+  }
+
+  // Join-fanout explosion detector on the events self-join key: the
+  // 20 user_ids whose n² pair count would dominate a sessionization
+  // self-join — counts shuffle, rows never do.
+  def q159JoinFanout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    graft.operators.KeyHealth.joinFanout(e, "user_id", e, "user_id", 20)
+      .orderBy($"fanout".desc, $"key")
+  }
+
+  // Near-time duplicate rate per event type: same (user, type) within
+  // one hour = delivery replay / client retry. One shuffle on the
+  // entity-type composite; the lag frame is per-entity, never global.
+  def q160EventDedupWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.WindowDedup.dupStats(
+        Tables.events(s, dir)
+          .select($"user_id", $"event_type", unix_millis($"ts").as("ms"),
+            $"event_id"),
+        entityCol = "user_id", typeCol = "event_type", tsMsCol = "ms",
+        tieCol = "event_id", windowMs = 3600000L)
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2743,6 +2802,10 @@ object PipelineQueries {
     "q154_recency_churn" -> q154RecencyChurn _,
     "q155_sla_attainment" -> q155SlaAttainment _,
     "q156_pareto_k" -> q156ParetoK _,
+    "q157_ngram_novelty" -> q157NgramNovelty _,
+    "q158_key_health" -> q158KeyHealth _,
+    "q159_join_fanout" -> q159JoinFanout _,
+    "q160_event_dedup_window" -> q160EventDedupWindow _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -3358,6 +3421,73 @@ object PipelineQueries {
         | CAST(min(rk) AS BIGINT) AS pareto_k
         |FROM s WHERE 10 * run >= 8 * tot GROUP BY 1, 2, 3
         |ORDER BY nationkey""".stripMargin,
+    "q157_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id // 50 AS batch,
+        |        string_split_regex(trim(text), '\s+') tk FROM documents),
+        |sh AS (SELECT batch,
+        |  list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')
+        |                 FOR i IN range(1, greatest(len(tk) - 1, 2))]) sh
+        | FROM toks),
+        |e AS (SELECT DISTINCT batch, unnest(sh) AS g FROM sh),
+        |f AS (SELECT g, min(batch) AS fb FROM e GROUP BY 1)
+        |SELECT CAST(e.batch AS BIGINT) AS batch, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN e.batch = f.fb THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | CAST((sum(CASE WHEN e.batch = f.fb THEN 1 ELSE 0 END) * 1000000)
+        |   // count(*) AS BIGINT) AS novelty_ppm
+        |FROM e JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q158_key_health" ->
+      """WITH
+        |a1 AS (SELECT 'customer' AS table_name, 'c_custkey' AS key_name,
+        |        (SELECT count(*) FROM customer) AS n_rows,
+        |        (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS n_null,
+        |        count(*) AS n_distinct, coalesce(max(n), 0) AS max_mult,
+        |        coalesce(sum(n - 1), 0) AS n_extra
+        |       FROM (SELECT c_custkey k, count(*) n FROM customer
+        |             WHERE c_custkey IS NOT NULL GROUP BY 1)),
+        |a2 AS (SELECT 'orders', 'o_custkey', (SELECT count(*) FROM orders),
+        |        (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |        count(*), coalesce(max(n), 0), coalesce(sum(n - 1), 0)
+        |       FROM (SELECT o_custkey k, count(*) n FROM orders
+        |             WHERE o_custkey IS NOT NULL GROUP BY 1)),
+        |a3 AS (SELECT 'lineitem', 'l_orderkey', (SELECT count(*) FROM lineitem),
+        |        (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+        |        count(*), coalesce(max(n), 0), coalesce(sum(n - 1), 0)
+        |       FROM (SELECT l_orderkey k, count(*) n FROM lineitem
+        |             WHERE l_orderkey IS NOT NULL GROUP BY 1)),
+        |a4 AS (SELECT 'lineitem', 'l_partkey', (SELECT count(*) FROM lineitem),
+        |        (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+        |        count(*), coalesce(max(n), 0), coalesce(sum(n - 1), 0)
+        |       FROM (SELECT l_partkey k, count(*) n FROM lineitem
+        |             WHERE l_partkey IS NOT NULL GROUP BY 1)),
+        |a5 AS (SELECT 'events', 'user_id', (SELECT count(*) FROM events),
+        |        (SELECT count(*) FROM events WHERE user_id IS NULL),
+        |        count(*), coalesce(max(n), 0), coalesce(sum(n - 1), 0)
+        |       FROM (SELECT user_id k, count(*) n FROM events
+        |             WHERE user_id IS NOT NULL GROUP BY 1)),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL
+        |      SELECT * FROM a3 UNION ALL SELECT * FROM a4 UNION ALL
+        |      SELECT * FROM a5)
+        |SELECT table_name, key_name, n_rows, CAST(n_null AS BIGINT) AS n_null,
+        | n_distinct, CAST(max_mult AS BIGINT) AS max_mult,
+        | CAST(CASE WHEN n_rows - n_null > 0
+        |   THEN (n_extra * 1000000) // (n_rows - n_null) ELSE 0 END AS BIGINT) AS dup_ppm
+        |FROM u ORDER BY table_name, key_name""".stripMargin,
+    "q159_join_fanout" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT key, n AS n_left, n AS n_right, CAST(n * n AS BIGINT) AS fanout
+        |FROM c ORDER BY fanout DESC, key LIMIT 20""".stripMargin,
+    "q160_event_dedup_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+        |           FROM events),
+        |l AS (SELECT event_type, ms - lag(ms) OVER (PARTITION BY user_id,
+        |        event_type ORDER BY ms, event_id) AS gap FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 3600000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        | CAST((sum(CASE WHEN gap IS NOT NULL AND gap <= 3600000
+        |   THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "q142_khop_reach" ->
       """WITH e0 AS MATERIALIZED (
         | SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst

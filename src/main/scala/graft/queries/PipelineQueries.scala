@@ -2667,6 +2667,69 @@ object PipelineQueries {
       .orderBy($"event_type")
   }
 
+  // Keyset ("search_after") pagination — the deep-page shape that
+  // stays O(page) at any offset: the cursor row (rank 100 in the
+  // (ms, event_id) DESC sort) is a 1-row broadcast; the page is a
+  // keyset-predicate filter + TakeOrdered(50). An OFFSET plan would
+  // sort/skip the whole prefix on one node; this never materializes
+  // more than topK rows per partition.
+  def q161SearchAfter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val cursor = e.orderBy($"ms".desc, $"event_id".desc).limit(100)
+      .orderBy($"ms".asc, $"event_id".asc).limit(1)
+      .select($"ms".as("cms"), $"event_id".as("cid"))
+    e.crossJoin(broadcast(cursor))
+      .filter($"ms" < $"cms" || ($"ms" === $"cms" && $"event_id" < $"cid"))
+      .select($"event_id", $"user_id", $"event_type", $"ms")
+      .orderBy($"ms".desc, $"event_id".desc)
+      .limit(50)
+  }
+
+  // Trailing 7-day exact p95 of event value per day — the dashboard
+  // latency line, rank-exact (no interpolation). ×7 bounded
+  // replication against a broadcast day spine; sketch path = q88.
+  def q162RollingP95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000L").as("day"),
+        floor($"value" * 100).cast("long").as("cents"), $"event_id")
+    graft.operators.RollingPercentile.trailingExact(e, "day", "cents",
+        "event_id", window = 7, pNum = 95)
+      .orderBy($"day")
+  }
+
+  // Signup→purchase conversion-lag histogram: per user the first
+  // signup and first subsequent purchase — two user-keyed min-aggs
+  // that co-partition, then a tiny day-bucket rollup.
+  def q163TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val su = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ms").as("sms"))
+    val conv = ev.filter($"event_type" === "purchase")
+      .join(su, "user_id").filter($"ms" >= $"sms")
+      .groupBy($"user_id").agg(min($"ms").as("pms"), min($"sms").as("s0"))
+    conv.select(expr("(pms - s0) div 86400000L").as("days_to_convert"))
+      .groupBy($"days_to_convert").agg(count(lit(1)).as("n_users"))
+      .orderBy($"days_to_convert")
+  }
+
+  // Cross-source corpus overlap: pairwise shingle-set jaccard between
+  // sources — contamination/redundancy structure. Hashed grams (the
+  // q157 contract); the only quadratic object is the per-gram source
+  // set, bounded by |sources|².
+  def q164SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"source",
+        graft.plans.GraftFunctions.wordShingleHashes($"text", 3).as("sh"))
+    graft.operators.SetOverlap.pairwise(d, "source", $"sh")
+      .orderBy($"source_a", $"source_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
@@ -2806,6 +2869,10 @@ object PipelineQueries {
     "q158_key_health" -> q158KeyHealth _,
     "q159_join_fanout" -> q159JoinFanout _,
     "q160_event_dedup_window" -> q160EventDedupWindow _,
+    "q161_search_after" -> q161SearchAfter _,
+    "q162_rolling_p95" -> q162RollingP95 _,
+    "q163_time_to_convert" -> q163TimeToConvert _,
+    "q164_source_overlap" -> q164SourceOverlap _,
     "q41_char_ngram_pairs" -> q41CharNgramPairs _,
     "q42_upsert_stage_agg" -> q42UpsertStageAgg _,
     "q43_windowed_stage_agg" -> q43WindowedStageAgg _,
@@ -3488,6 +3555,55 @@ object PipelineQueries {
         | CAST((sum(CASE WHEN gap IS NOT NULL AND gap <= 3600000
         |   THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS dup_ppm
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q161_search_after" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (ORDER BY ms DESC, event_id DESC) rn
+        |      FROM e),
+        |cur AS (SELECT ms AS cms, event_id AS cid FROM r WHERE rn = 100)
+        |SELECT e.event_id, e.user_id, e.event_type, e.ms
+        |FROM e, cur WHERE e.ms < cur.cms OR (e.ms = cur.cms AND e.event_id < cur.cid)
+        |ORDER BY e.ms DESC, e.event_id DESC LIMIT 50""".stripMargin,
+    "q162_rolling_p95" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents, event_id FROM events),
+        |d AS (SELECT DISTINCT day AS d FROM e),
+        |j AS (SELECT d.d, e.cents, e.event_id FROM e
+        |      JOIN d ON e.day BETWEEN d.d - 6 AND d.d),
+        |r AS (SELECT d, cents,
+        |       row_number() OVER (PARTITION BY d ORDER BY cents, event_id) AS rn,
+        |       count(*) OVER (PARTITION BY d) AS n FROM j)
+        |SELECT CAST(d AS BIGINT) AS day, n AS n_events, cents AS p95_cents
+        |FROM r WHERE rn = (95 * (n - 1)) // 100 + 1 ORDER BY day""".stripMargin,
+    "q163_time_to_convert" ->
+      """WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS ms FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS pms FROM events e
+        |      JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.ms
+        |      GROUP BY 1)
+        |SELECT CAST((p.pms - s.ms) // 86400000 AS BIGINT) AS days_to_convert,
+        | count(*) AS n_users
+        |FROM s JOIN p USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q164_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') tk
+        |              FROM documents),
+        |sh AS (SELECT source,
+        |  list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')
+        |                 FOR i IN range(1, greatest(len(tk) - 1, 2))]) sh
+        | FROM toks),
+        |e AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh),
+        |na AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |       count(*) AS n_shared
+        |      FROM e a JOIN e b ON a.g = b.g AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.n_shared, x.n AS n_a, y.n AS n_b,
+        | CAST((p.n_shared * 1000000) // (x.n + y.n - p.n_shared) AS BIGINT)
+        |   AS jaccard_ppm
+        |FROM p JOIN na x ON p.source_a = x.source
+        |JOIN na y ON p.source_b = y.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "q142_khop_reach" ->
       """WITH e0 AS MATERIALIZED (
         | SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst

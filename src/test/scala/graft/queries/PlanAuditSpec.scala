@@ -64,4 +64,40 @@ class PlanAuditSpec extends SparkTestBase {
     val ivf = plan("q35_ann_ivf_index")
     assert(ivf.contains("PartitionFilters") && ivf.contains("ivf_cell"), ivf)
   }
+
+  test("q152: dimension joins broadcast; share windows never SMJ the fact side") {
+    val p = plan("q152_share_of_parent")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q157: novelty grams are codegen-hashed, and the pair set is scanned once") {
+    val p = plan("q157_ngram_novelty")
+    assert(p.contains("graft_word_shingle_hashes"), p)
+    // the window-min form has no self-join: a second scan of the
+    // explode subtree would show two parquet scans of documents
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q159: fanout top-k is heap-bounded (TakeOrdered), counts not rows") {
+    val p = plan("q159_join_fanout")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q161: keyset page is cursor-broadcast + TakeOrdered, never a global sort") {
+    val p = plan("q161_search_after")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q162: the trailing-window spine joins as a broadcast, not a shuffle") {
+    val p = plan("q162_rolling_p95")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q164: per-side totals broadcast back onto the pair frame") {
+    val p = plan("q164_source_overlap")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -242,10 +242,7 @@ object PipelineQueries {
   def q68StreamAttribution(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import s.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = Tables.eventsFileSchema(s, dir)
     val tmp = tempDir("graft-q68")
     val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))
     java.nio.file.Files.createSymbolicLink(
@@ -254,8 +251,7 @@ object PipelineQueries {
     val maxMs = Tables.events(s, dir).agg(max(unix_millis($"ts"))).head().getLong(0)
     def sentinel(offMs: Long): Unit = {
       val dir1 = tmp.resolve(s"sentinel-$offMs")
-      Seq((-1L, (maxMs + offMs) * 1000000L, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      Tables.eventSentinel(s, schema, maxMs + offMs)
         .coalesce(1).write.parquet(dir1.toString)
       val listing = java.nio.file.Files.list(dir1)
       try {
@@ -272,8 +268,7 @@ object PipelineQueries {
     def run(): Unit = {
       val raw = s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", 100000).parquet(spool.toString)
-      val ev = raw.withColumn("ts", expr(
-        "timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+      val ev = Tables.normalizeEventTs(raw)
       val views = ev.filter(col("event_type") === "view" || col("user_id") < 0)
         .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
         .withWatermark("vts", "1 minute")
@@ -390,12 +385,8 @@ object PipelineQueries {
   // The oracle aggregates the source directly — any lost/duplicated row
   // in the streaming path breaks the hash match.
   def q25StreamIngest(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import s.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = Tables.eventsFileSchema(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-q25")
     // clean the sink/checkpoint tree up at JVM exit (each invocation
     // writes a full events-table copy; repeated runs would fill /tmp)
@@ -997,12 +988,8 @@ object PipelineQueries {
   // and are filtered from the output. Oracle = q49's gaps-and-islands
   // recompute on the source.
   def q54StreamSessions(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import s.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = Tables.eventsFileSchema(s, dir)
     val tmp = tempDir("graft-q54")
     val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))
     java.nio.file.Files.createSymbolicLink(
@@ -1011,8 +998,7 @@ object PipelineQueries {
     val maxMs = Tables.events(s, dir).agg(max(unix_millis($"ts"))).head().getLong(0)
     def sentinel(offMs: Long): Unit = {
       val dir1 = tmp.resolve(s"sentinel-$offMs")
-      Seq((-1L, (maxMs + offMs) * 1000000L, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      Tables.eventSentinel(s, schema, maxMs + offMs)
         .coalesce(1).write.parquet(dir1.toString)
       val listing = java.nio.file.Files.list(dir1)
       try {
@@ -1031,8 +1017,7 @@ object PipelineQueries {
     def run(): Unit = {
       val raw = s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", 100000).parquet(spool.toString)
-      val ev = raw.withColumn("ts", expr(
-        "timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+      val ev = Tables.normalizeEventTs(raw)
       ev.withWatermark("ts", "1 minute")
         .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -1063,12 +1048,8 @@ object PipelineQueries {
   // state is evicted once the watermark passes eventTime + delay — at
   // 100 TB the state holds only the watermark-deep tail, not history.
   def q55DedupDelivery(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import s.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = Tables.eventsFileSchema(s, dir)
     val tmp = tempDir("graft-q55")
     val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))
     for (copy <- Seq("a", "b")) // duplicate delivery of the full table
@@ -1079,9 +1060,7 @@ object PipelineQueries {
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     val raw = s2.readStream.schema(schema)
       .option("maxFilesPerTrigger", 100000).parquet(spool.toString)
-    raw
-      .withColumn("ts", expr(
-        "timestamp_micros(ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end))"))
+    Tables.normalizeEventTs(raw)
       .withWatermark("ts", "1 minute")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("parquet")

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous majority label propagation (community detection): every
+  * node starts labeled with its own id; each round it adopts the most
+  * frequent label among its NEIGHBORS (ties broken toward the smallest
+  * label, so every round is a deterministic function of the previous
+  * labeling — no run-to-run drift, and a SQL oracle can unroll the
+  * exact same rounds). Bounded rounds, not convergence: like
+  * [[Bfs]]/[[KCore]], the fixed budget keeps the join count
+  * deterministic and the lineage flat.
+  *
+  * Per round: one equi-join of the symmetric adjacency against the
+  * current labeling (uniform node keys) + one (node, label) count
+  * aggregation + one argmax-by-(count, −label) aggregation. Nothing is
+  * quadratic in degree — a celebrity node costs its degree in count
+  * rows, not degree² — so the per-round cost is O(|E|) shuffled on
+  * uniform keys at any scale.
+  */
+object LabelProp {
+
+  /** Final (node, label) after `rounds` synchronous majority updates
+    * on the undirected graph (direction/duplicates/self-loops
+    * ignored). Nodes are the edge endpoints; a node keeps its previous
+    * label only through the neighbor vote (neighbors always exist
+    * here, every node having at least one edge).
+    */
+  def propagate(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = truncate(
+      adj.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node")))
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      // argmax by (n, −label): max count wins, smallest label on ties
+      val next = votes
+        .groupBy(col("node"))
+        .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      labels = truncate(next)
+    }
+    adj.unpersist()
+    labels
+  }
+}

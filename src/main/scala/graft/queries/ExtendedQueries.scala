@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-4 operator surface: spatial grid join, community detection,
+  * weighted shortest paths, seasonal decomposition, KS drift gate.
+  * Same conventions as [[PipelineQueries]]: every query integer-exact
+  * (or scaled-integer) end to end, DuckDB oracle per entry, column
+  * names/types matched for the driver's hash compare.
+  */
+object ExtendedQueries {
+
+  // Spatial near-pair search via grid-cell prefilter: users projected
+  // onto a deterministic integer lattice (hash-free modular spread so
+  // the oracle can recompute coordinates in SQL), all pairs within
+  // radius 2000 milli-degrees found by the 3x3-cell equi join, NEVER
+  // the n^2 cross join — that form exists only in the oracle. Output
+  // aggregates per 30-degree latitude band to keep the row set stable.
+  def q165GeoPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.events(s, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select($"user_id").distinct()
+      .select($"user_id".as("id"),
+        ($"user_id" * 7919L % 180000L).as("x"),
+        ($"user_id" * 104729L % 360000L).as("y"))
+    graft.operators.GeoGrid.radiusPairs(pts, "id", "x", "y", radius = 2000L)
+      .groupBy(expr("xa div 30000").as("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"d2").as("min_d2"),
+        sum($"d2").as("sum_d2"))
+      .orderBy($"band")
+  }
+
+  // Majority label propagation on the co-purchase graph, 2 synchronous
+  // rounds with deterministic smallest-label tie-break; communities
+  // summarized as a size histogram. The oracle unrolls the identical
+  // rounds (row_number argmax per node).
+  def q166LabelCommunities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    val labels = graft.operators.LabelProp.propagate(edges, "src", "dst", rounds = 2)
+    labels.groupBy($"label").agg(count(lit(1)).as("size"))
+      .groupBy($"size")
+      .agg(count(lit(1)).as("n_communities"), min($"label").as("min_label"))
+      .orderBy($"size")
+  }
+
+  // Bounded Bellman-Ford from the seed part set over quantity-weighted
+  // co-purchase edges: exact min path cost within 3 hops, integerized
+  // via floor (quantities are integral; floor guards both engines'
+  // decimal->int cast conventions, which differ on halves).
+  def q167ShortestPath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"),
+        floor($"x.l_quantity" + $"y.l_quantity").cast("long").as("w"))
+    val seeds = Tables.part(s, dir).filter($"p_partkey" <= 5)
+    graft.operators.ShortestPath.boundedBellmanFord(
+        edges, "src", "dst", "w", seeds, "p_partkey", rounds = 3)
+      .orderBy($"node")
+  }
+
+  // Weekly seasonal decomposition of the daily event count, all scaled
+  // integers (see Seasonal's scaling contract): centered 7-day RANGE
+  // trend, full-window edge rule, per-weekday seasonal numerators.
+  def q168Seasonal(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Seasonal.weekly(daily, "day", "n")
+  }
+
+  // Exact integer two-sample KS distance between the value
+  // distributions of two event types — the distribution drift gate.
+  def q169ValueDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", floor($"value" * 100).cast("long").as("cents"))
+    graft.operators.KsTest.twoSample(e, "event_type", "cents", "view", "purchase")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_geo_pairs" -> q165GeoPairs _,
+    "q166_label_communities" -> q166LabelCommunities _,
+    "q167_shortest_path" -> q167ShortestPath _,
+    "q168_seasonal" -> q168Seasonal _,
+    "q169_value_drift" -> q169ValueDrift _)
+
+  val oracle: Map[String, String] = Map(
+    "q165_geo_pairs" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id IS NOT NULL AND user_id >= 0),
+        |p AS (SELECT user_id AS id, (user_id * 7919) % 180000 AS x,
+        |             (user_id * 104729) % 360000 AS y FROM u),
+        |pr AS (SELECT a.x AS xa,
+        |        (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+        |       FROM p a JOIN p b ON a.id < b.id
+        |       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000)
+        |SELECT xa // 30000 AS band, count(*) AS n_pairs,
+        | min(d2) AS min_d2, CAST(sum(d2) AS BIGINT) AS sum_d2
+        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q166_label_communities" ->
+      """WITH e0 AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |adj AS MATERIALIZED (
+        | SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+        |v1 AS (SELECT a.v AS node, l.label, count(*) AS n
+        |       FROM adj a JOIN l0 l ON a.u = l.node GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT node, label,
+        |   row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+        |  FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT a.v AS node, l.label, count(*) AS n
+        |       FROM adj a JOIN l1 l ON a.u = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |  SELECT node, label,
+        |   row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+        |  FROM v2) WHERE rn = 1),
+        |c AS (SELECT label, count(*) AS size FROM l2 GROUP BY 1)
+        |SELECT size, count(*) AS n_communities, min(label) AS min_label
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q167_shortest_path" ->
+      """WITH e0 AS MATERIALIZED (
+        | SELECT x.l_partkey AS u, y.l_partkey AS v,
+        |  CAST(min(floor(x.l_quantity + y.l_quantity)) AS BIGINT) AS w
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | GROUP BY 1, 2),
+        |adj AS MATERIALIZED (
+        | SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+        |d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM part WHERE p_partkey <= 5),
+        |d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0 UNION ALL
+        |  SELECT a.v, d.dist + a.w FROM adj a JOIN d0 d ON a.u = d.node)
+        | GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1 UNION ALL
+        |  SELECT a.v, d.dist + a.w FROM adj a JOIN d1 d ON a.u = d.node)
+        | GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2 UNION ALL
+        |  SELECT a.v, d.dist + a.w FROM adj a JOIN d2 d ON a.u = d.node)
+        | GROUP BY 1)
+        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
+    "q168_seasonal" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT day, n, CAST(sum(n) OVER w AS BIGINT) AS trend_sum7,
+        |        count(*) OVER w AS days_in
+        |      FROM d
+        |      WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING
+        |                   AND 3 FOLLOWING)),
+        |f AS (SELECT day, n, trend_sum7, 7 * n - trend_sum7 AS dev7,
+        |        day % 7 AS weekday
+        |      FROM t WHERE days_in = 7),
+        |s AS (SELECT weekday, CAST(sum(dev7) AS BIGINT) AS seas_num,
+        |        count(*) AS seas_cnt FROM f GROUP BY 1)
+        |SELECT f.day, f.n, f.trend_sum7, f.dev7, f.weekday,
+        | s.seas_num, s.seas_cnt,
+        | f.dev7 * s.seas_cnt - s.seas_num AS resid_num
+        |FROM f JOIN s USING (weekday) ORDER BY day""".stripMargin,
+    "q169_value_drift" ->
+      """WITH e AS (SELECT event_type AS g,
+        |        CAST(floor(value * 100) AS BIGINT) AS v FROM events
+        |       WHERE event_type IN ('view', 'purchase')),
+        |c AS (SELECT v,
+        |        sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS na_v,
+        |        sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS nb_v
+        |      FROM e GROUP BY 1),
+        |cu AS (SELECT v, CAST(sum(na_v) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |         CAST(sum(nb_v) OVER (ORDER BY v) AS BIGINT) AS cb FROM c),
+        |t AS (SELECT max(ca) AS n_a, max(cb) AS n_b FROM cu),
+        |g AS (SELECT cu.v, abs(cu.ca * t.n_b - cu.cb * t.n_a) AS gap,
+        |        t.n_a, t.n_b FROM cu, t)
+        |SELECT n_a, n_b, gap AS d_num, v AS at_value,
+        | CAST((gap * 1000000) // (n_a * n_b) AS BIGINT) AS ks_ppm
+        |FROM g ORDER BY gap DESC, v LIMIT 1""".stripMargin)
+}

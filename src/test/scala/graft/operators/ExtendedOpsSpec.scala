@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class ExtendedOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("geo grid pairs equal the brute-force twin (recall is exactly 1)") {
+    val rng = new scala.util.Random(7)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rng.nextInt(1000).toLong, rng.nextInt(1000).toLong))
+    val got = GeoGrid.radiusPairs(
+        pts.toDF("id", "x", "y"), "id", "x", "y", radius = 120L)
+      .select("id_a", "id_b", "d2")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= 120L * 120L
+    } yield (a._1, b._1, d2)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("label propagation matches the serial synchronous-majority twin") {
+    val rng = new scala.util.Random(11)
+    val edges = (1 to 400).map(_ =>
+      (rng.nextInt(40).toLong + 1, rng.nextInt(40).toLong + 1))
+      .filter(e => e._1 != e._2)
+    val got = LabelProp.propagate(edges.toDF("s", "d"), "s", "d", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // serial twin
+    val adj = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 2) {
+      labels = adj.map { case (v, ns) =>
+        val votes = ns.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+        v -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    assert(got == labels && labels.nonEmpty)
+  }
+
+  test("bounded Bellman-Ford matches the serial relaxation twin") {
+    val rng = new scala.util.Random(13)
+    val edges = (1 to 300).map(_ =>
+      (rng.nextInt(30).toLong + 1, rng.nextInt(30).toLong + 1,
+        rng.nextInt(9).toLong + 1)).filter(e => e._1 != e._2)
+    val seeds = Seq(1L, 2L)
+    val got = ShortestPath.boundedBellmanFord(
+        edges.toDF("s", "d", "w"), "s", "d", "w",
+        seeds.toDF("n"), "n", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // serial twin: collapse parallel edges to min weight, relax 3x
+    val w = edges.flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+      .groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._3).min }
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = w.toSeq.flatMap { case ((u, v), wt) =>
+        dist.get(u).map(d => v -> (d + wt))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, ds) => v -> ds.map(_._2).min }
+    }
+    assert(got == dist && dist.size > seeds.size)
+  }
+
+  test("seasonal decomposition: full-window rule and exact scaled integers") {
+    // 21 contiguous days with a planted weekly pattern, plus a gap day
+    // far away (drops itself AND pulls no neighbors into range)
+    val daily = ((0L to 20L).map(d => (d, 100L + (d % 7L) * 10L)) :+ (100L, 999L))
+      .toDF("day", "n")
+    val rows = Seasonal.weekly(daily, "day", "n")
+      .select("day", "n", "trend_sum7", "dev7", "weekday", "seas_num",
+        "seas_cnt", "resid_num")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    // edge rule: days 0-2, 18-20 and the isolated 100 are dropped
+    assert(rows.map(_._1).toSet == (3L to 17L).toSet)
+    rows.foreach { case (day, n, trend7, dev7, wd, sNum, sCnt, rNum) =>
+      val win = (day - 3 to day + 3).map(d => 100L + (d % 7L) * 10L).sum
+      assert(trend7 == win)
+      assert(dev7 == 7 * n - win)
+      assert(wd == day % 7)
+      assert(rNum == dev7 * sCnt - sNum)
+    }
+    // the planted series is exactly weekly, so each weekday's deviation
+    // is constant across its occurrences: residual must be exactly 0
+    assert(rows.forall(_._8 == 0L))
+  }
+
+  test("KS two-sample matches the serial cross-multiplied statistic") {
+    val rng = new scala.util.Random(17)
+    val xs = (1 to 500).map(_ => ("a", rng.nextInt(50).toLong)) ++
+      (1 to 400).map(_ => ("b", rng.nextInt(50).toLong + 10L))
+    val row = KsTest.twoSample(xs.toDF("g", "v"), "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (na, nb) = (500L, 400L)
+    val support = xs.map(_._2).distinct.sorted
+    val gaps = support.map { v =>
+      val ca = xs.count(x => x._1 == "a" && x._2 <= v).toLong
+      val cb = xs.count(x => x._1 == "b" && x._2 <= v).toLong
+      (math.abs(ca * nb - cb * na), v)
+    }
+    val dNum = gaps.map(_._1).max
+    val atV = gaps.filter(_._1 == dNum).map(_._2).min
+    assert(row == ((na, nb, dNum, atV, dNum * 1000000L / (na * nb))))
+  }
+}

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** Edge budget under which the per-round surviving-degree frame
+    * (|V|-bounded, ~16 B/node) is broadcast — same envelope reasoning
+    * as Triangles' adjacency broadcast. Above it the round degrades to
+    * two shuffle joins on uniform node keys.
+    */
+  private val BroadcastMaxEdges = 5000000L
+
   /** (node, core_deg) for every node of the k-core (its degree WITHIN
     * the core, ≥ k by construction). Direction/duplicate edges are
     * ignored; self-loops dropped. Empty result when no core survives.
@@ -48,11 +55,18 @@ object KCore {
     var cur = e.count()
     var round = 0
     while (cur != prev && round < maxRounds) {
-      val d = degrees(e).filter(col("deg") >= k)
+      // the surviving-degree frame is |V|-bounded and SHRINKS as rounds
+      // peel; under the edge budget broadcast it to both endpoint
+      // filters so the edge frame never shuffles inside the loop.
+      // Persisted per round: the two broadcast builds would otherwise
+      // each re-run the degree aggregation (the Triangles lesson).
+      val dAll = degrees(e).filter(col("deg") >= k).persist()
+      val d = if (cur <= BroadcastMaxEdges) broadcast(dAll) else dAll
       e = truncate(e
         .join(d.select(col("node").as("a")), "a")
         .join(d.select(col("node").as("b")), "b")
         .select(col("a"), col("b")))
+      dAll.unpersist()
       prev = cur
       cur = e.count()
       round += 1

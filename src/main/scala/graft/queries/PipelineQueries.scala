@@ -1575,9 +1575,12 @@ object PipelineQueries {
   // all-integer output (shared/union counts), so the compare is exact.
   def q75SetSimJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // codegen'd hash shingles: set-of-hashes ≡ set-of-strings absent
+    // xxhash64 collisions (the q157 convention; the string HOF was the
+    // measured bottleneck of the whole join — 5.6 s of 13 s at sf0.1)
     val sets = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism) // spread the shingle HOF
-      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism) // spread shingle work
+      .select($"doc_id", graft.plans.GraftFunctions.wordShingleHashes($"text", 3).as("sh"))
     graft.dedup.SetSimJoin.jaccardJoin(sets, "doc_id", "sh", tNum = 8, tDen = 10)
       .orderBy($"id_a", $"id_b")
   }
@@ -2353,9 +2356,10 @@ object PipelineQueries {
   // index keeps the exact form subquadratic; the oracle brute-forces.
   def q141ContainmentPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // hash-element sets for the same reason as q75 (q157 convention)
     val sets = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism) // spread the shingle HOF
-      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism) // spread shingle work
+      .select($"doc_id", graft.plans.GraftFunctions.wordShingleHashes($"text", 3).as("sh"))
     graft.dedup.SetSimJoin.containmentJoin(sets, "doc_id", "sh",
         tNum = 8, tDen = 10)
       .orderBy($"id_a", $"id_b")

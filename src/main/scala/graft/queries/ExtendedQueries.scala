@@ -89,12 +89,46 @@ object ExtendedQueries {
     graft.operators.KsTest.twoSample(e, "event_type", "cents", "view", "purchase")
   }
 
+  // Greedy max-coverage corpus selection over 3-word shingles: which 3
+  // documents cover the most distinct shingles (the subset-selection
+  // curation primitive). Hash-element sets (q157 convention); the
+  // oracle replays the 3 greedy rounds on string shingles.
+  def q170CoverageSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val elems = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(array_distinct(
+          graft.plans.GraftFunctions.wordShingleHashes($"text", 3))).as("el"))
+    graft.operators.Coverage.greedySelect(elems, "doc_id", "el", rounds = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"round")
+  }
+
+  // Functional-dependency audit across four candidate FDs — the
+  // profiling gate a curated extract passes before schema contracts
+  // are trusted (n_nationkey→n_regionkey genuinely holds; the others
+  // are deliberately violated dependencies with real violation mass).
+  def q171FdAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FdAudit.audit
+    audit(Tables.customer(s, dir), "customer: nation->segment",
+        "c_nationkey", "c_mktsegment")
+      .union(audit(Tables.orders(s, dir), "orders: cust->priority",
+        "o_custkey", "o_orderpriority"))
+      .union(audit(Tables.lineitem(s, dir), "lineitem: order->returnflag",
+        "l_orderkey", "l_returnflag"))
+      .union(audit(Tables.nation(s, dir), "nation: nation->region",
+        "n_nationkey", "n_regionkey"))
+      .orderBy(col("fd"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_geo_pairs" -> q165GeoPairs _,
     "q166_label_communities" -> q166LabelCommunities _,
     "q167_shortest_path" -> q167ShortestPath _,
     "q168_seasonal" -> q168Seasonal _,
-    "q169_value_drift" -> q169ValueDrift _)
+    "q169_value_drift" -> q169ValueDrift _,
+    "q170_coverage_select" -> q170CoverageSelect _,
+    "q171_fd_audit" -> q171FdAudit _)
 
   val oracle: Map[String, String] = Map(
     "q165_geo_pairs" ->
@@ -188,5 +222,58 @@ object ExtendedQueries {
         |        t.n_a, t.n_b FROM cu, t)
         |SELECT n_a, n_b, gap AS d_num, v AS at_value,
         | CAST((gap * 1000000) // (n_a * n_b) AS BIGINT) AS ks_ppm
-        |FROM g ORDER BY gap DESC, v LIMIT 1""".stripMargin)
+        |FROM g ORDER BY gap DESC, v LIMIT 1""".stripMargin,
+    "q170_coverage_select" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk
+        |              FROM documents),
+        |el AS MATERIALIZED (
+        | SELECT DISTINCT doc_id,
+        |  unnest(list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')
+        |                        FOR i IN range(1, greatest(len(tk) - 1, 2))]))
+        |    AS el
+        | FROM toks),
+        |g1 AS (SELECT doc_id, count(*) AS g FROM el GROUP BY 1),
+        |s1 AS MATERIALIZED (SELECT doc_id, g FROM g1
+        |                    ORDER BY g DESC, doc_id LIMIT 1),
+        |c1 AS MATERIALIZED (SELECT DISTINCT el FROM el
+        |                    JOIN s1 USING (doc_id)),
+        |g2 AS (SELECT e.doc_id, count(*) AS g FROM el e
+        |       ANTI JOIN c1 ON e.el = c1.el
+        |       WHERE e.doc_id NOT IN (SELECT doc_id FROM s1) GROUP BY 1),
+        |s2 AS MATERIALIZED (SELECT doc_id, g FROM g2
+        |                    ORDER BY g DESC, doc_id LIMIT 1),
+        |c2 AS MATERIALIZED (SELECT el FROM c1 UNION
+        |                    SELECT e.el FROM el e JOIN s2 USING (doc_id)),
+        |g3 AS (SELECT e.doc_id, count(*) AS g FROM el e
+        |       ANTI JOIN c2 ON e.el = c2.el
+        |       WHERE e.doc_id NOT IN (SELECT doc_id FROM s1
+        |                              UNION SELECT doc_id FROM s2)
+        |       GROUP BY 1),
+        |s3 AS (SELECT doc_id, g FROM g3 ORDER BY g DESC, doc_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, s1.doc_id, s1.g AS gain,
+        | s1.g AS covered_total FROM s1
+        |UNION ALL SELECT 2, s2.doc_id, s2.g, s1.g + s2.g FROM s1, s2
+        |UNION ALL SELECT 3, s3.doc_id, s3.g, s1.g + s2.g + s3.g
+        | FROM s1, s2, s3
+        |ORDER BY round""".stripMargin,
+    "q171_fd_audit" ->
+      """WITH a AS (SELECT c_nationkey AS l, c_mktsegment AS r,
+        |            'customer: nation->segment' AS fd FROM customer),
+        |b AS (SELECT o_custkey, o_orderpriority,
+        |       'orders: cust->priority' FROM orders),
+        |c AS (SELECT l_orderkey, l_returnflag,
+        |       'lineitem: order->returnflag' FROM lineitem),
+        |d AS (SELECT n_nationkey, n_regionkey,
+        |       'nation: nation->region' FROM nation),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+        |      UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d),
+        |g AS (SELECT fd, l, count(*) AS n, count(DISTINCT r) AS nd
+        |      FROM u GROUP BY 1, 2)
+        |SELECT fd, count(*) AS n_lhs,
+        | CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_violating_lhs,
+        | max(nd) AS max_rhs,
+        | CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) * 1000000
+        |      // sum(n) AS BIGINT) AS viol_ppm
+        |FROM g GROUP BY 1 ORDER BY fd""".stripMargin)
 }

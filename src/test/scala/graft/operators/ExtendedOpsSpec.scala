@@ -88,6 +88,44 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(rows.forall(_._8 == 0L))
   }
 
+  test("greedy coverage matches the serial greedy twin, ties to smallest id") {
+    val rng = new scala.util.Random(23)
+    val members = (1 to 30).flatMap(id =>
+      (1 to 20).map(_ => (id.toLong, rng.nextInt(60).toLong))).distinct
+    val got = Coverage.greedySelect(members.toDF("id", "el"), "id", "el", rounds = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // serial twin
+    var covered = Set.empty[Long]
+    val sets = members.groupBy(_._1).map { case (id, m) => id -> m.map(_._2).toSet }
+    var picked = Set.empty[Long]
+    val want = (1 to 4).flatMap { r =>
+      val cands = sets.view.filterKeys(!picked(_))
+        .mapValues(s => (s -- covered).size).toSeq
+        .filter(_._2 > 0)
+      if (cands.isEmpty) None
+      else {
+        val (id, gain) = cands.minBy { case (i, g) => (-g, i) }
+        picked += id
+        covered = covered ++ sets(id)
+        Some((r.toLong, id, gain.toLong, covered.size.toLong))
+      }
+    }
+    assert(got == want)
+  }
+
+  test("FD audit: a holding FD reports zero violations, a broken one doesn't") {
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"), (2L, "b", "x"),
+      (2L, "b", "y"), (3L, "c", "y")).toDF("k", "good", "bad")
+    val hold = FdAudit.audit(df, "k->good", "k", "good")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(hold == (("k->good", 3L, 0L, 1L, 0L)))
+    val broken = FdAudit.audit(df, "k->bad", "k", "bad")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // key 2 has 2 distinct bad values over 2 rows of 5 total
+    assert(broken == (("k->bad", 3L, 1L, 2L, 2L * 1000000L / 5L)))
+  }
+
   test("KS two-sample matches the serial cross-multiplied statistic") {
     val rng = new scala.util.Random(17)
     val xs = (1 to 500).map(_ => ("a", rng.nextInt(50).toLong)) ++

@@ -121,6 +121,132 @@ object ExtendedQueries {
       .orderBy(col("fd"))
   }
 
+  // Per-group exact percentile vector (p25/p50/p75/p95 of value cents
+  // per event type), floor(p·(n−1))+1 lower-rank convention (q104),
+  // (value, id) tie order so both engines pick identical rows. One
+  // partitioned sort; the four picks are conditional aggs on it.
+  def q172GroupPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    val wN = Window.partitionBy($"event_type")
+    Tables.events(s, dir)
+      .select($"event_type", floor($"value" * 100).cast("long").as("cents"),
+        $"event_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy($"event_type", $"n")
+      .agg(
+        max(when($"rn" === expr("(25 * (n - 1)) div 100 + 1"), $"cents")).as("p25"),
+        max(when($"rn" === expr("(50 * (n - 1)) div 100 + 1"), $"cents")).as("p50"),
+        max(when($"rn" === expr("(75 * (n - 1)) div 100 + 1"), $"cents")).as("p75"),
+        max(when($"rn" === expr("(95 * (n - 1)) div 100 + 1"), $"cents")).as("p95"))
+      .orderBy($"event_type")
+  }
+
+  // Decile lift table (model-eval primitive): users ranked by total
+  // spend into 10 ntile deciles (deterministic (spend desc, id) order),
+  // per-decile share of all purchase conversions in exact ppm.
+  def q173DecileLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val per = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id")
+      .agg(sum(floor($"value" * 100).cast("long")).as("spend_cents"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("convs"))
+    // ntile over the per-user AGGREGATE (3 orders smaller than events)
+    val ranked = per.withColumn("decile",
+      ntile(10).over(Window.orderBy($"spend_cents".desc, $"user_id")).cast("long"))
+    val tot = ranked.agg(sum($"convs").as("tot_convs"))
+    ranked.groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"spend_cents").as("spend_cents"),
+        sum($"convs").as("convs"))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n_users", $"spend_cents", $"convs",
+        expr("convs * 1000000 div tot_convs").as("conv_share_ppm"))
+      .orderBy($"decile")
+  }
+
+  // Normalization-aware exact dedup (corpus cleaning): case-fold,
+  // strip non-alphanumerics, collapse whitespace, then group by the
+  // normalized fingerprint — catches trivial reformatting copies that
+  // byte-exact dedup (q17) misses. Output: duplicate-group size
+  // histogram with the deterministic min keeper id per size class.
+  def q174NormalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " "))
+          .cast("binary")).as("fp"))
+    norm.groupBy($"fp")
+      .agg(count(lit(1)).as("n_members"), min($"doc_id").as("keeper"))
+      .filter($"n_members" > 1)
+      .groupBy($"n_members")
+      .agg(count(lit(1)).as("n_groups"), min($"keeper").as("min_keeper"))
+      .orderBy($"n_members")
+  }
+
+  // Burstiness index: squared coefficient of variation of per-user
+  // inter-arrival gaps (seconds), as exact integer ppm via DECIMAL
+  // sufficient stats (the q134 convention) — cv²·10⁶ =
+  // ⌊10⁶·(n·Σx²−(Σx)²)/(Σx)²⌋. Top-20 burstiest users.
+  def q175Burstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gaps = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id")
+      .withColumn("gap_s", expr("(ms - lag(ms, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ms, event_id)) div 1000"))
+      .filter($"gap_s".isNotNull)
+    gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap_s").as("sum_s"),
+        sum($"gap_s" * $"gap_s").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)).as("ss"))
+      .filter($"n_gaps" >= 2 && $"sum_s" > 0)
+      .select($"user_id", $"n_gaps", $"sum_s",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(n_gaps * ss - CAST(sum_s AS DECIMAL(38,0)) * sum_s)) div " +
+          "(CAST(sum_s AS DECIMAL(38,0)) * sum_s) AS BIGINT)").as("burst_ppm"))
+      .orderBy($"burst_ppm".desc, $"user_id")
+      .limit(20)
+  }
+
+  // Histogram-intersection overlap of two event types' value PMFs, the
+  // companion of q169's CDF max-gap: Σ_v min(pa, pb) in exact ppm via
+  // the common denominator n_a·n_b (DECIMAL against scale overflow).
+  def q176HistOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy(floor($"value" * 100).cast("long").as("cents"))
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("ca"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("cb"))
+    val tot = c.agg(sum($"ca").as("n_a"), sum($"cb").as("n_b"))
+    c.crossJoin(broadcast(tot))
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        sum((least($"ca" * $"n_b", $"cb" * $"n_a"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("raw"))
+      .select($"n_a", $"n_b",
+        expr("CAST((raw * 1000000) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("overlap_ppm"))
+  }
+
+  // Cross-source exact-duplicate matrix: md5 fingerprints shared by
+  // document pairs from different sources — which corpus slices copy
+  // from each other. Distinct-hash counts per unordered source pair.
+  def q177CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.documents(s, dir)
+      .select($"source", md5($"text".cast("binary")).as("fp")).distinct()
+    fp.as("a").join(fp.as("b"),
+        $"a.fp" === $"b.fp" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_geo_pairs" -> q165GeoPairs _,
     "q166_label_communities" -> q166LabelCommunities _,
@@ -128,7 +254,13 @@ object ExtendedQueries {
     "q168_seasonal" -> q168Seasonal _,
     "q169_value_drift" -> q169ValueDrift _,
     "q170_coverage_select" -> q170CoverageSelect _,
-    "q171_fd_audit" -> q171FdAudit _)
+    "q171_fd_audit" -> q171FdAudit _,
+    "q172_group_percentiles" -> q172GroupPercentiles _,
+    "q173_decile_lift" -> q173DecileLift _,
+    "q174_normalized_dedup" -> q174NormalizedDedup _,
+    "q175_burstiness" -> q175Burstiness _,
+    "q176_hist_overlap" -> q176HistOverlap _,
+    "q177_cross_source_dups" -> q177CrossSourceDups _)
 
   val oracle: Map[String, String] = Map(
     "q165_geo_pairs" ->
@@ -275,5 +407,80 @@ object ExtendedQueries {
         | max(nd) AS max_rhs,
         | CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) * 1000000
         |      // sum(n) AS BIGINT) AS viol_ppm
-        |FROM g GROUP BY 1 ORDER BY fd""".stripMargin)
+        |FROM g GROUP BY 1 ORDER BY fd""".stripMargin,
+    "q172_group_percentiles" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents, event_id
+        |       FROM events),
+        |r AS (SELECT event_type, cents,
+        |       row_number() OVER (PARTITION BY event_type
+        |                          ORDER BY cents, event_id) AS rn,
+        |       count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM e)
+        |SELECT event_type, n,
+        | max(CASE WHEN rn = (25 * (n - 1)) // 100 + 1 THEN cents END) AS p25,
+        | max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN cents END) AS p50,
+        | max(CASE WHEN rn = (75 * (n - 1)) // 100 + 1 THEN cents END) AS p75,
+        | max(CASE WHEN rn = (95 * (n - 1)) // 100 + 1 THEN cents END) AS p95
+        |FROM r GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+    "q173_decile_lift" ->
+      """WITH per AS (SELECT user_id,
+        |        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |          AS spend_cents,
+        |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS convs
+        |       FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT *, CAST(ntile(10) OVER (ORDER BY spend_cents DESC,
+        |        user_id) AS BIGINT) AS decile FROM per),
+        |t AS (SELECT CAST(sum(convs) AS BIGINT) AS tot_convs FROM r)
+        |SELECT decile, count(*) AS n_users,
+        | CAST(sum(spend_cents) AS BIGINT) AS spend_cents,
+        | CAST(sum(convs) AS BIGINT) AS convs,
+        | CAST(CAST(sum(convs) AS BIGINT) * 1000000 // t.tot_convs AS BIGINT)
+        |   AS conv_share_ppm
+        |FROM r, t GROUP BY decile, t.tot_convs ORDER BY decile""".stripMargin,
+    "q174_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |          AS fp
+        |       FROM documents),
+        |g AS (SELECT fp, count(*) AS n_members, min(doc_id) AS keeper
+        |      FROM n GROUP BY 1 HAVING count(*) > 1)
+        |SELECT n_members, count(*) AS n_groups, min(keeper) AS min_keeper
+        |FROM g GROUP BY 1 ORDER BY n_members""".stripMargin,
+    "q175_burstiness" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |l AS (SELECT user_id,
+        |       (ms - lag(ms) OVER (PARTITION BY user_id
+        |                           ORDER BY ms, event_id)) // 1000 AS gap_s
+        |      FROM e),
+        |a AS (SELECT user_id, count(*) AS n_gaps,
+        |       CAST(sum(gap_s) AS BIGINT) AS sum_s,
+        |       CAST(sum(gap_s * gap_s) AS HUGEINT) AS ss
+        |      FROM l WHERE gap_s IS NOT NULL GROUP BY 1
+        |      HAVING count(*) >= 2 AND sum(gap_s) > 0)
+        |SELECT user_id, n_gaps, sum_s,
+        | CAST((1000000 * (n_gaps * ss - CAST(sum_s AS HUGEINT) * sum_s)) //
+        |      (CAST(sum_s AS HUGEINT) * sum_s) AS BIGINT) AS burst_ppm
+        |FROM a ORDER BY burst_ppm DESC, user_id LIMIT 20""".stripMargin,
+    "q176_hist_overlap" ->
+      """WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+        |        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |       FROM events WHERE event_type IN ('view', 'purchase')
+        |       GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM c)
+        |SELECT t.n_a, t.n_b,
+        | CAST(CAST(sum(least(c.ca * t.n_b, c.cb * t.n_a)) AS HUGEINT)
+        |      * 1000000 // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT)
+        |   AS overlap_ppm
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    "q177_cross_source_dups" ->
+      """WITH fp AS (SELECT DISTINCT source, md5(text) AS fp FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
 }

@@ -122,25 +122,32 @@ object ExtendedQueries {
   }
 
   // Per-group exact percentile vector (p25/p50/p75/p95 of value cents
-  // per event type), floor(p·(n−1))+1 lower-rank convention (q104),
-  // (value, id) tie order so both engines pick identical rows. One
-  // partitioned sort; the four picks are conditional aggs on it.
+  // per event type), floor(p·(n−1))+1 lower-rank convention (q104).
+  // Two-phase, value-domain compressed: one uniform (type, cents)
+  // count shuffle over the events, then cumulative ranks on the
+  // DISTINCT-cents frame only — a row-per-event window would sort
+  // whole types on single partitions (|types| ≪ cores), the classic
+  // low-cardinality-partition scale trap. A rank rp falls in a cents
+  // run iff lo < rp ≤ hi, which is exactly the row the per-event
+  // (cents, id)-ordered row_number pick selects.
   def q172GroupPercentiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
-    val wN = Window.partitionBy($"event_type")
-    Tables.events(s, dir)
-      .select($"event_type", floor($"value" * 100).cast("long").as("cents"),
-        $"event_id")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wN))
+    val c = Tables.events(s, dir)
+      .select($"event_type", floor($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"cents")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"cents")
+    val wT = Window.partitionBy($"event_type")
+    def pick(p: Int) = {
+      val rp = expr(s"($p * (n - 1)) div 100 + 1")
+      max(when($"lo" < rp && rp <= $"hi", $"cents")).as(s"p$p")
+    }
+    c.withColumn("hi", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wT))
+      .withColumn("lo", $"hi" - $"cnt")
       .groupBy($"event_type", $"n")
-      .agg(
-        max(when($"rn" === expr("(25 * (n - 1)) div 100 + 1"), $"cents")).as("p25"),
-        max(when($"rn" === expr("(50 * (n - 1)) div 100 + 1"), $"cents")).as("p50"),
-        max(when($"rn" === expr("(75 * (n - 1)) div 100 + 1"), $"cents")).as("p75"),
-        max(when($"rn" === expr("(95 * (n - 1)) div 100 + 1"), $"cents")).as("p95"))
+      .agg(pick(25), pick(50), pick(75), pick(95))
       .orderBy($"event_type")
   }
 

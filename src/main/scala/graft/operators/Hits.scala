@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (Kleinberg) on a directed graph, kept in
+  * exact integers: no per-round normalization — scores after k rounds
+  * are the raw path-count sums (h₀ = 1; a ← Σ_in h; h ← Σ_out a),
+  * which is the same ranking the normalized iteration produces (L¹
+  * normalization is a positive scalar per round) but bit-exact on any
+  * engine and unrollable as a SQL oracle. Growth is bounded by
+  * (max degree)^(2k) — k=2 on integer-64 is safe for any graph whose
+  * squared-degree sum fits, which a 100 TB bipartite purchase graph
+  * does after the usual key-space projection; beyond that, swap to
+  * DECIMAL(38,0) sums (the q134 convention).
+  *
+  * Per half-round: one equi-join of the edge list against the current
+  * score frame (the score side is |V|-bounded and broadcast-eligible)
+  * + one sum aggregation on uniform node keys. Like [[PageRank]],
+  * rounds are a constant and lineage is truncated per round.
+  */
+object Hits {
+
+  /** (node, hub, auth) after `rounds` full h→a→h updates. Nodes with
+    * no outgoing edges have hub 0; no incoming, auth 0 (both appear if
+    * they touch any edge).
+    */
+  def scores(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v"))).distinct()
+    var hubs = truncate(nodes.withColumn("h", lit(1L)))
+    var auths: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val a = e.join(hubs.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v").as("node")).agg(sum(col("h")).as("a"))
+      auths = truncate(nodes.join(a, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a")))
+      val h = e.join(auths.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node")).agg(sum(col("a")).as("h"))
+      hubs = truncate(nodes.join(h, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")))
+    }
+    val out = hubs.join(auths, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+    e.unpersist()
+    out
+  }
+}

@@ -254,6 +254,35 @@ object ExtendedQueries {
       .orderBy($"source_a", $"source_b")
   }
 
+  // Integer-exact HITS on the bipartite customer→supplier purchase
+  // graph (who buys from whom), 2 unnormalized rounds (ranking ≡ the
+  // normalized iteration, see Hits), top-20 authorities.
+  def q178Hits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey".cast("long") * 2).as("src"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+    graft.operators.Hits.scores(edges, "src", "dst", rounds = 2)
+      .orderBy($"auth".desc, $"node")
+      .limit(20)
+  }
+
+  // Reciprocal best co-purchase partner: mutual-nearest-neighbor pairs
+  // on the count-weighted co-purchase graph — the high-precision seed
+  // filter of entity-resolution pipelines.
+  def q179BestMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .groupBy($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.BestMatch.reciprocal(edges, "src", "dst", "w")
+      .orderBy($"id_a")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_geo_pairs" -> q165GeoPairs _,
     "q166_label_communities" -> q166LabelCommunities _,
@@ -267,7 +296,9 @@ object ExtendedQueries {
     "q174_normalized_dedup" -> q174NormalizedDedup _,
     "q175_burstiness" -> q175Burstiness _,
     "q176_hist_overlap" -> q176HistOverlap _,
-    "q177_cross_source_dups" -> q177CrossSourceDups _)
+    "q177_cross_source_dups" -> q177CrossSourceDups _,
+    "q178_hits" -> q178Hits _,
+    "q179_best_match" -> q179BestMatch _)
 
   val oracle: Map[String, String] = Map(
     "q165_geo_pairs" ->
@@ -489,5 +520,45 @@ object ExtendedQueries {
         |SELECT a.source AS source_a, b.source AS source_b,
         | count(*) AS n_shared
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
-        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "q178_hits" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |n AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM n),
+        |a1 AS MATERIALIZED (SELECT n.node, coalesce(s.a, 0) AS a FROM n
+        | LEFT JOIN (SELECT e.v AS node, CAST(sum(h0.h) AS BIGINT) AS a
+        |            FROM e JOIN h0 ON e.u = h0.node GROUP BY 1) s
+        | USING (node)),
+        |h1 AS MATERIALIZED (SELECT n.node, coalesce(s.h, 0) AS h FROM n
+        | LEFT JOIN (SELECT e.u AS node, CAST(sum(a1.a) AS BIGINT) AS h
+        |            FROM e JOIN a1 ON e.v = a1.node GROUP BY 1) s
+        | USING (node)),
+        |a2 AS MATERIALIZED (SELECT n.node, coalesce(s.a, 0) AS a FROM n
+        | LEFT JOIN (SELECT e.v AS node, CAST(sum(h1.h) AS BIGINT) AS a
+        |            FROM e JOIN h1 ON e.u = h1.node GROUP BY 1) s
+        | USING (node)),
+        |h2 AS (SELECT n.node, coalesce(s.h, 0) AS h FROM n
+        | LEFT JOIN (SELECT e.u AS node, CAST(sum(a2.a) AS BIGINT) AS h
+        |            FROM e JOIN a2 ON e.v = a2.node GROUP BY 1) s
+        | USING (node))
+        |SELECT h2.node, h2.h AS hub, a2.a AS auth
+        |FROM h2 JOIN a2 USING (node)
+        |ORDER BY auth DESC, node LIMIT 20""".stripMargin,
+    "q179_best_match" ->
+      """WITH e0 AS MATERIALIZED (
+        | SELECT x.l_partkey AS u, y.l_partkey AS v, count(*) AS w
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | GROUP BY 1, 2),
+        |sym AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+        |best AS (SELECT u, v, w FROM (
+        |  SELECT u, v, w,
+        |   row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+        |  FROM sym) WHERE rn = 1)
+        |SELECT x.u AS id_a, x.v AS id_b, CAST(x.w AS BIGINT) AS w
+        |FROM best x JOIN best y
+        | ON x.u = y.v AND x.v = y.u AND x.u < y.u
+        |ORDER BY id_a""".stripMargin)
 }

@@ -126,6 +126,40 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(broken == (("k->bad", 3L, 1L, 2L, 2L * 1000000L / 5L)))
   }
 
+  test("HITS scores match the serial unnormalized iteration") {
+    val rng = new scala.util.Random(29)
+    val edges = (1 to 200).map(_ =>
+      (rng.nextInt(15).toLong + 1, rng.nextInt(15).toLong + 101)).distinct
+    val got = Hits.scores(edges.toDF("s", "d"), "s", "d", rounds = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> 1L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      a = nodes.map(v => v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      h = nodes.map(u => u -> edges.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+    }
+    assert(got == nodes.map(v => v -> ((h(v), a(v)))).toMap && nodes.nonEmpty)
+  }
+
+  test("reciprocal best match returns exactly the mutual-argmax pairs") {
+    val rng = new scala.util.Random(31)
+    val edges = (1 to 150).map(_ =>
+      (rng.nextInt(20).toLong + 1, rng.nextInt(20).toLong + 1,
+        rng.nextInt(50).toLong + 1)).filter(e => e._1 != e._2)
+    val got = BestMatch.reciprocal(edges.toDF("s", "d", "w"), "s", "d", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    val sym = edges.flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+      .groupBy(e => (e._1, e._2)).map { case ((u, v), es) => (u, v, es.map(_._3).max) }
+    val best = sym.groupBy(_._1).map { case (u, es) =>
+      u -> es.minBy(e => (-e._3, e._2))
+    }
+    val want = best.values.filter { case (u, v, w) =>
+      u < v && best.get(v).exists(b => b._2 == u)
+    }.map(e => (e._1, e._2, e._3)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("KS two-sample matches the serial cross-multiplied statistic") {
     val rng = new scala.util.Random(17)
     val xs = (1 to 500).map(_ => ("a", rng.nextInt(50).toLong)) ++

@@ -100,4 +100,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q165: geo pairs join on grid cells — never a cartesian product") {
+    val p = plan("q165_geo_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q172: percentile ranks run on the distinct-cents frame, not raw events") {
+    val p = plan("q172_group_percentiles")
+    // the window's input must be an aggregate (the (type, cents) count),
+    // so a partial/final HashAggregate pair appears BELOW the Window
+    val widx = p.indexOf("Window")
+    assert(widx > 0, p)
+    assert(p.indexOf("HashAggregate", widx) > 0 ||
+      p.substring(widx).contains("Aggregate"), p)
+  }
+
+  test("q176: PMF overlap totals broadcast back onto the count frame") {
+    val p = plan("q176_hist_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q169: KS argmax is heap-bounded (TakeOrdered), not a global sort") {
+    val p = plan("q169_value_drift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

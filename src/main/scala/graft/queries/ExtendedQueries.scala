@@ -283,6 +283,25 @@ object ExtendedQueries {
       .orderBy($"id_a")
   }
 
+  // Overlapping sliding-window chunking (64-char windows, stride 48 —
+  // 16 chars of shared context, the RAG convention) + lossless
+  // reassembly. The oracle never sees the chunking: it pins the chunk
+  // count to the closed-form 1 + ceil(max(len-64,0)/48) and the
+  // reassembled text to the untouched source's md5 (q90's trick).
+  def q180SlidingChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = graft.text.Chunker.slidingChunk(
+      Tables.documents(s, dir).select($"doc_id", $"text"),
+      "doc_id", "text", size = 64, stride = 48)
+    val stats = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+    graft.text.Chunker.reassembleOverlapping(
+        chunks, "doc_id", "chunk_ix", "chunk", size = 64, stride = 48)
+      .join(stats, "doc_id")
+      .select($"doc_id", $"n_chunks", length($"text").cast("long").as("len"),
+        md5($"text".cast("binary")).as("fp"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_geo_pairs" -> q165GeoPairs _,
     "q166_label_communities" -> q166LabelCommunities _,
@@ -298,7 +317,8 @@ object ExtendedQueries {
     "q176_hist_overlap" -> q176HistOverlap _,
     "q177_cross_source_dups" -> q177CrossSourceDups _,
     "q178_hits" -> q178Hits _,
-    "q179_best_match" -> q179BestMatch _)
+    "q179_best_match" -> q179BestMatch _,
+    "q180_sliding_chunks" -> q180SlidingChunks _)
 
   val oracle: Map[String, String] = Map(
     "q165_geo_pairs" ->
@@ -560,5 +580,12 @@ object ExtendedQueries {
         |SELECT x.u AS id_a, x.v AS id_b, CAST(x.w AS BIGINT) AS w
         |FROM best x JOIN best y
         | ON x.u = y.v AND x.v = y.u AND x.u < y.u
-        |ORDER BY id_a""".stripMargin)
+        |ORDER BY id_a""".stripMargin,
+    "q180_sliding_chunks" ->
+      """SELECT doc_id,
+        | CAST(1 + (greatest(length(text) - 64, 0) + 47) // 48 AS BIGINT)
+        |   AS n_chunks,
+        | CAST(length(text) AS BIGINT) AS len,
+        | md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -47,4 +47,43 @@ object Chunker {
           array_sort(collect_list(struct(col(ixCol), col(chunkCol)))),
           x => x(chunkCol)),
         "").as("text"))
+
+  /** Overlapping sliding-window chunks — the RAG convention: a window
+    * of `size` chars every `stride` chars, so consecutive chunks share
+    * size−stride chars of context. Chunk i covers [i·stride,
+    * i·stride+size); the count is 1 + ⌈max(len−size, 0)/stride⌉, which
+    * guarantees the final chunk reaches the end of the text. Row-local
+    * like [[chunk]].
+    */
+  def slidingChunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && size >= stride, "need 1 <= stride <= size")
+    val m = greatest(length(col(textCol)) - lit(size), lit(0))
+    // double-floor ceil is exact far beyond any real text length
+    val last = floor((m + lit(stride - 1)) / lit(stride)).cast("int")
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), last),
+          i => col(textCol).substr(i * stride + 1, lit(size)))))
+      .withColumnRenamed("pos", "chunk_ix")
+      .withColumnRenamed("col", "chunk")
+  }
+
+  /** Inverse of [[slidingChunk]]: the first chunk enters whole, every
+    * later chunk contributes only the part beyond the size−stride
+    * overlap (its start i·stride sits exactly overlap chars before the
+    * previous coverage end (i−1)·stride+size). Lossless by
+    * construction — q180's oracle pins it with md5 against the
+    * untouched source.
+    */
+  def reassembleOverlapping(chunks: DataFrame, idCol: String, ixCol: String,
+      chunkCol: String, size: Int, stride: Int): DataFrame = {
+    val overlap = size - stride
+    chunks.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(ixCol), col(chunkCol)))),
+          x => when(x(ixCol) === 0, x(chunkCol))
+            .otherwise(x(chunkCol).substr(lit(overlap + 1), lit(stride)))),
+        "").as("text"))
+  }
 }

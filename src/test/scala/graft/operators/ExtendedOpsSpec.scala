@@ -160,6 +160,30 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("sliding chunks: round-trip identity at every boundary length") {
+    import graft.text.Chunker
+    val rng = new scala.util.Random(37)
+    // lengths straddling the size/stride boundaries: 0, 1, size-1,
+    // size, size+1, size+stride, and a few long randoms
+    val lens = Seq(0, 1, 63, 64, 65, 112, 113, 200, 500) ++
+      (1 to 5).map(_ => rng.nextInt(1000))
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, rng.alphanumeric.take(n).mkString)
+    }
+    val chunks = Chunker.slidingChunk(docs.toDF("id", "text"), "id", "text",
+      size = 64, stride = 48)
+    val got = Chunker.reassembleOverlapping(chunks, "id", "chunk_ix", "chunk",
+        size = 64, stride = 48)
+      .as[(Long, String)].collect().toMap
+    assert(got == docs.toMap)
+    // chunk count matches the closed form the q180 oracle pins
+    val counts = chunks.groupBy($"id").count().as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, t) =>
+      val want = 1L + (math.max(t.length - 64, 0) + 47) / 48
+      assert(counts(id) == want, s"id=$id len=${t.length}")
+    }
+  }
+
   test("KS two-sample matches the serial cross-multiplied statistic") {
     val rng = new scala.util.Random(17)
     val xs = (1 to 500).map(_ => ("a", rng.nextInt(50).toLong)) ++

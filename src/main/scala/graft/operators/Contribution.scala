@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Period-over-period contribution analysis: which segments drove the
   * total change of a metric between a baseline period A and a
   * comparison period B. Per segment: both sums, the delta, and the
-  * segment's share of the TOTAL delta in signed ppm (truncating
-  * integer division — identical in Spark `div` and DuckDB integer
-  * `//`). The root-cause triage view every metrics dashboard needs
+  * segment's share of the TOTAL delta in signed ppm. The division is
+  * written sign-explicitly — sign(delta·tot) × (|delta|·1e6 div
+  * |tot|) — because engines disagree on NEGATIVE integer division
+  * (Spark `div` truncates toward zero; DuckDB `//` has floored
+  * semantics in some releases); with non-negative operands floor and
+  * trunc coincide, so every engine computes the identical truncating
+  * share. The root-cause triage view every metrics dashboard needs
   * when a topline moves.
   *
   * Scale shape: one conditional-sum hash-agg over the union (map-side
@@ -31,7 +35,10 @@ object Contribution {
     seg.crossJoin(broadcast(tot))
       .withColumn("share_ppm",
         when(col("__tot") === 0L, lit(null).cast("long"))
-          .otherwise(expr("delta * 1000000 div __tot")))
+          .otherwise(
+            when((col("delta") >= 0L) === (col("__tot") >= 0L), lit(1L))
+              .otherwise(lit(-1L)) *
+            expr("abs(delta) * 1000000 div abs(__tot)")))
       .drop("__tot")
   }
 }

@@ -29,14 +29,21 @@ object RunningBalance {
 
   /** Per key: final_balance, max_balance, floor_hits (rows where the
     * clamp engaged). `orderCols` must totally order each key's rows.
+    * Ordering is pinned to ascending NULLS FIRST explicitly (engines
+    * disagree on default NULL placement — Spark puts NULLs first
+    * ascending, DuckDB last — and a NULL order key silently reorders
+    * the prefix sums on one side only); cross-engine oracles must
+    * spell `NULLS FIRST` in their window ORDER BYs to match. NULLS
+    * FIRST also agrees with Spark's struct-max argmax below, which
+    * compares a NULL field as smaller than any value.
     */
   def floored(df: DataFrame, keyCol: String, orderCols: Seq[String],
       deltaCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(orderCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = Window.partitionBy(col(keyCol))
-      .orderBy(orderCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val stepped = df
       .withColumn("__cum", sum(col(deltaCol)).over(w))

@@ -3306,17 +3306,20 @@ object PipelineQueries {
         |         (CASE WHEN o_orderkey % 3 = 0 THEN -1 ELSE 1 END) AS delta
         |       FROM orders),
         |w1 AS (SELECT *, sum(delta) OVER
-        |        (PARTITION BY k ORDER BY dt, id ROWS UNBOUNDED PRECEDING) AS cum
+        |        (PARTITION BY k ORDER BY dt ASC NULLS FIRST, id ASC NULLS FIRST
+        |         ROWS UNBOUNDED PRECEDING) AS cum
         |       FROM d),
         |w2 AS (SELECT *, cum - least(min(cum) OVER
-        |        (PARTITION BY k ORDER BY dt, id ROWS UNBOUNDED PRECEDING), 0) AS bal,
+        |        (PARTITION BY k ORDER BY dt ASC NULLS FIRST, id ASC NULLS FIRST
+        |         ROWS UNBOUNDED PRECEDING), 0) AS bal,
         |       CASE WHEN cum < least(coalesce(min(cum) OVER
-        |        (PARTITION BY k ORDER BY dt, id
+        |        (PARTITION BY k ORDER BY dt ASC NULLS FIRST, id ASC NULLS FIRST
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0)
         |        THEN 1 ELSE 0 END AS hit
         |       FROM w1),
         |f AS (SELECT k, bal, row_number() OVER
-        |       (PARTITION BY k ORDER BY dt DESC, id DESC) AS rn FROM w2),
+        |       (PARTITION BY k ORDER BY dt DESC NULLS LAST, id DESC NULLS LAST) AS rn
+        |      FROM w2),
         |a AS (SELECT k, max(bal) AS mx,
         |       CAST(sum(hit) AS BIGINT) AS fh
         |      FROM w2 GROUP BY k)
@@ -3642,7 +3645,9 @@ object PipelineQueries {
         |t AS (SELECT sum(sum_b - sum_a) tot FROM a)
         |SELECT seg, sum_a, sum_b, sum_b - sum_a AS delta,
         | CASE WHEN tot = 0 THEN NULL
-        |  ELSE (sum_b - sum_a) * 1000000 // tot END AS share_ppm
+        |  ELSE (CASE WHEN ((sum_b - sum_a) >= 0) = (tot >= 0)
+        |        THEN 1 ELSE -1 END) *
+        |       (abs(sum_b - sum_a) * 1000000 // abs(tot)) END AS share_ppm
         |FROM a, t ORDER BY seg""".stripMargin,
     "q123_rolling_active_users" ->
       """WITH a AS (

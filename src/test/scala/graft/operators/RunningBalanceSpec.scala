@@ -44,6 +44,18 @@ class RunningBalanceSpec extends SparkTestBase {
     assert(got(1L) == ((0L, 0L, 1L)) && got(2L) == ((7L, 7L, 0L)))
   }
 
+  test("NULL order keys sort first, deterministically, on any partitioning") {
+    // A NULL ord row must be treated as the FIRST step of the process
+    // (asc_nulls_first) — the cross-engine pin for the q145 oracle.
+    // deltas in pinned order: -3 (null ord: clamp), +5, -1 → final 4
+    val rows = Seq((1L, Option.empty[Long], -3L),
+      (1L, Some(1L), 5L), (1L, Some(2L), -1L))
+    val df = rows.toDF("k", "ord", "delta").repartition(8)
+    val got = RunningBalance.floored(df, "k", Seq("ord"), "delta")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert((got._2, got._3, got._4) == ((4L, 5L, 1L)))
+  }
+
   test("matches the serial fold on a mixed sweep, any partitioning") {
     val deltas = (0 until 300).map(i => ((i * 17) % 23).toLong - 11L)
     val rows = deltas.zipWithIndex.map { case (d, i) => (1L, i.toLong, d) }

@@ -24,5 +24,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++ graft.queries.PipelineQueries.oracle ++
-      graft.queries.ExtendedQueries.oracle
+      graft.queries.ExtendedQueries.oracle ++ graft.queries.Dashboards.oracle
 }

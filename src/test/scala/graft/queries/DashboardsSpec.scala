@@ -62,6 +62,27 @@ class DashboardsSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq == exactTop)
   }
 
+  test("gated sketch queries: every ok flag true, oracle SQL materializes after a run") {
+    val gated = Seq("q26_approx_cardinality", "q27_approx_percentiles",
+      "q40_approx_top_terms", "q70_sketch_table")
+    gated.foreach { name =>
+      val rows = Dashboards.all(name)(spark, sfSmoke).collect()
+      assert(rows.nonEmpty, name)
+      val okCols = rows.head.schema.fieldNames.filter(f =>
+        f == "ok" || f.startsWith("ok") || f.endsWith("_ok"))
+      assert(okCols.nonEmpty, s"$name has no ok columns")
+      rows.foreach(r => okCols.foreach(c =>
+        assert(r.getAs[Boolean](c), s"$name.$c false: $r")))
+    }
+    // the dynamic oracle is populated once the queries have run, and the
+    // estimate literals it embeds are plain SQL (VALUES lists / a CAST)
+    val o = Dashboards.oracle
+    gated.foreach { name =>
+      assert(o.contains(name), s"$name missing from dynamic oracle")
+      assert(o(name).contains("TRUE AS"), name)
+    }
+  }
+
   test("searchLogsDeep filters on severity, root-cause class and cause depth") {
     import graft.ingest.Transforms
     val err =

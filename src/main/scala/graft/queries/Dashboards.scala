@@ -169,6 +169,23 @@ object Dashboards {
       .limit(limit)
   }
 
+  /** B17 with the dashboard filter bar's QUERY-STRING syntax: a kuery
+    * expression compiled to a Catalyst predicate (graft.search.Kuery),
+    * so a saved search exported from the reference's dashboards — e.g.
+    * `appName.keyword: "TPCDS SQL Benchmark 3000 GB" and level.name:
+    * ERROR` — runs verbatim, no hand translation to Columns. Free-text
+    * terms search `message`.
+    */
+  def searchLogsKuery(logs: DataFrame, kuery: String,
+      limit: Int = 1000): DataFrame =
+    logs
+      .filter(graft.search.Kuery.predicate(logs, kuery, Seq("message")))
+      .select(col("appName"), col("appId"), col("executorId"),
+        col("taskId"), col("stageId"), col("level.name").as("level"),
+        col("message"), col("logTime"))
+      .orderBy(col("logTime"), col("taskId"))
+      .limit(limit)
+
   /** B19: relative time-range predicate (`now-<interval> .. now`); the
     * caller supplies `now` for determinism (SURVEY §7.4 clock injection).
     */

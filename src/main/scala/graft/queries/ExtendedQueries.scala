@@ -302,6 +302,33 @@ object ExtendedQueries {
       .orderBy($"doc_id")
   }
 
+  // Kuery (KQL-subset) saved-search strings compiled to Catalyst
+  // predicates (graft.search.Kuery) and run over the documents table —
+  // the dashboard filter-bar path: every expression below arrives as a
+  // QUERY STRING, not a hand-built Column. One aggregate per string,
+  // unioned; the oracle replays each as a plain SQL WHERE clause.
+  def q181KuerySearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val kueries = Seq(
+      // analyzed-text contains + whole-value wildcard
+      "k1_text_and" -> "lang.keyword: en and text: *slow*",
+      // keyword value group
+      "k2_group" -> "source.keyword: (src1 or src2)",
+      // negation + typed numeric range
+      "k3_not_range" -> "not lang.keyword: en and n_chars >= 400",
+      // bare free-text phrase (merged words) over the default field
+      "k4_phrase" -> "slow fast",
+      // trailing wildcard on a keyword field (prefix match)
+      "k5_wildcard" -> "source: src1*")
+    kueries.map { case (label, kq) =>
+      docs.filter(graft.search.Kuery.predicate(docs, kq, Seq("text")))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_chars"), lit(0L)).as("sum_chars"))
+        .select(lit(label).as("kuery"), $"n_docs", $"sum_chars")
+    }.reduce(_.unionAll(_)).orderBy($"kuery")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_geo_pairs" -> q165GeoPairs _,
     "q166_label_communities" -> q166LabelCommunities _,
@@ -318,9 +345,31 @@ object ExtendedQueries {
     "q177_cross_source_dups" -> q177CrossSourceDups _,
     "q178_hits" -> q178Hits _,
     "q179_best_match" -> q179BestMatch _,
-    "q180_sliding_chunks" -> q180SlidingChunks _)
+    "q180_sliding_chunks" -> q180SlidingChunks _,
+    "q181_kuery_search" -> q181KuerySearch _)
 
   val oracle: Map[String, String] = Map(
+    "q181_kuery_search" ->
+      """SELECT 'k1_text_and' AS kuery, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        | FROM documents WHERE lang = 'en' AND text LIKE '%slow%'
+        |UNION ALL
+        |SELECT 'k2_group' AS kuery, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        | FROM documents WHERE source = 'src1' OR source = 'src2'
+        |UNION ALL
+        |SELECT 'k3_not_range' AS kuery, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        | FROM documents WHERE NOT (lang = 'en') AND n_chars >= 400
+        |UNION ALL
+        |SELECT 'k4_phrase' AS kuery, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        | FROM documents WHERE contains(text, 'slow fast')
+        |UNION ALL
+        |SELECT 'k5_wildcard' AS kuery, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        | FROM documents WHERE source LIKE 'src1%'
+        |ORDER BY kuery""".stripMargin,
     "q165_geo_pairs" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events
         |           WHERE user_id IS NOT NULL AND user_id >= 0),

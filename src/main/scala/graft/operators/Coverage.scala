@@ -47,8 +47,13 @@ object Coverage {
         cum += gain
         picks += ((r.toLong, id, gain, cum))
         val newCov = e.filter(col("id") === id).select(col("el"))
+        val prev = covered
         covered = (if (covered == null) newCov else covered.union(newCov))
           .distinct().localCheckpoint(eager = true)
+        // the new checkpoint has materialized; release the previous
+        // round's blocks so repeated runs in a long-lived session don't
+        // accumulate one checkpointed frame per round
+        if (prev != null) prev.unpersist()
       }
     }
     e.unpersist()

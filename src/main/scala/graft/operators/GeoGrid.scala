@@ -56,6 +56,6 @@ object GeoGrid {
         (col("xa") - col("xb")) * (col("xa") - col("xb")) +
           (col("ya") - col("yb")) * (col("ya") - col("yb")))
       .filter(col("d2") <= lit(radius * radius))
-      .select(col("id_a"), col("id_b"), col("d2"), col("xa"))
+      .select(col("id_a"), col("id_b"), col("d2"))
   }
 }

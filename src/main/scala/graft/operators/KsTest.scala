@@ -40,13 +40,22 @@ object KsTest {
       .withColumn("ca", sum(col("na_v")).over(wCum))
       .withColumn("cb", sum(col("nb_v")).over(wCum))
     val tot = cum.agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
+    // cross-multiplied products in DECIMAL(38,0) BEFORE the multiply
+    // (Spark int64 wraps silently while DuckDB promotes to HUGEINT, so
+    // an int64 product overflow would make the engines silently
+    // diverge — the q175/q134 convention). d_num is cast back to
+    // BIGINT for the driver's schema compare: exact while the gap fits
+    // int64, null (never wrapped) beyond it; ks_ppm ≤ 10⁶ always fits.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val gaps = cum.crossJoin(broadcast(tot))
-      .withColumn("gap", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+      .withColumn("gap", abs(col("ca").cast(dec) * col("n_b") -
+        col("cb").cast(dec) * col("n_a")))
     gaps
       .orderBy(col("gap").desc, col("v"))
       .limit(1)
-      .select(col("n_a"), col("n_b"), col("gap").as("d_num"),
+      .select(col("n_a"), col("n_b"), col("gap").cast("long").as("d_num"),
         col("v").as("at_value"),
-        expr("(gap * 1000000) div (n_a * n_b)").as("ks_ppm"))
+        expr("CAST((gap * 1000000) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("ks_ppm"))
   }
 }

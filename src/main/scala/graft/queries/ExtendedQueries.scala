@@ -27,8 +27,10 @@ object ExtendedQueries {
       .select($"user_id".as("id"),
         ($"user_id" * 7919L % 180000L).as("x"),
         ($"user_id" * 104729L % 360000L).as("y"))
+    // band recomputed from id_a (x is a pure function of id), keeping
+    // the operator's output contract at (id_a, id_b, d2)
     graft.operators.GeoGrid.radiusPairs(pts, "id", "x", "y", radius = 2000L)
-      .groupBy(expr("xa div 30000").as("band"))
+      .groupBy(expr("((id_a * 7919) % 180000) div 30000").as("band"))
       .agg(count(lit(1)).as("n_pairs"),
         min($"d2").as("min_d2"),
         sum($"d2").as("sum_d2"))
@@ -233,8 +235,12 @@ object ExtendedQueries {
     val tot = c.agg(sum($"ca").as("n_a"), sum($"cb").as("n_b"))
     c.crossJoin(broadcast(tot))
       .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
-        sum((least($"ca" * $"n_b", $"cb" * $"n_a"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("raw"))
+        // operands to DECIMAL(38,0) BEFORE the multiply — casting only
+        // the sum would protect the total but not the int64 products
+        sum(least(
+          $"ca".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"n_b",
+          $"cb".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"n_a"))
+          .as("raw"))
       .select($"n_a", $"n_b",
         expr("CAST((raw * 1000000) div " +
           "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("overlap_ppm"))

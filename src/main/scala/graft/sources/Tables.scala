@@ -38,22 +38,29 @@ object Tables {
     * its microsecond timestamps, so oracle results align. Floor (not
     * truncate-toward-zero) so pre-epoch nanos would still bucket left.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // Defensive set-if-absent for externally-built sessions (the nanos
-    // flag is required to read this file at all); our own entry points
-    // set it at session build so this is a no-op there.
+  // Defensive set-if-absent for externally-built sessions (the nanos
+  // flag is required to read a nanos-encoded events file at all); our
+  // own entry points set it at session build so this is a no-op there.
+  private def ensureNanosFlag(spark: SparkSession): Unit =
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    ensureNanosFlag(spark)
     normalizeEventTs(apply(spark, dir, "events"))
   }
 
   /** On-disk schema of the events file. Streaming file sources require
     * an explicit schema; deriving it from a static read keeps streams
     * in lockstep with whatever ts encoding the data generator used.
+    * Carries the same nanos guard as [[events]] — a streaming query can
+    * be the FIRST events access in an externally-built session.
     */
-  def eventsFileSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+  def eventsFileSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    ensureNanosFlag(spark)
     apply(spark, dir, "events").schema
+  }
 
   /** Normalize a raw events frame (static or streaming, any on-disk ts
     * encoding) to the canonical instant-typed `ts` (TIMESTAMP_LTZ).

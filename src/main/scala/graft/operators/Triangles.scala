@@ -69,15 +69,14 @@ object Triangles {
     out
   }
 
-  /** Edge budget below which the adjacency-array frame is broadcast to
-    * both probe sides of the closing intersection: its payload is the
-    * oriented edge set (~16 B/entry), so the same memory envelope as a
-    * broadcast edge relation. Under the budget the closing path runs
-    * with zero exchanges; above it the plan degrades gracefully to two
-    * shuffle joins on uniform node keys — the only option when the
-    * edge set itself is beyond executor memory.
-    */
-  private val BroadcastAdjMaxEdges = 5000000L
+  // Edge budget below which the adjacency-array frame is broadcast to
+  // both probe sides of the closing intersection: its payload is the
+  // oriented edge set (~16 B/entry), the same memory envelope as a
+  // broadcast edge relation. Session-configurable via GraphConf
+  // (spark.graft.graph.broadcastMaxEdges). Under the budget the
+  // closing path runs with zero exchanges; above it the plan degrades
+  // gracefully to two shuffle joins on uniform node keys — the only
+  // option when the edge set itself is beyond executor memory.
 
   /** Shared core: canonical edge set, degrees, and the closed-triangle
     * triples (u, x, y) — one row per triangle, u the lowest-order
@@ -117,7 +116,7 @@ object Triangles {
     // is irrelevant to the hashed intersection
     val adjRaw = dir.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
       .persist() // two probe joins below — build the arrays once
-    val adj = if (e.count() <= BroadcastAdjMaxEdges) broadcast(adjRaw) else adjRaw
+    val adj = if (e.count() <= GraphConf.broadcastMaxEdges(e)) broadcast(adjRaw) else adjRaw
     val closed = dir.select(col("u").as("a"), col("v").as("b"))
       .join(adj.select(col("u").as("a"), col("nbrs").as("na")), "a")
       .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), "b")

@@ -145,6 +145,25 @@ class DashboardsSpec extends SparkTestBase {
     assert(math.abs(got._3 - exact).toDouble / exact < 0.05)
   }
 
+  test("searchLogsKuery runs a saved-search query string over the logs table") {
+    val logs = Seq(
+      ("TPCDS SQL Benchmark 3000 GB", "app", "1", "1.0", "2.0", 200L, "ERROR",
+        "oom on shuffle", Timestamp.valueOf("2026-01-01 00:00:01")),
+      ("TPCDS SQL Benchmark 3000 GB", "app", "1", "1.0", "2.0", 400L, "INFO",
+        "all fine", Timestamp.valueOf("2026-01-01 00:00:02")),
+      ("other app", "app2", "2", "3.0", "4.0", 200L, "ERROR", "oom elsewhere",
+        Timestamp.valueOf("2026-01-01 00:00:03"))
+    ).toDF("appName", "appId", "executorId", "taskId", "stageId",
+        "intLevel", "levelName", "message", "logTime")
+      .withColumn("level", struct($"intLevel", $"levelName".as("name")))
+    // the reference's phrase filter + severity + free text, as ONE string
+    val got = Dashboards.searchLogsKuery(logs,
+      "appName.keyword: \"TPCDS SQL Benchmark 3000 GB\" and level.intLevel <= 300 and oom")
+      .collect()
+    assert(got.length == 1 && got(0).getAs[String]("message") == "oom on shuffle")
+    assert(got(0).getAs[String]("level") == "ERROR")
+  }
+
   test("searchLogs filters severity ≤ maxIntLevel and projects the saved-search columns") {
     val logs = Seq(
       ("a", "app", "1", "1.0", "2.0", 200L, "ERROR", "task failed: oom",

@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   *   - `field >= v`, `>`, `<=`, `<` — typed range comparisons.
   *   - Wildcards `*` in an unquoted value — whole-value LIKE match
   *     (`text: *slow*`, `appName.keyword: TPCDS*`); `%`/`_`/`\` in the
-  *     value are escaped so only `*` is magic.
+  *     value are escaped so only `*` is magic. A bare `field: *` is
+  *     KQL's existence query — isNotNull on any field type.
   *   - `"quoted phrase"` — phrase value (no wildcard interpretation;
   *     `\"` and `\\` escapes).
   *   - `and` / `or` / `not` (case-insensitive), parentheses; standard
@@ -236,6 +237,9 @@ object Kuery {
   private def compileCmp(schema: StructType, c: Cmp, q: String): Column = {
     val (column, dt, exactKeyword) = resolve(schema, c.field, q)
       .getOrElse(fail(q, s"unknown field '${c.field}'"))
+    // KQL existence query: `field: *` matches any row where the field
+    // is present — isNotNull on any type
+    if (c.op == ":" && !c.quoted && c.value == "*") return column.isNotNull
     val wildcard = !c.quoted && c.value.contains("*")
     (c.op, dt) match {
       case (":", _: StringType) =>

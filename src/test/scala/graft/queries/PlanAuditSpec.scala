@@ -127,4 +127,12 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q169_value_drift")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q181: compiled kuery predicates push to the parquet scan") {
+    val p = plan("q181_kuery_search")
+    assert(p.contains("EqualTo(lang,en)"), p)
+    assert(p.contains("StringContains(text,slow)"), p)
+    // only the referenced columns are read
+    assert(p.contains("ReadSchema: struct<text:string,lang:string,n_chars:bigint>"), p)
+  }
 }

@@ -57,6 +57,19 @@ class KuerySpec extends SparkTestBase {
     assert(ids("slow fast and lang.keyword: fr") == Seq(4L))
   }
 
+  test("field: * is the existence query on any field type") {
+    val withNulls = Seq(
+      (1L, Some("x"), Some(5L)), (2L, None, Some(7L)), (3L, Some("y"), None)
+    ).toDF("id", "s", "n")
+    def got(k: String) = withNulls.filter(Kuery.predicate(withNulls, k, Nil))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got("s: *") == Seq(1L, 3L))
+    assert(got("n: *") == Seq(1L, 2L))       // works on numeric fields too
+    assert(got("not s: *") == Seq(2L))
+    // quoted "*" stays a literal phrase, not an existence check
+    assert(got("s: \"*\"").isEmpty)
+  }
+
   test("quoted phrases keep wildcards and operators literal") {
     // '*' inside quotes is not magic — matches nothing here
     assert(ids("text: \"*slow*\"").isEmpty)

@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.all ++ graft.queries.PipelineQueries.all ++
-      graft.queries.Dashboards.all ++ graft.queries.ExtendedQueries.all
+      graft.queries.Dashboards.all ++ graft.queries.ExtendedQueries.all ++
+      graft.queries.TrainingQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++ graft.queries.PipelineQueries.oracle ++
-      graft.queries.ExtendedQueries.oracle ++ graft.queries.Dashboards.oracle
+      graft.queries.ExtendedQueries.oracle ++ graft.queries.TrainingQueries.oracle ++
+      graft.queries.Dashboards.oracle
 }

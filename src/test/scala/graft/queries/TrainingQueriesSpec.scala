@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.{Packing, PrefixSum}
+
+class TrainingQueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("oracle map covers every training query") {
+    assert(TrainingQueries.all.keySet == TrainingQueries.oracle.keySet)
+  }
+
+  for ((name, fn) <- TrainingQueries.all.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001") {
+      assert(fn(spark, sfSmoke).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("Packing.nextFit matches the serial next-fit twin, shard by shard") {
+    val rng = new scala.util.Random(13)
+    val docs = (1 to 500).map(i =>
+      (i.toLong % 7, i.toLong, rng.nextInt(120).toLong + 1))
+    val got = Packing.nextFit(docs.toDF("shard", "id", "sz"),
+        "shard", "id", "sz", capacity = 100L)
+      .select($"shard", $"id", $"bin", $"fill")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // serial twin per shard
+    val want = docs.groupBy(_._1).flatMap { case (shard, ds) =>
+      var bin = 0L; var fill = 0L
+      ds.sortBy(_._2).map { case (_, id, sz) =>
+        if (fill > 0 && fill + sz > 100L) { bin += 1; fill = 0L }
+        fill += sz
+        (shard, id) -> (bin, fill)
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("Packing.nextFit gives an oversized document a bin of its own") {
+    val docs = Seq((0L, 1L, 40L), (0L, 2L, 999L), (0L, 3L, 40L))
+    val got = Packing.nextFit(docs.toDF("shard", "id", "sz"),
+        "shard", "id", "sz", capacity = 100L)
+      .select($"id", $"bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("PrefixSum.runningSum equals the single-partition window twin") {
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 1000).map(i => (rng.nextInt(50).toLong, i.toLong,
+      rng.nextInt(9).toLong))
+    val got = PrefixSum.runningSum(rows.toDF("k", "id", "v"),
+        Seq("k", "id"), "v", "cum", numPartitions = Some(8))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val want = rows.sortBy(r => (r._1, r._2)).map { case (_, id, v) =>
+      acc += v; id -> acc
+    }.toMap
+    assert(got == want)
+  }
+
+  test("q184 selection is a prefix of the quality ranking (no holes)") {
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+    val scored = docs.select($"doc_id",
+      graft.text.TextAnalysis.tokenCount($"text").as("toks"),
+      graft.text.TextAnalysis.qualityScore($"text").as("q"))
+    val ranked = PrefixSum.runningSum(
+      scored.withColumn("negq", -$"q"), Seq("negq", "doc_id"), "toks", "cum")
+    val total = scored.agg(sum($"toks")).head().getLong(0)
+    val flags = ranked.orderBy($"negq", $"doc_id")
+      .select(($"cum" * 2 <= total).as("sel")).as[Boolean].collect()
+    val firstDrop = flags.indexOf(false)
+    assert(firstDrop > 0, "budget must select a non-empty strict prefix")
+    assert(flags.drop(firstDrop).forall(!_), "selection must be a prefix")
+  }
+}

@@ -206,6 +206,136 @@ object TrainingQueries {
       .orderBy($"stage")
   }
 
+  // ---------------------------------------------------------------- q189
+
+  // Tokenizer-vocabulary coverage curve: rank corpus tokens by
+  // frequency and report how much of the token stream a vocabulary of
+  // the top 5 / 10 / 20 types would cover (the synthetic corpus has ~31
+  // types; a real corpus would cut at 2^15..2^18) — the "how big must
+  // the vocab be" planning curve. Ranking is the distributed GlobalRank
+  // and the cumulative mass the distributed PrefixSum; no window ever
+  // sees the raw token stream.
+  def q189VocabCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .filter(length(trim($"text")) > 0)
+      .select(explode(split(trim($"text"), "\\s+")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      toks.withColumn("negCnt", -$"cnt"), Seq("negCnt", "token"), "rk")
+    val cum = graft.operators.PrefixSum.runningSum(ranked, Seq("rk"), "cnt", "cum")
+    val tot = toks.agg(sum($"cnt").as("total"), count(lit(1)).as("n_vocab"))
+    cum.filter($"rk".isin(5L, 10L, 20L))
+      .crossJoin(broadcast(tot))
+      .select($"rk".as("vocab_size"), $"cum".as("covered_tokens"),
+        $"total", $"n_vocab",
+        expr("cum * 1000000 div total").as("coverage_ppm"))
+      .orderBy($"vocab_size")
+  }
+
+  // ---------------------------------------------------------------- q190
+
+  // SLO error-budget burn rate (the SRE alerting arithmetic): daily
+  // error rates against a 250 000 ppm availability SLO, with a 7-day
+  // RANGE window for the slow-burn signal. The rolling window runs
+  // over the DAILY aggregate (30 rows/month — time-bounded, not
+  // data-bounded), exact integer ppm throughout.
+  def q190SloBurn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slo = 250000L
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_err"))
+    val w7 = Window.orderBy($"day").rangeBetween(-6, 0)
+    daily
+      .withColumn("n7", sum($"n").over(w7))
+      .withColumn("err7", sum($"n_err").over(w7))
+      .select($"day", $"n", $"n_err",
+        expr("n_err * 1000000 div n").as("rate_ppm"),
+        expr("err7 * 1000000 div n7").as("rate7_ppm"),
+        expr(s"(n_err * 1000000 div n) * 1000000 div $slo").as("burn1_ppm"),
+        expr(s"(err7 * 1000000 div n7) * 1000000 div $slo").as("burn7_ppm"))
+      .withColumn("alert",
+        $"rate_ppm" > lit(slo) && $"rate7_ppm" > lit(slo))
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------- q191
+
+  // Classifier evaluation against gold labels (the labeling-pipeline
+  // QA table): a deterministic pseudo-classifier (hash-flipped gold)
+  // scored per class — tp/fp/fn, precision/recall/F1 in exact ppm.
+  // One aggregation over the label pairs; the class table is
+  // cardinality-10, so every join broadcasts.
+  def q191ClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("gold"))
+      .withColumn("pred",
+        when($"vec_id" % 7 === 0, ($"gold" + 1 + $"vec_id" % 9) % 10)
+          .otherwise($"gold"))
+    val byGold = scored.groupBy($"gold".as("label"))
+      .agg(count(lit(1)).as("n_gold"),
+        sum(when($"pred" === $"gold", 1L).otherwise(0L)).as("tp"))
+    val byPred = scored.groupBy($"pred".as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    byGold.join(broadcast(byPred), Seq("label"), "left")
+      .select($"label", $"n_gold", $"tp",
+        (coalesce($"n_pred", lit(0L)) - $"tp").as("fp"),
+        ($"n_gold" - $"tp").as("fn"))
+      .select($"label", $"n_gold", $"tp", $"fp", $"fn",
+        expr("tp * 1000000 div greatest(tp + fp, 1)").as("prec_ppm"),
+        expr("tp * 1000000 div greatest(tp + fn, 1)").as("rec_ppm"),
+        expr("2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1)").as("f1_ppm"))
+      .orderBy($"label")
+  }
+
+  // ---------------------------------------------------------------- q192
+
+  // ANN quality harness: recall@10 of the SRP-LSH candidate path
+  // against the exact brute-force ranking, per query vector — the
+  // "is the index good enough" gate run before shipping an index
+  // configuration. Exact side = Similarity.knnJoin (rounded-cosine
+  // rank, engine-portable); ANN side = the same signature/Hamming
+  // prefilter the production index uses. Brute force is the ground
+  // truth DEFINITION here and is bounded by |queries| x corpus — the
+  // eval runs on a sample, never the full corpus against itself.
+  def q192AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.similarity.Similarity
+    val bits = 12
+    val maxHamming = 3
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Similarity.knnJoin(emb, "vec_id", "embedding", queries, 10)
+      .select($"qid", $"vec_id")
+    val planes = Similarity.hyperplanes(bits, 64)
+    val sigged = emb
+      .withColumn("__v", Similarity.toDoubleVec($"embedding"))
+      .withColumn("__sig", Similarity.srpSignature($"__v", planes))
+    val qs = queries
+      .withColumn("__qv", Similarity.toDoubleVec($"qvec"))
+      .withColumn("__qsig", Similarity.srpSignature($"__qv", planes))
+      .select($"qid", $"__qv", $"__qsig")
+    val cand = sigged.crossJoin(broadcast(qs))
+      .filter(call_function("bit_count",
+        $"__sig".bitwiseXOR($"__qsig")) <= maxHamming)
+      .withColumn("cos", round(Similarity.cosine($"__v", $"__qv"), 6))
+    val ann = graft.operators.TopK.perGroup(
+        cand, Seq($"qid"), Seq($"cos".desc, $"vec_id"), 10)
+      .select($"qid", $"vec_id")
+    val hits = ann.join(exact, Seq("qid", "vec_id"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+    cand.groupBy($"qid").agg(count(lit(1)).as("n_cands"))
+      .join(hits, Seq("qid"), "left")
+      .select($"qid", $"n_cands",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0) * 1000000 div 10").as("recall_ppm"))
+      .orderBy($"qid")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,7 +344,22 @@ object TrainingQueries {
     "q185_alert_incidents" -> q185AlertIncidents _,
     "q186_mixture_plan" -> q186MixturePlan _,
     "q187_quality_sweep" -> q187QualitySweep _,
-    "q188_straggler_audit" -> q188StragglerAudit _)
+    "q188_straggler_audit" -> q188StragglerAudit _,
+    "q189_vocab_curve" -> q189VocabCurve _,
+    "q190_slo_burn" -> q190SloBurn _,
+    "q191_classifier_eval" -> q191ClassifierEval _,
+    "q192_ann_recall" -> q192AnnRecall _)
+
+  /** DuckDB mirror of Similarity.srpSignature over 12 planes x dim 64
+    * (same literal-hyperplane trick as q23's oracle).
+    */
+  private lazy val sigTermsSql: String => String = {
+    val planes = graft.similarity.Similarity.hyperplanes(12, 64)
+      .map(p => "[" + p.map(_.toString).mkString(",") + "]")
+    (v: String) => planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, $p) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+  }
 
   val oracle: Map[String, String] = Map(
     "q183_next_fit_pack" ->
@@ -336,5 +481,89 @@ object TrainingQueries {
         | CAST(m.max_dur * 1000000 // m.med AS BIGINT) AS skew_ppm
         |FROM m JOIN c ON c.stage = m.stage
         |GROUP BY m.stage, m.n, m.med, m.max_dur
-        |ORDER BY stage""".stripMargin)
+        |ORDER BY stage""".stripMargin,
+    "q189_vocab_curve" ->
+      """WITH tk AS (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+        |r AS (
+        | SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+        |  sum(cnt) OVER (ORDER BY cnt DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER () AS total, count(*) OVER () AS n_vocab
+        | FROM c)
+        |SELECT CAST(rk AS BIGINT) AS vocab_size,
+        | CAST(cum AS BIGINT) AS covered_tokens,
+        | CAST(total AS BIGINT) AS total, CAST(n_vocab AS BIGINT) AS n_vocab,
+        | CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
+        |FROM r WHERE rk IN (5, 10, 20) ORDER BY vocab_size""".stripMargin,
+    "q190_slo_burn" ->
+      """WITH d AS (
+        | SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+        | FROM events GROUP BY 1),
+        |w AS (
+        | SELECT *, sum(n) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+        |    AND CURRENT ROW) AS n7,
+        |  sum(n_err) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+        |    AND CURRENT ROW) AS err7
+        | FROM d)
+        |SELECT day, CAST(n AS BIGINT) AS n, CAST(n_err AS BIGINT) AS n_err,
+        | CAST(n_err * 1000000 // n AS BIGINT) AS rate_ppm,
+        | CAST(err7 * 1000000 // n7 AS BIGINT) AS rate7_ppm,
+        | CAST((n_err * 1000000 // n) * 1000000 // 250000 AS BIGINT) AS burn1_ppm,
+        | CAST((err7 * 1000000 // n7) * 1000000 // 250000 AS BIGINT) AS burn7_ppm,
+        | (n_err * 1000000 // n > 250000 AND err7 * 1000000 // n7 > 250000) AS alert
+        |FROM w ORDER BY day""".stripMargin,
+    "q191_classifier_eval" ->
+      """WITH s AS (
+        | SELECT vec_id, CAST(label AS BIGINT) AS gold,
+        |  CASE WHEN vec_id % 7 = 0 THEN (CAST(label AS BIGINT) + 1 + vec_id % 9) % 10
+        |       ELSE CAST(label AS BIGINT) END AS pred
+        | FROM embeddings),
+        |g AS (
+        | SELECT gold AS label, count(*) AS n_gold,
+        |  sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS tp
+        | FROM s GROUP BY 1),
+        |p AS (SELECT pred AS label, count(*) AS n_pred FROM s GROUP BY 1),
+        |j AS (
+        | SELECT g.label, g.n_gold, g.tp,
+        |  coalesce(p.n_pred, 0) - g.tp AS fp, g.n_gold - g.tp AS fn
+        | FROM g LEFT JOIN p ON g.label = p.label)
+        |SELECT label, CAST(n_gold AS BIGINT) AS n_gold, CAST(tp AS BIGINT) AS tp,
+        | CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        | CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS prec_ppm,
+        | CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS rec_ppm,
+        | CAST(2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS BIGINT) AS f1_ppm
+        |FROM j ORDER BY label""".stripMargin,
+    "q192_ann_recall" -> {
+      val cosExpr = (v: String, q: String) =>
+        s"round(list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))), 6)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+         |qset AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |exact AS (SELECT qid, vec_id FROM (
+         | SELECT q.qid, e.vec_id,
+         |  row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY ${cosExpr("e.v", "q.qv")} DESC, e.vec_id) AS rk
+         | FROM e, qset q) t WHERE rk <= 10),
+         |sig AS (SELECT vec_id, v, ${sigTermsSql("v")} AS s FROM e),
+         |qsig AS (SELECT qid, qv, ${sigTermsSql("qv")} AS qs FROM qset),
+         |cand AS (
+         | SELECT q.qid, s.vec_id, ${cosExpr("s.v", "q.qv")} AS cos
+         | FROM sig s, qsig q WHERE bit_count(xor(s.s, q.qs)) <= 3),
+         |ann AS (SELECT qid, vec_id FROM (
+         | SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         | FROM cand) t WHERE rk <= 10),
+         |hits AS (
+         | SELECT a.qid, count(*) AS n_hits
+         | FROM ann a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id
+         | GROUP BY a.qid),
+         |nc AS (SELECT qid, count(*) AS n_cands FROM cand GROUP BY qid)
+         |SELECT nc.qid, CAST(nc.n_cands AS BIGINT) AS n_cands,
+         | CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         | CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+         |FROM nc LEFT JOIN hits h ON nc.qid = h.qid ORDER BY nc.qid""".stripMargin
+    })
 }

@@ -326,10 +326,10 @@ object TrainingQueries {
     val ann = graft.operators.TopK.perGroup(
         cand, Seq($"qid"), Seq($"cos".desc, $"vec_id"), 10)
       .select($"qid", $"vec_id")
-    val hits = ann.join(exact, Seq("qid", "vec_id"))
+    val hits = ann.join(broadcast(exact), Seq("qid", "vec_id"))
       .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
     cand.groupBy($"qid").agg(count(lit(1)).as("n_cands"))
-      .join(hits, Seq("qid"), "left")
+      .join(broadcast(hits), Seq("qid"), "left")
       .select($"qid", $"n_cands",
         coalesce($"n_hits", lit(0L)).as("n_hits"),
         expr("coalesce(n_hits, 0) * 1000000 div 10").as("recall_ppm"))

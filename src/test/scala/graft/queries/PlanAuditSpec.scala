@@ -135,4 +135,36 @@ class PlanAuditSpec extends SparkTestBase {
     // only the referenced columns are read
     assert(p.contains("ReadSchema: struct<text:string,lang:string,n_chars:bigint>"), p)
   }
+
+  test("q183: packing groups by shard with a spillable in-group sort") {
+    val p = plan("q183_next_fit_pack")
+    // flatMapSortedGroups plans MapGroups over a Sort WITHIN the
+    // shard-keyed exchange — not a global sort, not an in-memory buffer
+    assert(p.contains("MapGroups"), p)
+    assert(p.contains("Sort ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q184/q187: prefix-sum offsets broadcast; no single-partition data window") {
+    for (q <- Seq("q184_budget_select", "q187_quality_sweep")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q192: exact and ANN sides both broadcast the query set") {
+    val p = plan("q192_ann_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q188: straggler windows run on the (stage, dur) aggregate, not raw events") {
+    val p = plan("q188_straggler_audit")
+    val widx = p.indexOf("Window")
+    assert(widx > 0, p)
+    assert(p.indexOf("HashAggregate", widx) > 0 ||
+      p.substring(widx).contains("Aggregate"), p)
+  }
 }

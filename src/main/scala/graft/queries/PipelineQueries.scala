@@ -457,7 +457,7 @@ object PipelineQueries {
   /** Self-cleaning temp dir (q25 pattern: hook reaps the tree at JVM
     * exit so repeated bench/verify invocations don't fill /tmp).
     */
-  private def tempDir(prefix: String): java.nio.file.Path = {
+  private[queries] def tempDir(prefix: String): java.nio.file.Path = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files => F}

@@ -98,6 +98,16 @@ object TrainingQueries {
     val h = Tables.events(s, dir)
       .groupBy($"event_type", expr("unix_millis(ts) div 3600000").as("hr"))
       .agg(count(lit(1)).as("n"))
+    alertIncidents(h)
+  }
+
+  /** Shared breach → merge → incident derivation over an hourly
+    * (event_type, hr, n) frame; used by the batch (q185) and streaming
+    * (q193) alerting paths so both share one oracle.
+    */
+  private def alertIncidents(h: DataFrame): DataFrame = {
+    val s = h.sparkSession
+    import s.implicits._
     val wOrd = Window.partitionBy($"event_type").orderBy($"hr")
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val g = h.filter($"n" >= 4)
@@ -109,7 +119,7 @@ object TrainingQueries {
       .agg(count(lit(1)).as("bh"), (max($"hr") - min($"hr") + 1).as("dur"),
         max($"n").as("peak"))
       .filter($"bh" >= 2)
-    Tables.events(s, dir).select($"event_type").distinct()
+    h.select($"event_type").distinct()
       .join(g, Seq("event_type"), "left")
       .groupBy($"event_type")
       .agg(count($"inc").as("n_incidents"),
@@ -117,6 +127,66 @@ object TrainingQueries {
         coalesce(sum($"bh"), lit(0L)).as("breach_hours"),
         coalesce(max($"peak"), lit(0L)).as("peak_hourly"))
       .orderBy($"event_type")
+  }
+
+  // --------------------------------------------------------------- q193
+
+  // The alerting pipeline's STREAMING plane: the same hourly breach
+  // counts as q185, but computed by a watermarked event-time windowed
+  // aggregation over a real checkpointed stream (q54's two-run/one-
+  // checkpoint sentinel harness — run 2 executes with run 1's persisted
+  // watermark, which is what flushes every real window). The incident
+  // derivation then runs over the SINK, and the oracle is byte-for-byte
+  // q185's: any lost window, double emission, or premature flush breaks
+  // the hash.
+  def q193StreamAlerts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = Tables.eventsFileSchema(s, dir)
+    val tmp = PipelineQueries.tempDir("graft-q193")
+    val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))
+    java.nio.file.Files.createSymbolicLink(
+      spool.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val maxMs = Tables.events(s, dir).agg(max(unix_millis($"ts"))).head().getLong(0)
+    def sentinel(offMs: Long): Unit = {
+      val dir1 = tmp.resolve(s"sentinel-$offMs")
+      Tables.eventSentinel(s, schema, maxMs + offMs)
+        .coalesce(1).write.parquet(dir1.toString)
+      val listing = java.nio.file.Files.list(dir1)
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(p, spool.resolve(s"sentinel-$offMs.parquet"))
+        }
+      } finally listing.close()
+    }
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    def run(): Unit = {
+      val raw = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 100000).parquet(spool.toString)
+      Tables.normalizeEventTs(raw)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"event_type", unix_millis($"window.start").as("win_ms"), $"n")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/tables/hourly")
+        .option("checkpointLocation", s"$tmp/ckpt/hourly")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    sentinel(86400000L)
+    run()
+    sentinel(2L * 86400000L)
+    run()
+    val hourly = s.read.parquet(s"$tmp/tables/hourly")
+      .filter($"event_type" =!= "sentinel")
+      .select($"event_type", expr("win_ms div 3600000").as("hr"), $"n")
+    alertIncidents(hourly)
   }
 
   // ---------------------------------------------------------------- q186
@@ -348,7 +418,39 @@ object TrainingQueries {
     "q189_vocab_curve" -> q189VocabCurve _,
     "q190_slo_burn" -> q190SloBurn _,
     "q191_classifier_eval" -> q191ClassifierEval _,
-    "q192_ann_recall" -> q192AnnRecall _)
+    "q192_ann_recall" -> q192AnnRecall _,
+    "q193_stream_alerts" -> q193StreamAlerts _)
+
+  /** Oracle shared by the batch (q185) and streaming (q193) alerting
+    * paths: the streaming sink must reproduce the batch hourly counts
+    * exactly, so both derivations reduce to the same SQL.
+    */
+  private val alertOracleSql: String =
+    """WITH h AS (
+      | SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+      | FROM events GROUP BY 1, 2),
+      |b AS (
+      | SELECT *, lag(hr) OVER (PARTITION BY event_type ORDER BY hr) AS prev
+      | FROM h WHERE n >= 4),
+      |f AS (
+      | SELECT *, CASE WHEN prev IS NULL OR hr - prev > 2 THEN 1 ELSE 0 END AS new_inc
+      | FROM b),
+      |i AS (
+      | SELECT *, sum(new_inc) OVER (PARTITION BY event_type ORDER BY hr
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inc
+      | FROM f),
+      |g AS (
+      | SELECT event_type, inc, count(*) AS bh,
+      |  max(hr) - min(hr) + 1 AS dur, max(n) AS peak
+      | FROM i GROUP BY 1, 2 HAVING count(*) >= 2),
+      |t AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type,
+      | CAST(count(g.inc) AS BIGINT) AS n_incidents,
+      | CAST(coalesce(max(g.dur), 0) AS BIGINT) AS max_dur_hours,
+      | CAST(coalesce(sum(g.bh), 0) AS BIGINT) AS breach_hours,
+      | CAST(coalesce(max(g.peak), 0) AS BIGINT) AS peak_hourly
+      |FROM t LEFT JOIN g ON t.event_type = g.event_type
+      |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin
 
   /** DuckDB mirror of Similarity.srpSignature over 12 planes x dim 64
     * (same literal-hyperplane trick as q23's oracle).
@@ -399,32 +501,8 @@ object TrainingQueries {
          | CAST(sum(CASE WHEN cum * 2 <= total THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
          | CAST(coalesce(sum(CASE WHEN cum * 2 <= total THEN toks END), 0) AS BIGINT) AS sel_tokens
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
-    "q185_alert_incidents" ->
-      """WITH h AS (
-        | SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS n
-        | FROM events GROUP BY 1, 2),
-        |b AS (
-        | SELECT *, lag(hr) OVER (PARTITION BY event_type ORDER BY hr) AS prev
-        | FROM h WHERE n >= 4),
-        |f AS (
-        | SELECT *, CASE WHEN prev IS NULL OR hr - prev > 2 THEN 1 ELSE 0 END AS new_inc
-        | FROM b),
-        |i AS (
-        | SELECT *, sum(new_inc) OVER (PARTITION BY event_type ORDER BY hr
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inc
-        | FROM f),
-        |g AS (
-        | SELECT event_type, inc, count(*) AS bh,
-        |  max(hr) - min(hr) + 1 AS dur, max(n) AS peak
-        | FROM i GROUP BY 1, 2 HAVING count(*) >= 2),
-        |t AS (SELECT DISTINCT event_type FROM events)
-        |SELECT t.event_type,
-        | CAST(count(g.inc) AS BIGINT) AS n_incidents,
-        | CAST(coalesce(max(g.dur), 0) AS BIGINT) AS max_dur_hours,
-        | CAST(coalesce(sum(g.bh), 0) AS BIGINT) AS breach_hours,
-        | CAST(coalesce(max(g.peak), 0) AS BIGINT) AS peak_hourly
-        |FROM t LEFT JOIN g ON t.event_type = g.event_type
-        |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin,
+    "q185_alert_incidents" -> alertOracleSql,
+    "q193_stream_alerts" -> alertOracleSql,
     "q186_mixture_plan" ->
       s"""WITH s0 AS (
          | SELECT source, sum($tokSql) AS src_tokens

@@ -406,6 +406,94 @@ object TrainingQueries {
       .orderBy($"qid")
   }
 
+  // ---------------------------------------------------------------- q194
+
+  // REAL audio decode through the multimodal plane: 20 planted PCM16
+  // WAVs (rate/channels/frames closed-form functions of the id) parsed
+  // by Multimodal.decodeWavHeader — a pure RIFF chunk walk, no codec
+  // dependency — inside the mapPartitions batch stage. The oracle
+  // recomputes every field from the id alone, so a misread header or a
+  // silent stub fallback breaks the hash (q182's convention for audio).
+  def q194AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = (1L to 20L).map { id =>
+      val sr = 8000 * (1 + (id % 3)).toInt
+      val ch = 1 + (id % 2).toInt
+      val frames = (1000 + id * 37).toInt
+      (id, graft.multimodal.Multimodal.syntheticWav(sr, ch, frames))
+    }
+    val media = planted.toDF("media_id", "content")
+    graft.multimodal.Multimodal.decodeAudioMeta(media).toDF()
+      .select($"mediaId".as("media_id"),
+        $"sampleRate".cast("long").as("sample_rate"),
+        $"channels".cast("long").as("channels"),
+        $"bitsPerSample".cast("long").as("bits"),
+        $"nFrames".as("n_frames"),
+        $"durationMs".as("duration_ms"),
+        $"format")
+      .orderBy($"media_id")
+  }
+
+  // ---------------------------------------------------------------- q195
+
+  // Rolling metric anomaly gate (3-sigma over a trailing window): per
+  // event type, a day is anomalous when its count deviates from the
+  // TRAILING 7-day window (current day excluded) by more than 3 sigma,
+  // tested exactly as (n*k - S)^2 > 9*(k*Q - S^2) with the squared
+  // terms in DECIMAL(38,0) — operands cast BEFORE multiplying (the
+  // KsTest lesson), so the engines agree at any count magnitude. Edge
+  // rule: only full 7-day windows can flag. Windows run over the daily
+  // aggregate (time-bounded).
+  def q195RollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day").rangeBetween(-7, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    daily
+      .withColumn("k", count($"n").over(w))
+      .withColumn("s", coalesce(sum($"n").over(w), lit(0L)))
+      .withColumn("q", coalesce(sum($"n" * $"n").over(w), lit(0L)))
+      .withColumn("anomaly", $"k" === 7 &&
+        dec($"n" * $"k" - $"s") * dec($"n" * $"k" - $"s") >
+          (dec($"k") * dec($"q") - dec($"s") * dec($"s")) * lit(9))
+      .select($"event_type", $"day", $"n", $"k".cast("long").as("k"),
+        $"s".as("s_prev"), $"anomaly")
+      .orderBy($"event_type", $"day")
+  }
+
+  // ---------------------------------------------------------------- q196
+
+  // Capacity forecast: exact-integer OLS trend over the daily event
+  // count (q115's sufficient-stats convention, x re-based to day 0 so
+  // the products stay small), slope and the 7-days-out prediction in
+  // milli-events via the rational closed form pred*n*D = Sy*D - N*Sx +
+  // n*N*x. Signed divisions are sign-explicit (q126's convention) so
+  // truncating-vs-flooring DuckDB builds agree. Int64 envelope: safe
+  // while n_days * |N| * x < ~9e15 (documented, like AbTest).
+  def q196CapacityForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min($"day").as("d0"))
+    val st = daily.crossJoin(broadcast(d0))
+      .select(($"day" - $"d0").as("x"), $"y")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    st.select($"n", $"sy",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("nn"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("dd"), $"sx")
+      .select($"n".as("n_days"), $"sy".as("total_events"),
+        expr("""CASE WHEN nn < 0 THEN -((-nn * 1000) div dd)
+                |     ELSE (nn * 1000) div dd END""".stripMargin).as("slope_milli"),
+        expr("""CASE WHEN sy * dd - nn * sx + n * nn * (n + 6) < 0
+                |     THEN -((-(sy * dd - nn * sx + n * nn * (n + 6)) * 1000) div (n * dd))
+                |     ELSE ((sy * dd - nn * sx + n * nn * (n + 6)) * 1000) div (n * dd)
+                |END""".stripMargin).as("pred7_milli"))
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -419,7 +507,10 @@ object TrainingQueries {
     "q190_slo_burn" -> q190SloBurn _,
     "q191_classifier_eval" -> q191ClassifierEval _,
     "q192_ann_recall" -> q192AnnRecall _,
-    "q193_stream_alerts" -> q193StreamAlerts _)
+    "q193_stream_alerts" -> q193StreamAlerts _,
+    "q194_audio_decode" -> q194AudioDecode _,
+    "q195_rolling_anomaly" -> q195RollingAnomaly _,
+    "q196_capacity_forecast" -> q196CapacityForecast _)
 
   /** Oracle shared by the batch (q185) and streaming (q193) alerting
     * paths: the streaming sink must reproduce the batch hourly counts
@@ -643,5 +734,55 @@ object TrainingQueries {
          | CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          | CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
          |FROM nc LEFT JOIN hits h ON nc.qid = h.qid ORDER BY nc.qid""".stripMargin
-    })
+    },
+    "q194_audio_decode" ->
+      """WITH ids AS (SELECT unnest(generate_series(1, 20)) AS id)
+        |SELECT CAST(id AS BIGINT) AS media_id,
+        | CAST(8000 * (1 + id % 3) AS BIGINT) AS sample_rate,
+        | CAST(1 + id % 2 AS BIGINT) AS channels,
+        | CAST(16 AS BIGINT) AS bits,
+        | CAST(1000 + id * 37 AS BIGINT) AS n_frames,
+        | CAST((1000 + id * 37) * 1000 // (8000 * (1 + id % 3)) AS BIGINT) AS duration_ms,
+        | 'wav' AS format
+        |FROM ids ORDER BY media_id""".stripMargin,
+    "q195_rolling_anomaly" ->
+      """WITH d AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT *,
+        |  count(n) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS k,
+        |  coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS s,
+        |  coalesce(sum(n * n) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS q
+        | FROM d)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        | CAST(s AS BIGINT) AS s_prev,
+        | (k = 7 AND
+        |  CAST(n * k - s AS DECIMAL(38,0)) * CAST(n * k - s AS DECIMAL(38,0)) >
+        |  (CAST(k AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))
+        |   - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) * 9) AS anomaly
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    "q196_capacity_forecast" ->
+      """WITH d AS (
+        | SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS y
+        | FROM events GROUP BY 1),
+        |x AS (SELECT day - (SELECT min(day) FROM d) AS x, y FROM d),
+        |st AS (
+        | SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * y) AS sxy, sum(x * x) AS sxx
+        | FROM x),
+        |c AS (
+        | SELECT n, sy, n * sxy - sx * sy AS nn, n * sxx - sx * sx AS dd, sx
+        | FROM st)
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(sy AS BIGINT) AS total_events,
+        | CAST(CASE WHEN nn < 0 THEN -((-nn * 1000) // dd)
+        |      ELSE (nn * 1000) // dd END AS BIGINT) AS slope_milli,
+        | CAST(CASE WHEN sy * dd - nn * sx + n * nn * (n + 6) < 0
+        |      THEN -((-(sy * dd - nn * sx + n * nn * (n + 6)) * 1000) // (n * dd))
+        |      ELSE ((sy * dd - nn * sx + n * nn * (n + 6)) * 1000) // (n * dd)
+        |      END AS BIGINT) AS pred7_milli
+        |FROM c""".stripMargin)
 }

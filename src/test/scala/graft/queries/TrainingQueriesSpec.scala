@@ -61,6 +61,17 @@ class TrainingQueriesSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("WAV round-trip: decodeWavHeader reads back syntheticWav exactly") {
+    import graft.multimodal.Multimodal
+    for ((sr, ch, frames) <- Seq((8000, 1, 1037), (16000, 2, 2000), (24000, 1, 1), (44100, 2, 12345))) {
+      val got = Multimodal.decodeWavHeader(Multimodal.syntheticWav(sr, ch, frames))
+      assert(got.contains((sr, ch, 16, frames.toLong)), s"($sr,$ch,$frames) -> $got")
+    }
+    // non-RIFF payloads must not parse
+    assert(Multimodal.decodeWavHeader("not a wav at all, just text bytes".getBytes).isEmpty)
+    assert(Multimodal.decodeWavHeader(Array.emptyByteArray).isEmpty)
+  }
+
   test("q184 selection is a prefix of the quality ranking (no holes)") {
     val docs = graft.sources.Tables.documents(spark, sfSmoke)
     val scored = docs.select($"doc_id",

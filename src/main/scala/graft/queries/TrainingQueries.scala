@@ -105,7 +105,7 @@ object TrainingQueries {
     * (event_type, hr, n) frame; used by the batch (q185) and streaming
     * (q193) alerting paths so both share one oracle.
     */
-  private def alertIncidents(h: DataFrame): DataFrame = {
+  private[queries] def alertIncidents(h: DataFrame): DataFrame = {
     val s = h.sparkSession
     import s.implicits._
     val wOrd = Window.partitionBy($"event_type").orderBy($"hr")

@@ -61,6 +61,29 @@ class TrainingQueriesSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("alertIncidents: merge/duration edge cases on a planted hourly series") {
+    // type a: breaches at hours 1,2 then 5,6 — the hr gap 5-2=3 > 2
+    //   splits them into two incidents; hour 10 alone (1 breach hour)
+    //   never reaches the 2-breach-hour floor.
+    // type b: breaches at 1,3,5 — hr gaps of exactly 2 (one quiet hour)
+    //   merge into ONE incident: 3 breach hours spanning dur 5.
+    // type c: sub-threshold counts only — present in output with zeros.
+    val h = Seq(
+      ("a", 1L, 5L), ("a", 2L, 7L), ("a", 5L, 4L), ("a", 6L, 4L), ("a", 10L, 9L),
+      ("b", 1L, 4L), ("b", 3L, 4L), ("b", 5L, 6L),
+      ("c", 1L, 3L), ("c", 2L, 1L)
+    ).toDF("event_type", "hr", "n")
+    val got = TrainingQueries.alertIncidents(h).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // a: incidents {1,2} and {5,6}; hour 10 is a 1-hour episode → dropped
+    assert(got("a") == ((2L, 2L, 4L, 7L)), s"a was ${got("a")}")
+    // b: one merged incident over hours 1..5, 3 breach hours, peak 6
+    assert(got("b") == ((1L, 5L, 3L, 6L)), s"b was ${got("b")}")
+    // c: never breaches but still reported
+    assert(got("c") == ((0L, 0L, 0L, 0L)), s"c was ${got("c")}")
+  }
+
   test("WAV round-trip: decodeWavHeader reads back syntheticWav exactly") {
     import graft.multimodal.Multimodal
     for ((sr, ch, frames) <- Seq((8000, 1, 1037), (16000, 2, 2000), (24000, 1, 1), (44100, 2, 12345))) {

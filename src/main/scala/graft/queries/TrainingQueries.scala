@@ -494,6 +494,154 @@ object TrainingQueries {
                 |END""".stripMargin).as("pred7_milli"))
   }
 
+  // ---------------------------------------------------------------- q197
+
+  // Ranker-agreement audit: Spearman rank correlation between the
+  // TF-IDF (q64) and BM25 (q96) top-20 rankings for the same query —
+  // the "did swapping the ranker change anything" gate run before a
+  // retrieval rollout. Both lists re-rank 1..m within their
+  // intersection (Spearman needs aligned dense ranks); rho in exact
+  // milli via the integer closed form with a sign-explicit division.
+  // Every window here runs over a <= 20-row frame.
+  def q197RankerAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val terms = Seq("spark", "shuffle", "dup")
+    val wScore = Window.orderBy($"score".desc, $"doc_id")
+    val a = graft.text.Tfidf.searchTopK(docs, "doc_id", "text", terms, 20)
+      .withColumn("ra", row_number().over(wScore)).select($"doc_id", $"ra")
+    val b = graft.text.Tfidf.bm25TopK(docs, "doc_id", "text", terms, 20)
+      .withColumn("rb", row_number().over(wScore)).select($"doc_id", $"rb")
+    val joint = a.join(b, "doc_id")
+      .withColumn("ra2", row_number().over(Window.orderBy($"ra")))
+      .withColumn("rb2", row_number().over(Window.orderBy($"rb")))
+    joint.agg(count(lit(1)).as("m"),
+        sum(($"ra2" - $"rb2") * ($"ra2" - $"rb2")).as("sum_d2"))
+      .select($"m", $"sum_d2",
+        expr("""CASE WHEN m * (m * m - 1) - 6 * sum_d2 < 0
+                |     THEN -((-(m * (m * m - 1) - 6 * sum_d2) * 1000)
+                |            div greatest(m * (m * m - 1), 1))
+                |     ELSE ((m * (m * m - 1) - 6 * sum_d2) * 1000)
+                |          div greatest(m * (m * m - 1), 1)
+                |END""".stripMargin).as("rho_milli"))
+  }
+
+  // ---------------------------------------------------------------- q198
+
+  // Dead-letter ingest audit: a spool of event-derived JSON lines is
+  // salted with deterministic malformed records (4 syntactically broken
+  // lines + 3 parseable lines missing the required id), read back under
+  // PERMISSIVE mode with an explicit corrupt-record column, and
+  // triaged into good / missing-field / broken counts — the accounting
+  // every at-least-once collector needs before declaring a batch
+  // delivered. The oracle pins the planted counts against the source
+  // row count.
+  def q198CorruptAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val tmp = PipelineQueries.tempDir("graft-q198")
+    val spool = tmp.resolve("spool").toString
+    ev.select(to_json(struct($"event_id", $"event_type",
+        unix_millis($"ts").as("ms"))).as("value"))
+      .write.mode("overwrite").text(spool)
+    val planted =
+      Seq.tabulate(4)(i => s"""{"event_id": $i, "event_type": "x"""") ++ // broken
+        Seq.tabulate(3)(i => s"""{"event_type": "planted-$i", "ms": $i}""") // id-less
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(spool).resolve("planted.json"),
+      planted.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType)))
+    val read = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(spool)
+    read.select(
+        when($"_corrupt".isNotNull, "broken")
+          .when($"event_id".isNull, "missing_field")
+          .otherwise("good").as("category"))
+      .groupBy($"category").agg(count(lit(1)).as("n"))
+      .orderBy($"category")
+  }
+
+  // ---------------------------------------------------------------- q199
+
+  // Hard-negative mining for contrastive training: for every anchor
+  // vector, the most similar embedding with a DIFFERENT label, found
+  // through the banded SRP-signature candidate join (pigeonhole over
+  // hamming <= 3 of 12 bits — never the n^2, which exists only in the
+  // oracle's replication of the same prefilter). Per-anchor argmax is
+  // the q179 max-struct convention: (cos, -neg) lexicographic max, no
+  // data-scale window.
+  def q199HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.similarity.Similarity
+    val planes = Similarity.hyperplanes(12, 64)
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"label".cast("long").as("label"),
+        Similarity.toDoubleVec($"embedding").as("__v"))
+      .withColumn("__sig", Similarity.srpSignature($"__v", planes))
+      .persist()
+    val pairs = graft.dedup.Dedup.simhashNearDupPairs(
+      emb.select($"id", $"__sig"), "id", "__sig", maxHamming = 3, bits = 12)
+    val side = emb.select($"id".as("__jid"), $"label".as("__jlabel"), $"__v".as("__jv"))
+    val both = pairs
+      .join(side, $"id_a" === $"__jid")
+      .select($"id_a", $"id_b", $"__jlabel".as("label_a"), $"__jv".as("v_a"))
+      .join(side, $"id_b" === $"__jid")
+      .select($"id_a", $"id_b", $"label_a", $"v_a",
+        $"__jlabel".as("label_b"), $"__jv".as("v_b"))
+      .filter($"label_a" =!= $"label_b")
+      .withColumn("cos", round(Similarity.cosine($"v_a", $"v_b"), 6))
+    val directed = both.select($"id_a".as("anchor"), $"id_b".as("neg"), $"cos")
+      .unionAll(both.select($"id_b".as("anchor"), $"id_a".as("neg"), $"cos"))
+    directed
+      .groupBy($"anchor")
+      .agg(max(struct($"cos", (-$"neg").as("mneg"))).as("best"),
+        count(lit(1)).as("n_cands"))
+      .select($"anchor", (-$"best.mneg").as("neg"), $"best.cos".as("cos"), $"n_cands")
+      .orderBy($"anchor")
+  }
+
+  // ---------------------------------------------------------------- q200
+
+  // Corpus data card: the one-table summary shipped alongside a
+  // training corpus — volume, token mass, dedup rate, PII exposure,
+  // language mix, source spread — every metric an exact integer and
+  // each row independently recomputable by the oracle. One scan plus
+  // tiny aggregates; the UNION ALL branches carry explicit aliases
+  // (the q105 convention).
+  def q200DataCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    def metric(name: String, value: Column): DataFrame =
+      docs.agg(value.cast("long").as("value")).select(lit(name).as("metric"), $"value")
+    val dupPpm = {
+      val n = docs.agg(count(lit(1)).as("n"))
+      docs.groupBy(md5($"text".cast("binary"))).agg(count(lit(1)).as("c"))
+        .agg(sum($"c" - 1).as("dups"))
+        .crossJoin(broadcast(n))
+        .select(lit("dup_ppm").as("metric"),
+          expr("dups * 1000000 div n").as("value"))
+    }
+    metric("n_docs", count(lit(1)))
+      .unionAll(metric("n_tokens", sum(TextAnalysis.tokenCount($"text"))))
+      .unionAll(metric("n_chars", sum(length($"text"))))
+      .unionAll(metric("n_sources", countDistinct($"source")))
+      .unionAll(metric("n_langs", countDistinct($"lang")))
+      .unionAll(metric("en_docs", sum(when($"lang" === "en", 1L).otherwise(0L))))
+      .unionAll(metric("pii_emails", sum(TextAnalysis.piiEmailCount($"text"))))
+      .unionAll(dupPpm)
+      .orderBy($"metric")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -510,7 +658,50 @@ object TrainingQueries {
     "q193_stream_alerts" -> q193StreamAlerts _,
     "q194_audio_decode" -> q194AudioDecode _,
     "q195_rolling_anomaly" -> q195RollingAnomaly _,
-    "q196_capacity_forecast" -> q196CapacityForecast _)
+    "q196_capacity_forecast" -> q196CapacityForecast _,
+    "q197_ranker_agreement" -> q197RankerAgreement _,
+    "q198_corrupt_audit" -> q198CorruptAudit _,
+    "q199_hard_negatives" -> q199HardNegatives _,
+    "q200_data_card" -> q200DataCard _)
+
+  /** q197's oracle: both ranking chains (q64 TF-IDF, q96 BM25) re-ranked
+    * within their top-20 intersection, Spearman via the integer closed
+    * form. Built programmatically so the term list stays in one place.
+    */
+  private lazy val q197Sql: String = {
+    val terms = Seq("spark", "shuffle", "dup")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) df$i"
+    }.mkString(",\n  ")
+    val tfidf = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t'))::DOUBLE * (ln((n + 1.0) / (df$i + 1.0)) + 1.0)"
+    }.mkString("\n   + ")
+    val bm25 = terms.zipWithIndex.map { case (t, i) =>
+      s"""ln(1.0 + (n::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5))
+         |    * (len(list_filter(tk, x -> x = '$t'))::DOUBLE * (1.2 + 1.0))
+         |    / (len(list_filter(tk, x -> x = '$t'))::DOUBLE
+         |       + 1.2 * (1.0 - 0.75 + 0.75 * len(tk)::DOUBLE / (sum_dl::DOUBLE / n::DOUBLE)))""".stripMargin
+    }.mkString("\n   + ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
+       |stats AS (SELECT count(*) n, CAST(sum(len(tk)) AS BIGINT) sum_dl,
+       |  $dfs
+       | FROM toks),
+       |sa AS (SELECT doc_id, round($tfidf, 6) score FROM toks, stats),
+       |sb AS (SELECT doc_id, round($bm25, 6) score FROM toks, stats),
+       |ta AS (SELECT doc_id, score FROM sa WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20),
+       |tb AS (SELECT doc_id, score FROM sb WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20),
+       |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) r FROM ta),
+       |rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) r FROM tb),
+       |j AS (SELECT ra.doc_id, ra.r AS x, rb.r AS y FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+       |rr AS (SELECT row_number() OVER (ORDER BY x) ra2, row_number() OVER (ORDER BY y) rb2 FROM j),
+       |agg AS (SELECT count(*) m, coalesce(sum((ra2 - rb2) * (ra2 - rb2)), 0) sum_d2 FROM rr)
+       |SELECT CAST(m AS BIGINT) AS m, CAST(sum_d2 AS BIGINT) AS sum_d2,
+       | CAST(CASE WHEN m * (m * m - 1) - 6 * sum_d2 < 0
+       |      THEN -((-(m * (m * m - 1) - 6 * sum_d2) * 1000) // greatest(m * (m * m - 1), 1))
+       |      ELSE ((m * (m * m - 1) - 6 * sum_d2) * 1000) // greatest(m * (m * m - 1), 1)
+       |      END AS BIGINT) AS rho_milli
+       |FROM agg""".stripMargin
+  }
 
   /** Oracle shared by the batch (q185) and streaming (q193) alerting
     * paths: the streaming sink must reproduce the batch hourly counts
@@ -784,5 +975,60 @@ object TrainingQueries {
         |      THEN -((-(sy * dd - nn * sx + n * nn * (n + 6)) * 1000) // (n * dd))
         |      ELSE ((sy * dd - nn * sx + n * nn * (n + 6)) * 1000) // (n * dd)
         |      END AS BIGINT) AS pred7_milli
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "q197_ranker_agreement" -> q197Sql,
+    "q198_corrupt_audit" ->
+      """SELECT 'broken' AS category, CAST(4 AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'good' AS category,
+        | CAST((SELECT count(*) FROM events WHERE event_id IS NOT NULL) AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'missing_field' AS category,
+        | CAST(3 + (SELECT count(*) FROM events WHERE event_id IS NULL) AS BIGINT) AS n
+        |ORDER BY category""".stripMargin,
+    "q199_hard_negatives" -> {
+      val cosExpr = (v: String, q: String) =>
+        s"round(list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))), 6)"
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) lbl,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+         |sig AS (SELECT vec_id, lbl, v, ${sigTermsSql("v")} s FROM e),
+         |p AS (
+         | SELECT a.vec_id ia, b.vec_id ib, ${cosExpr("a.v", "b.v")} cos
+         | FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         | WHERE bit_count(xor(a.s, b.s)) <= 3 AND a.lbl <> b.lbl),
+         |d AS (SELECT ia anchor, ib neg, cos FROM p
+         |      UNION ALL SELECT ib, ia, cos FROM p),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg) rk,
+         |       count(*) OVER (PARTITION BY anchor) nc FROM d)
+         |SELECT anchor, neg, cos, CAST(nc AS BIGINT) AS n_cands
+         |FROM r WHERE rk = 1 ORDER BY anchor""".stripMargin
+    },
+    "q200_data_card" ->
+      s"""SELECT 'dup_ppm' AS metric,
+         | CAST((SELECT sum(c - 1) FROM (
+         |    SELECT count(*) c FROM documents GROUP BY md5(text)) g)
+         |  * 1000000 // (SELECT count(*) FROM documents) AS BIGINT) AS value
+         |UNION ALL
+         |SELECT 'en_docs' AS metric,
+         | CAST((SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) FROM documents) AS BIGINT) AS value
+         |UNION ALL
+         |SELECT 'n_chars' AS metric,
+         | CAST((SELECT sum(length(text)) FROM documents) AS BIGINT) AS value
+         |UNION ALL
+         |SELECT 'n_docs' AS metric,
+         | CAST((SELECT count(*) FROM documents) AS BIGINT) AS value
+         |UNION ALL
+         |SELECT 'n_langs' AS metric,
+         | CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT) AS value
+         |UNION ALL
+         |SELECT 'n_sources' AS metric,
+         | CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT) AS value
+         |UNION ALL
+         |SELECT 'n_tokens' AS metric,
+         | CAST((SELECT sum($tokSql) FROM documents) AS BIGINT) AS value
+         |UNION ALL
+         |SELECT 'pii_emails' AS metric,
+         | CAST((SELECT sum(len(regexp_extract_all(text,
+         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) FROM documents) AS BIGINT) AS value
+         |ORDER BY metric""".stripMargin)
 }

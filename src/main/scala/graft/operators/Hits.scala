@@ -32,22 +32,31 @@ object Hits {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v"))).distinct()
-    var hubs = truncate(nodes.withColumn("h", lit(1L)))
-    var auths: DataFrame = null
-    for (_ <- 1 to rounds) {
+    // Intermediate frames are NOT zero-filled against the node set: a
+    // node missing from a score frame contributes exactly the 0 the
+    // zero-filled row would — only the final output needs the fill.
+    // Round 1's authority pass is algebraic (h0 = 1 everywhere makes
+    // a1 = in-degree: one aggregation, no join). Together with
+    // every-other-round truncation this is the LabelProp constant-
+    // factor lesson applied to HITS.
+    var auths = e.groupBy(col("v").as("node")).agg(count(lit(1)).as("a"))
+    var hubs = e.join(auths.withColumnRenamed("node", "v"), "v")
+      .groupBy(col("u").as("node")).agg(sum(col("a")).as("h"))
+    for (r <- 2 to rounds) {
+      if (r % 2 == 0) hubs = truncate(hubs)
       val a = e.join(hubs.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v").as("node")).agg(sum(col("h")).as("a"))
-      auths = truncate(nodes.join(a, Seq("node"), "left")
-        .select(col("node"), coalesce(col("a"), lit(0L)).as("a")))
-      val h = e.join(auths.withColumnRenamed("node", "v"), "v")
+      auths = a
+      hubs = e.join(a.withColumnRenamed("node", "v"), "v")
         .groupBy(col("u").as("node")).agg(sum(col("a")).as("h"))
-      hubs = truncate(nodes.join(h, Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")))
     }
-    val out = hubs.join(auths, "node")
-      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v"))).distinct()
+    val out = nodes
+      .join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
     e.unpersist()
     out
   }

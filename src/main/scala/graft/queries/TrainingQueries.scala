@@ -642,6 +642,56 @@ object TrainingQueries {
       .orderBy($"metric")
   }
 
+  // ---------------------------------------------------------------- q201
+
+  // Dashboard panels executed FROM THEIR SAVED SPECS: three JSON panel
+  // definitions (kuery filter + aggregation, the exported-dashboard
+  // shape) interpreted by search.PanelSpec into one normalized frame —
+  // the query a user runs by handing over their dashboard export
+  // rather than rewriting each panel. The oracle replays every panel
+  // as plain SQL.
+  def q201PanelSpecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val specs = Seq(
+      """{"panel": "p1_clicks_daily", "kuery": "event_type.keyword: click",
+        | "agg": "date_histogram", "field": "ts", "interval_ms": 86400000}""".stripMargin,
+      """{"panel": "p2_power_user_terms", "kuery": "user_id >= 500",
+        | "agg": "terms", "field": "event_type", "size": 3}""".stripMargin,
+      """{"panel": "p3_purchase_stats",
+        | "kuery": "event_type.keyword: (purchase or signup)",
+        | "agg": "stats", "field": "value"}""".stripMargin)
+    specs.map(graft.search.PanelSpec.run(ev, _))
+      .reduce(_.unionAll(_))
+      .orderBy($"panel", $"bucket")
+  }
+
+  // ---------------------------------------------------------------- q202
+
+  // Context-length truncation loss: how many documents and tokens a
+  // hard cut at 32/64/128 tokens would discard — the companion to the
+  // q183 packing and q57 sharding decisions. One corpus scan (the
+  // three capacities are conditional aggregates over one row, stacked
+  // afterwards), exact ppm.
+  def q202TruncationLoss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(TextAnalysis.tokenCount($"text").as("t"))
+    val caps = Seq(32, 64, 128)
+    val aggs = count(lit(1)).as("n_docs") +: sum($"t").as("total") +:
+      caps.flatMap(c => Seq(
+        sum(when($"t" > c, 1L).otherwise(0L)).as(s"nt$c"),
+        sum(when($"t" > c, $"t" - c).otherwise(0L)).as(s"lost$c")))
+    val stacked = caps.map(c => s"${c}L, nt$c, lost$c").mkString(", ")
+    toks.agg(aggs.head, aggs.tail: _*)
+      .select($"n_docs", $"total",
+        expr(s"stack(${caps.size}, $stacked)")
+          .as(Seq("capacity", "n_truncated", "tokens_lost")))
+      .select($"capacity", $"n_docs", $"n_truncated", $"tokens_lost",
+        expr("tokens_lost * 1000000 div total").as("loss_ppm"))
+      .orderBy($"capacity")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -662,7 +712,9 @@ object TrainingQueries {
     "q197_ranker_agreement" -> q197RankerAgreement _,
     "q198_corrupt_audit" -> q198CorruptAudit _,
     "q199_hard_negatives" -> q199HardNegatives _,
-    "q200_data_card" -> q200DataCard _)
+    "q200_data_card" -> q200DataCard _,
+    "q201_panel_specs" -> q201PanelSpecs _,
+    "q202_truncation_loss" -> q202TruncationLoss _)
 
   /** q197's oracle: both ranking chains (q64 TF-IDF, q96 BM25) re-ranked
     * within their top-20 intersection, Spearman via the integer closed
@@ -1030,5 +1082,40 @@ object TrainingQueries {
          |SELECT 'pii_emails' AS metric,
          | CAST((SELECT sum(len(regexp_extract_all(text,
          |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) FROM documents) AS BIGINT) AS value
-         |ORDER BY metric""".stripMargin)
+         |ORDER BY metric""".stripMargin,
+    "q201_panel_specs" ->
+      """SELECT * FROM (
+        | SELECT 'p1_clicks_daily' AS panel,
+        |  CAST(epoch_ms(ts) // 86400000 AS VARCHAR) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS val
+        | FROM events WHERE event_type = 'click' GROUP BY 2
+        |UNION ALL
+        |SELECT * FROM (
+        | SELECT 'p2_power_user_terms' AS panel, event_type AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS val
+        | FROM events WHERE user_id >= 500 GROUP BY event_type
+        | ORDER BY n DESC, bucket LIMIT 3) t2
+        |UNION ALL
+        |SELECT 'p3_purchase_stats' AS panel, 'all' AS bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS val
+        | FROM events WHERE event_type = 'purchase' OR event_type = 'signup'
+        |) u ORDER BY panel, bucket""".stripMargin,
+    "q202_truncation_loss" ->
+      s"""WITH t AS (SELECT $tokSql AS t FROM documents),
+         |a AS (SELECT count(*) n_docs, sum(t) total FROM t),
+         |caps AS (SELECT unnest([32, 64, 128]) AS capacity),
+         |j AS (
+         | SELECT c.capacity,
+         |  (SELECT sum(CASE WHEN t > c.capacity THEN 1 ELSE 0 END) FROM t) AS n_truncated,
+         |  (SELECT sum(CASE WHEN t > c.capacity THEN t - c.capacity ELSE 0 END) FROM t) AS tokens_lost
+         | FROM caps c)
+         |SELECT CAST(j.capacity AS BIGINT) AS capacity,
+         | CAST(a.n_docs AS BIGINT) AS n_docs,
+         | CAST(j.n_truncated AS BIGINT) AS n_truncated,
+         | CAST(j.tokens_lost AS BIGINT) AS tokens_lost,
+         | CAST(j.tokens_lost * 1000000 // a.total AS BIGINT) AS loss_ppm
+         |FROM j, a ORDER BY capacity""".stripMargin)
 }

@@ -84,6 +84,21 @@ class TrainingQueriesSpec extends SparkTestBase {
     assert(got("c") == ((0L, 0L, 0L, 0L)), s"c was ${got("c")}")
   }
 
+  test("PanelSpec: parse defaults, agg dispatch, unsupported agg rejected") {
+    import graft.search.PanelSpec
+    val s1 = PanelSpec.parse("""{"panel": "p", "agg": "terms", "field": "f"}""")
+    assert(s1 == PanelSpec.Spec("p", None, "terms", "f", 86400000L, 5, "value"))
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 0.5))
+      .toDF("id", "f", "value")
+    val terms = PanelSpec.run(df,
+        """{"panel": "p", "agg": "terms", "field": "f", "size": 1}""")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(terms.toSeq == Seq(("a", 2L, 300L)))
+    intercept[IllegalArgumentException] {
+      PanelSpec.run(df, """{"panel": "p", "agg": "pie", "field": "f"}""")
+    }
+  }
+
   test("WAV round-trip: decodeWavHeader reads back syntheticWav exactly") {
     import graft.multimodal.Multimodal
     for ((sr, ch, frames) <- Seq((8000, 1, 1037), (16000, 2, 2000), (24000, 1, 1), (44100, 2, 12345))) {

@@ -692,6 +692,50 @@ object TrainingQueries {
       .orderBy($"capacity")
   }
 
+  // ---------------------------------------------------------------- q203
+
+  // Kuery TIME-RANGE strings (the dashboard date picker as a query
+  // string): timestamp comparisons compile through Kuery's typed-literal
+  // path (lit cast to the field's timestamp type) and combine with
+  // keyword and free-text clauses; every string replays as a plain SQL
+  // WHERE clause.
+  def q203KueryTimeRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val kueries = Seq(
+      // bare ISO dates tokenize unquoted; the spaced timestamp takes
+      // the KQL double-quote form
+      "k1_window" -> "ts >= 2024-01-10 and ts < 2024-01-20",
+      "k2_typed_after" ->
+        "event_type.keyword: purchase and ts >= \"2024-01-15 12:00:00\"",
+      "k3_props_not" -> "props: *9* and not event_type.keyword: error")
+    kueries.map { case (label, kq) =>
+      ev.filter(graft.search.Kuery.predicate(ev, kq, Seq("props")))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(floor($"value" * 100).cast("long")), lit(0L)).as("cents"))
+        .select(lit(label).as("kuery"), $"n", $"cents")
+    }.reduce(_.unionAll(_)).orderBy($"kuery")
+  }
+
+  // ---------------------------------------------------------------- q204
+
+  // Panel pipeline aggregations from specs: cumulative_sum and
+  // derivative over the daily histogram buckets, ES dashboard
+  // semantics (first derivative bucket = 0), windows only ever over
+  // the time-bounded bucket series.
+  def q204PanelPipelines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val specs = Seq(
+      """{"panel": "p1_cum_purchases", "kuery": "event_type.keyword: purchase",
+        | "agg": "date_histogram", "field": "ts", "pipeline": "cumulative_sum"}""".stripMargin,
+      """{"panel": "p2_error_deriv", "kuery": "event_type.keyword: error",
+        | "agg": "date_histogram", "field": "ts", "pipeline": "derivative"}""".stripMargin)
+    specs.map(graft.search.PanelSpec.run(ev, _))
+      .reduce(_.unionAll(_))
+      .orderBy($"panel", $"bucket")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -714,7 +758,9 @@ object TrainingQueries {
     "q199_hard_negatives" -> q199HardNegatives _,
     "q200_data_card" -> q200DataCard _,
     "q201_panel_specs" -> q201PanelSpecs _,
-    "q202_truncation_loss" -> q202TruncationLoss _)
+    "q202_truncation_loss" -> q202TruncationLoss _,
+    "q203_kuery_time_range" -> q203KueryTimeRange _,
+    "q204_panel_pipelines" -> q204PanelPipelines _)
 
   /** q197's oracle: both ranking chains (q64 TF-IDF, q96 BM25) re-ranked
     * within their top-20 intersection, Spearman via the integer closed
@@ -1117,5 +1163,36 @@ object TrainingQueries {
          | CAST(j.n_truncated AS BIGINT) AS n_truncated,
          | CAST(j.tokens_lost AS BIGINT) AS tokens_lost,
          | CAST(j.tokens_lost * 1000000 // a.total AS BIGINT) AS loss_ppm
-         |FROM j, a ORDER BY capacity""".stripMargin)
+         |FROM j, a ORDER BY capacity""".stripMargin,
+    "q203_kuery_time_range" ->
+      """SELECT 'k1_window' AS kuery, CAST(count(*) AS BIGINT) AS n,
+        | CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+        | FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |UNION ALL
+        |SELECT 'k2_typed_after' AS kuery, CAST(count(*) AS BIGINT) AS n,
+        | CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+        | FROM events
+        | WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-15 12:00:00'
+        |UNION ALL
+        |SELECT 'k3_props_not' AS kuery, CAST(count(*) AS BIGINT) AS n,
+        | CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+        | FROM events
+        | WHERE props LIKE '%9%' AND NOT (event_type = 'error')
+        |ORDER BY kuery""".stripMargin,
+    "q204_panel_pipelines" ->
+      """SELECT * FROM (
+        | SELECT 'p1_cum_purchases' AS panel,
+        |  CAST(day AS VARCHAR) AS bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS val
+        | FROM (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1) h1
+        |UNION ALL
+        |SELECT 'p2_error_deriv' AS panel,
+        |  CAST(day AS VARCHAR) AS bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(coalesce(n - lag(n) OVER (ORDER BY day), 0) AS BIGINT) AS val
+        | FROM (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        |       FROM events WHERE event_type = 'error' GROUP BY 1) h2
+        |) u ORDER BY panel, bucket""".stripMargin)
 }

@@ -27,7 +27,8 @@ object PanelSpec {
       field: String,
       intervalMs: Long,
       size: Int,
-      metric: String)
+      metric: String,
+      pipeline: Option[String])
 
   def parse(json: String): Spec = {
     import org.json4s._
@@ -41,7 +42,8 @@ object PanelSpec {
       (j \ "field").extract[String],
       (j \ "interval_ms").extractOpt[Long].getOrElse(86400000L),
       (j \ "size").extractOpt[Int].getOrElse(5),
-      (j \ "metric").extractOpt[String].getOrElse("value"))
+      (j \ "metric").extractOpt[String].getOrElse("value"),
+      (j \ "pipeline").extractOpt[String])
   }
 
   /** Interpret one panel spec over `df`. The kuery filter compiles to a
@@ -57,11 +59,28 @@ object PanelSpec {
       coalesce(sum(floor(col(spec.metric) * 100).cast("long")), lit(0L))
     spec.agg match {
       case "date_histogram" =>
-        base.groupBy(expr(s"unix_millis(${spec.field}) div ${spec.intervalMs}")
+        val hist = base
+          .groupBy(expr(s"unix_millis(${spec.field}) div ${spec.intervalMs}")
             .as("bucket_ix"))
           .agg(count(lit(1)).as("n"), cents.as("val"))
-          .select(lit(spec.panel).as("panel"),
-            col("bucket_ix").cast("string").as("bucket"), col("n"), col("val"))
+        // pipeline aggs run over the BUCKET series (time-bounded — the
+        // global window never sees raw rows); ES-style semantics with
+        // the first derivative bucket pinned to 0 for hashability
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket_ix"))
+        val piped = spec.pipeline match {
+          case None => hist
+          case Some("cumulative_sum") =>
+            hist.withColumn("val", sum(col("n")).over(
+              w.rowsBetween(Long.MinValue, 0)))
+          case Some("derivative") =>
+            hist.withColumn("val",
+              coalesce(col("n") - lag(col("n"), 1).over(w), lit(0L)))
+          case Some(other) =>
+            throw new IllegalArgumentException(
+              s"unsupported pipeline agg '$other'")
+        }
+        piped.select(lit(spec.panel).as("panel"),
+          col("bucket_ix").cast("string").as("bucket"), col("n"), col("val"))
       case "terms" =>
         base.groupBy(col(spec.field).cast("string").as("bucket"))
           .agg(count(lit(1)).as("n"), cents.as("val"))

@@ -2909,7 +2909,7 @@ object PipelineQueries {
       | UNION
       | SELECT e.b, r.lbl FROM ed e JOIN reach r ON e.a = r.node)""".stripMargin
 
-  private val shingleSql: String =
+  private[queries] val shingleSql: String =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')

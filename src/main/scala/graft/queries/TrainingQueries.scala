@@ -736,6 +736,51 @@ object TrainingQueries {
       .orderBy($"panel", $"bucket")
   }
 
+  // ---------------------------------------------------------------- q205
+
+  // Tokenizer fertility by language: subword-per-word ratio (the
+  // BPE-proxy regex over the whitespace token count) per language — the
+  // multilingual-tokenizer budget table. Row-local counts, one tiny
+  // aggregation, exact milli ratio.
+  def q205Fertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount($"text")).as("n_tokens"),
+        sum(TextAnalysis.subwordCount($"text")).as("n_subwords"))
+      .select($"lang", $"n_docs", $"n_tokens", $"n_subwords",
+        expr("n_subwords * 1000 div greatest(n_tokens, 1)").as("fertility_milli"))
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------- q206
+
+  // Dedup threshold sensitivity: how many near-dup pairs a 0.7 / 0.8 /
+  // 0.9 Jaccard cutoff would each merge — the curve consulted before
+  // committing a dedup threshold. ONE prefix-filtered set-similarity
+  // join at the loosest cutoff (q75's exact PPJoin machinery), the
+  // tighter thresholds are conditional aggregates over its (shared, un)
+  // output; the n^2 form exists only in the oracle.
+  def q206DedupSensitivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        graft.plans.GraftFunctions.wordShingleHashes($"text", 3).as("sh"))
+    val pairs = graft.dedup.SetSimJoin.jaccardJoin(sets, "doc_id", "sh",
+      tNum = 7, tDen = 10)
+    val ts = Seq(7, 8, 9)
+    val aggs = ts.flatMap(t => Seq(
+      sum(when($"shared" * 10 >= $"un" * t, 1L).otherwise(0L)).as(s"n$t"),
+      coalesce(sum(when($"shared" * 10 >= $"un" * t, $"shared")), lit(0L)).as(s"sh$t")))
+    val stacked = ts.map(t => s"${t * 100}L, n$t, sh$t").mkString(", ")
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ts.size}, $stacked)")
+        .as(Seq("threshold_pm", "n_pairs", "sum_shared")))
+      .orderBy($"threshold_pm")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -760,7 +805,9 @@ object TrainingQueries {
     "q201_panel_specs" -> q201PanelSpecs _,
     "q202_truncation_loss" -> q202TruncationLoss _,
     "q203_kuery_time_range" -> q203KueryTimeRange _,
-    "q204_panel_pipelines" -> q204PanelPipelines _)
+    "q204_panel_pipelines" -> q204PanelPipelines _,
+    "q205_fertility" -> q205Fertility _,
+    "q206_dedup_sensitivity" -> q206DedupSensitivity _)
 
   /** q197's oracle: both ranking chains (q64 TF-IDF, q96 BM25) re-ranked
     * within their top-20 intersection, Spearman via the integer closed
@@ -1194,5 +1241,24 @@ object TrainingQueries {
         |  CAST(coalesce(n - lag(n) OVER (ORDER BY day), 0) AS BIGINT) AS val
         | FROM (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n
         |       FROM events WHERE event_type = 'error' GROUP BY 1) h2
-        |) u ORDER BY panel, bucket""".stripMargin)
+        |) u ORDER BY panel, bucket""".stripMargin,
+    "q205_fertility" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum($tokSql) AS BIGINT) AS n_tokens,
+         | CAST(sum(len(regexp_extract_all(text,
+         |   '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_subwords,
+         | CAST(sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')))
+         |  * 1000 // greatest(sum($tokSql), 1) AS BIGINT) AS fertility_milli
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q206_dedup_sensitivity" ->
+      s"""WITH ${PipelineQueries.shingleSql},
+         |p AS (SELECT len(list_intersect(a.sh, b.sh)) shared,
+         |       len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) un
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |t AS (SELECT unnest([7, 8, 9]) AS thr)
+         |SELECT CAST(t.thr * 100 AS BIGINT) AS threshold_pm,
+         | CAST(coalesce(sum(CASE WHEN p.shared * 10 >= p.un * t.thr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs,
+         | CAST(coalesce(sum(CASE WHEN p.shared * 10 >= p.un * t.thr THEN p.shared END), 0) AS BIGINT) AS sum_shared
+         |FROM t LEFT JOIN p ON p.shared * 10 >= p.un * 7
+         |GROUP BY t.thr ORDER BY threshold_pm""".stripMargin)
 }

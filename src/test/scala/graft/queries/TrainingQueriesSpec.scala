@@ -87,7 +87,7 @@ class TrainingQueriesSpec extends SparkTestBase {
   test("PanelSpec: parse defaults, agg dispatch, unsupported agg rejected") {
     import graft.search.PanelSpec
     val s1 = PanelSpec.parse("""{"panel": "p", "agg": "terms", "field": "f"}""")
-    assert(s1 == PanelSpec.Spec("p", None, "terms", "f", 86400000L, 5, "value"))
+    assert(s1 == PanelSpec.Spec("p", None, "terms", "f", 86400000L, 5, "value", None))
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 0.5))
       .toDF("id", "f", "value")
     val terms = PanelSpec.run(df,

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *    of the metric in cents
   *  - terms: top-`size` buckets by count (count desc, key asc)
   *  - stats: one "all" bucket
+  *
+  * date_histogram panels accept a pipeline agg over the bucket series:
+  * cumulative_sum, derivative, moving_avg (trailing 3-bucket truncating
+  * mean), serial_diff (configurable "lag", default 1).
   */
 object PanelSpec {
 
@@ -28,7 +32,8 @@ object PanelSpec {
       intervalMs: Long,
       size: Int,
       metric: String,
-      pipeline: Option[String])
+      pipeline: Option[String],
+      lag: Int = 1)
 
   def parse(json: String): Spec = {
     import org.json4s._
@@ -43,7 +48,8 @@ object PanelSpec {
       (j \ "interval_ms").extractOpt[Long].getOrElse(86400000L),
       (j \ "size").extractOpt[Int].getOrElse(5),
       (j \ "metric").extractOpt[String].getOrElse("value"),
-      (j \ "pipeline").extractOpt[String])
+      (j \ "pipeline").extractOpt[String],
+      (j \ "lag").extractOpt[Int].getOrElse(1))
   }
 
   /** Interpret one panel spec over `df`. The kuery filter compiles to a
@@ -75,6 +81,21 @@ object PanelSpec {
           case Some("derivative") =>
             hist.withColumn("val",
               coalesce(col("n") - lag(col("n"), 1).over(w), lit(0L)))
+          // moving_fn-style trailing average: the current bucket and
+          // its 2 predecessors, truncating integer mean (partial
+          // leading windows average over what exists, ES shift=0)
+          case Some("moving_avg") =>
+            val w3 = w.rowsBetween(-2, 0)
+            hist.withColumn("__s", sum(col("n")).over(w3))
+              .withColumn("__c", count(lit(1)).over(w3))
+              .withColumn("val", expr("__s div __c"))
+              .drop("__s", "__c")
+          // serial_diff with a configurable lag (spec field "lag",
+          // default 1); the first `lag` buckets pin to 0 like the
+          // derivative's first bucket
+          case Some("serial_diff") =>
+            hist.withColumn("val",
+              coalesce(col("n") - lag(col("n"), spec.lag).over(w), lit(0L)))
           case Some(other) =>
             throw new IllegalArgumentException(
               s"unsupported pipeline agg '$other'")

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.{Composite, SignificantTerms}
+
+class SearchAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("oracle map covers every search-agg query") {
+    assert(SearchAggQueries.all.keySet == SearchAggQueries.oracle.keySet)
+  }
+
+  for ((name, fn) <- SearchAggQueries.all.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001") {
+      assert(fn(spark, sfSmoke).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("SignificantTerms.jlh scores a hand-computed fixture exactly") {
+    // term x: 2 of 4 fg rows, 2 of 10 total; term y: 1 fg, 5 total;
+    // term z: 1 fg, 3 total — fg 4, bg 10
+    val df = Seq(
+      ("x", true), ("x", true), ("y", true), ("z", true),
+      ("y", false), ("y", false), ("y", false), ("y", false),
+      ("z", false), ("z", false)).toDF("t", "fg")
+    val got = SignificantTerms.jlh(df, col("t"), col("fg"), 10)
+      .select($"term", $"fg_ppm", $"bg_ppm", $"score_ppm")
+      .as[(String, Long, Long, Long)].collect().toList
+    // fg_ppm = fg*1e6 div 4, bg_ppm = bg*1e6 div 10
+    // x: 500000 vs 200000 -> 300000*500000 div 200000 = 750000
+    // z: 250000 vs 300000 -> -(50000*250000 div 300000) = -41666
+    // y: 250000 vs 500000 -> -(250000*250000 div 500000) = -125000
+    assert(got == List(
+      ("x", 500000L, 200000L, 750000L),
+      ("z", 250000L, 300000L, -41666L),
+      ("y", 250000L, 500000L, -125000L)))
+  }
+
+  test("SignificantTerms.jlh drops null terms and bg-only terms") {
+    val df = Seq((Option("a"), true), (Option("b"), false), (None, true))
+      .toDF("t", "fg")
+    val got = SignificantTerms.jlh(df, col("t"), col("fg"), 10)
+      .select($"term").as[String].collect().toList
+    assert(got == List("a"))
+  }
+
+  test("Composite after-key paging equals global-rank paging") {
+    val buckets = (1 to 137).map(i => (s"k${i % 7}", i.toLong, i * 3L))
+      .toDF("a", "b", "n")
+    val paged = Composite.pages(buckets, Seq("a", "b"), 25, 4)
+      .select($"page", $"a", $"b", $"n")
+      .as[(Long, String, Long, Long)].collect().toList
+    val want = (1 to 137).map(i => (s"k${i % 7}", i.toLong, i * 3L))
+      .sortBy(r => (r._1, r._2)).take(100).zipWithIndex
+      .map { case ((a, b, n), ix) => (ix.toLong / 25, a, b, n) }.toList
+    assert(paged.sorted == want.sorted)
+  }
+
+  test("Composite.pages stops early when the bucket space is exhausted") {
+    val buckets = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "n")
+    val got = Composite.pages(buckets, Seq("k"), 2, 5)
+      .select($"page", $"k").as[(Long, String)].collect().toList.sorted
+    assert(got == List((0L, "a"), (0L, "b"), (1L, "c")))
+  }
+
+  test("PanelSpec moving_avg and serial_diff pipelines over a tiny series") {
+    import graft.search.PanelSpec
+    val ts = (0 until 10).flatMap(d => Seq.fill(d + 1)(d)).map(d =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"), 1.0))
+      .toDF("ts", "value")
+    // daily counts 1..10
+    val mv = PanelSpec.run(ts,
+        """{"panel":"m","agg":"date_histogram","field":"ts","pipeline":"moving_avg"}""")
+      .orderBy($"bucket".cast("long"))
+      .select($"n", $"val").as[(Long, Long)].collect().toList
+    // trailing-3 truncating means over 1..10
+    assert(mv.map(_._2) == List(1L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    val sd = PanelSpec.run(ts,
+        """{"panel":"s","agg":"date_histogram","field":"ts","pipeline":"serial_diff","lag":3}""")
+      .orderBy($"bucket".cast("long"))
+      .select($"val").as[Long].collect().toList
+    assert(sd == List(0L, 0L, 0L, 3L, 3L, 3L, 3L, 3L, 3L, 3L))
+  }
+}

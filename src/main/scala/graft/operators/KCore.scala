@@ -52,6 +52,7 @@ object KCore {
     var prev = -1L
     var cur = e.count()
     var round = 0
+    var cached: DataFrame = null
     while (cur != prev && round < maxRounds) {
       // the surviving-degree frame is |V|-bounded and SHRINKS as rounds
       // peel; under the edge budget broadcast it to both endpoint
@@ -60,14 +61,27 @@ object KCore {
       // each re-run the degree aggregation (the Triangles lesson).
       val dAll = degrees(e).filter(col("deg") >= k).persist()
       val d = if (cur <= GraphConf.broadcastMaxEdges(e)) broadcast(dAll) else dAll
-      e = truncate(e
+      val joined = e
         .join(d.select(col("node").as("a")), "a")
         .join(d.select(col("node").as("b")), "b")
-        .select(col("a"), col("b")))
-      dAll.unpersist()
+        .select(col("a"), col("b"))
+      // eager-truncate only every other round (the LabelProp lesson):
+      // off rounds persist instead — the count() below materializes the
+      // cache, lineage grows by ONE broadcast-join layer, and the next
+      // truncation resets it. Halves the full-frame materializations.
+      e = if (round % 2 == 1) truncate(joined) else joined.persist()
       prev = cur
       cur = e.count()
+      dAll.unpersist()
+      if (cached != null) { cached.unpersist(); cached = null }
+      if (round % 2 == 0) cached = e
       round += 1
+    }
+    if (cached != null) {
+      // keep the final frame usable by the caller: truncate before
+      // releasing the cache it was built on
+      e = truncate(e)
+      cached.unpersist()
     }
     require(cur == prev, s"k-core did not stabilize in $maxRounds rounds")
     degrees(e).select(col("node"), col("deg").as("core_deg"))

@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.all ++ graft.queries.PipelineQueries.all ++
       graft.queries.Dashboards.all ++ graft.queries.ExtendedQueries.all ++
-      graft.queries.TrainingQueries.all ++ graft.queries.SearchAggQueries.all
+      graft.queries.TrainingQueries.all ++ graft.queries.SearchAggQueries.all ++
+      graft.queries.CorpusQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++ graft.queries.PipelineQueries.oracle ++
       graft.queries.ExtendedQueries.oracle ++ graft.queries.TrainingQueries.oracle ++
-      graft.queries.Dashboards.oracle ++ graft.queries.SearchAggQueries.oracle
+      graft.queries.Dashboards.oracle ++ graft.queries.SearchAggQueries.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

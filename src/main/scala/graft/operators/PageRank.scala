@@ -96,4 +96,74 @@ object PageRank {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Personalized PageRank: identical exact-integer recurrence, but the
+    * teleport mass (and the dangling-mass return) goes uniformly to a
+    * SEED set instead of all nodes — trust/relevance propagation from a
+    * trusted subset (seed-trusted domains, a user's context set). With
+    * |S| seeds:
+    *
+    *   r0(v)   = scale div |S|   if v ∈ S else 0
+    *   base(v) = ((dampDen − dampNum) · r0) div dampDen  if v ∈ S else 0
+    *   r'(v)   = base(v) + (dampNum · (Σ share + [v ∈ S] · (dang div
+    *             |S|))) div dampDen
+    *
+    * Same scale shape as [[ranks]]: the seed flag rides the node frame
+    * (one extra byte per node), no extra exchanges.
+    */
+  def personalizedRanks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      truncateEvery: Int = 4,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
+    require(truncateEvery >= 1, "truncateEvery must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .distinct()
+      .persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val marked = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct()
+      .join(seeds.select(col(seedCol).cast("long").as("node"))
+        .distinct().withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("seed"))
+      .persist()
+
+    val nS = marked.filter(col("seed") === 1L).count()
+    require(nS >= 1, "seed set must intersect the graph's node set")
+    val r0 = scale / nS
+    val base = (dampDen - dampNum) * r0 / dampDen
+
+    var ranks = marked.withColumn("r",
+      when(col("seed") === 1L, lit(r0)).otherwise(lit(0L)))
+    for (it <- 1 to iterations) {
+      val share = ranks.join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("node"), expr("r div deg").as("share"))
+      val contrib = e.join(share, e("src") === share("node"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("share")).as("contrib"))
+      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = marked
+        .join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("seed"),
+          (when(col("seed") === 1L, lit(base)).otherwise(lit(0L)) + expr(
+            s"($dampNum * (coalesce(contrib, 0L) + " +
+              s"(CASE WHEN seed = 1 THEN dang div $nS ELSE 0 END))) div $dampDen"))
+            .as("r"))
+      if (it % truncateEvery == 0 && it < iterations) ranks = truncate(ranks)
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
 }

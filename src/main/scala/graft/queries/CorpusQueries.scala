@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GlobalRank, PageRank}
+import graft.sources.Tables
+
+/** Corpus-assembly queries: the steps that turn a cleaned document pool
+  * into an actual training corpus — seed-personalized trust propagation,
+  * tokenizer-learning statistics, alternate ingest formats, and the
+  * deterministic interleave that materializes a mixture as a global
+  * training ORDER (the sequencing counterpart of q183's packing and
+  * q186's mixture plan).
+  */
+object CorpusQueries {
+
+  // ---------------------------------------------------------------- q213
+
+  // Personalized PageRank over the customer→supplier purchase graph:
+  // teleport + dangling mass return to a SEED set (every 10th customer)
+  // instead of all nodes — "how much supplier trust flows from these
+  // accounts". Exact BIGINT units, 3 iterations, DuckDB replays the
+  // loop as unrolled CTEs (q73's convention with a seeded base).
+  def q213PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey".cast("long") * 2).as("src"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+    val seeds = edges.select($"src").filter($"src" % 20 === 0)
+    PageRank.personalizedRanks(edges, "src", "dst", seeds, "src", iterations = 3)
+      .select($"node", $"rank".as("ppr"))
+      .orderBy($"node")
+  }
+
+  // ---------------------------------------------------------------- q214
+
+  // One BPE-learning step: corpus-wide adjacent-character-pair counts
+  // inside whitespace words — the frequency table whose argmax is the
+  // next merge a byte-pair tokenizer would learn. Row-local codegen'd
+  // HOFs (sequence→substring→explode), one hash agg, top-20
+  // TakeOrdered.
+  def q214BpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q215
+
+  // CSV ingest roundtrip: events serialized to headered CSV (timestamps
+  // as epoch millis, money as cents — the two encodings that survive
+  // text transport exactly), read back through an EXPLICIT schema, and
+  // aggregated; the oracle computes the same aggregate from the parquet
+  // source, so the gate is sink ≡ source through the text format (the
+  // q78 discipline for the CSV source plane). Temp dir self-cleans at
+  // JVM exit.
+  def q215CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = PipelineQueries.tempDir("graft-q215").resolve("ev").toString
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_millis($"ts").as("ts_ms"),
+        floor($"value" * 100).cast("long").as("cents"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING, ts_ms BIGINT, cents BIGINT")
+    s.read.option("header", "true").schema(schema).csv(path)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents").as("sum_cents"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"),
+        min($"ts_ms").as("min_ts_ms"))
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------- q216
+
+  // Deterministic curriculum interleave: materialize a source mixture
+  // as a global training ORDER. Each doc's position key is
+  // rank_within_lang · 1000 div weight(lang) — a weight-3 language
+  // emits 3 docs for every 1 of a weight-1 language, deterministically,
+  // with no sampling. Per-group ranks come from ONE distributed global
+  // sort (GlobalRank) minus broadcast per-group start offsets — never a
+  // window partitioned by the 5-value lang column (the q172 trap).
+  def q216CurriculumInterleave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = GlobalRank.rowNumber(
+      Tables.documents(s, dir).select($"doc_id", $"lang"),
+      Seq("lang", "doc_id"), "gr")
+    val starts = ranked.groupBy($"lang").agg(min($"gr").as("__start"))
+    val keyed = ranked.join(broadcast(starts), "lang")
+      .withColumn("rk", $"gr" - $"__start" + 1L)
+      .withColumn("pos_key",
+        expr("rk * 1000 div (CASE WHEN lang = 'en' THEN 3 ELSE 1 END)"))
+    // head of the curriculum: TakeOrdered 100, then a seq over the
+    // bounded result — the only unpartitioned window runs on 100 rows
+    keyed.orderBy($"pos_key", $"lang", $"doc_id").limit(100)
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"pos_key", $"lang", $"doc_id")).cast("long"))
+      .select($"seq", $"doc_id", $"lang", $"rk", $"pos_key")
+  }
+
+  // -------------------------------------------------------------- maps
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_personalized_pagerank" -> q213PersonalizedPagerank _,
+    "q214_bpe_pairs" -> q214BpePairs _,
+    "q215_csv_roundtrip" -> q215CsvRoundtrip _,
+    "q216_curriculum_interleave" -> q216CurriculumInterleave _)
+
+  val oracle: Map[String, String] = Map(
+    "q213_personalized_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+        |         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |pp AS (SELECT count(*) ns, 1000000000000 // count(*) r0,
+        |        (100 - 85) * (1000000000000 // count(*)) // 100 base
+        |       FROM nd WHERE node % 20 = 0),
+        |og AS (SELECT src, count(*) deg FROM e GROUP BY 1),
+        |i0 AS (SELECT node, CASE WHEN node % 20 = 0
+        |        THEN (SELECT r0 FROM pp) ELSE 0 END r FROM nd),
+        |c1 AS (SELECT e.dst node, sum(r.r // og.deg) c FROM e
+        |       JOIN i0 r ON r.node = e.src JOIN og ON og.src = e.src GROUP BY 1),
+        |d1 AS (SELECT COALESCE(sum(r.r), 0) // (SELECT ns FROM pp) ds FROM i0 r
+        |       LEFT JOIN og ON og.src = r.node WHERE og.src IS NULL),
+        |i1 AS (SELECT nd.node, (CASE WHEN nd.node % 20 = 0
+        |         THEN (SELECT base FROM pp) ELSE 0 END)
+        |        + (85 * (COALESCE(c1.c, 0) + (CASE WHEN nd.node % 20 = 0
+        |           THEN (SELECT ds FROM d1) ELSE 0 END))) // 100 r
+        |       FROM nd LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT e.dst node, sum(r.r // og.deg) c FROM e
+        |       JOIN i1 r ON r.node = e.src JOIN og ON og.src = e.src GROUP BY 1),
+        |d2 AS (SELECT COALESCE(sum(r.r), 0) // (SELECT ns FROM pp) ds FROM i1 r
+        |       LEFT JOIN og ON og.src = r.node WHERE og.src IS NULL),
+        |i2 AS (SELECT nd.node, (CASE WHEN nd.node % 20 = 0
+        |         THEN (SELECT base FROM pp) ELSE 0 END)
+        |        + (85 * (COALESCE(c2.c, 0) + (CASE WHEN nd.node % 20 = 0
+        |           THEN (SELECT ds FROM d2) ELSE 0 END))) // 100 r
+        |       FROM nd LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT e.dst node, sum(r.r // og.deg) c FROM e
+        |       JOIN i2 r ON r.node = e.src JOIN og ON og.src = e.src GROUP BY 1),
+        |d3 AS (SELECT COALESCE(sum(r.r), 0) // (SELECT ns FROM pp) ds FROM i2 r
+        |       LEFT JOIN og ON og.src = r.node WHERE og.src IS NULL),
+        |i3 AS (SELECT nd.node, (CASE WHEN nd.node % 20 = 0
+        |         THEN (SELECT base FROM pp) ELSE 0 END)
+        |        + (85 * (COALESCE(c3.c, 0) + (CASE WHEN nd.node % 20 = 0
+        |           THEN (SELECT ds FROM d3) ELSE 0 END))) // 100 r
+        |       FROM nd LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node, CAST(r AS BIGINT) AS ppr FROM i3 ORDER BY node""".stripMargin,
+    "q214_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |       FROM documents),
+        |p AS (SELECT unnest([substring(w, i, 2) FOR i IN range(1, len(w))]) AS pair
+        |      FROM w WHERE len(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q215_csv_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | CAST(min(event_id) AS BIGINT) AS min_id,
+        | CAST(max(event_id) AS BIGINT) AS max_id,
+        | CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ts_ms
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q216_curriculum_interleave" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rk
+        |       FROM documents),
+        |k AS (SELECT doc_id, lang, rk,
+        |       CAST(rk * 1000 // (CASE WHEN lang = 'en' THEN 3 ELSE 1 END) AS BIGINT) AS pos_key
+        |      FROM r)
+        |SELECT CAST(row_number() OVER (ORDER BY pos_key, lang, doc_id) AS BIGINT) AS seq,
+        | doc_id, lang, rk, pos_key
+        |FROM k ORDER BY pos_key, lang, doc_id LIMIT 100""".stripMargin)
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.PageRank
+
+class CorpusQueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("oracle map covers every corpus query") {
+    assert(CorpusQueries.all.keySet == CorpusQueries.oracle.keySet)
+  }
+
+  for ((name, fn) <- CorpusQueries.all.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001") {
+      assert(fn(spark, sfSmoke).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("personalizedRanks: nodes unreachable from the seeds stay at 0") {
+    // 1 -> 2 -> 3, isolated pair 4 -> 5; seed = {1}
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("s", "d")
+    val ranks = PageRank.personalizedRanks(e, "s", "d",
+        Seq(1L).toDF("n"), "n", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks(4L) == 0L && ranks(5L) == 0L)
+    assert(ranks(1L) > 0L && ranks(2L) > 0L && ranks(3L) > 0L)
+  }
+
+  test("personalizedRanks: replays the hand-computed 2-node recurrence") {
+    // 1 -> 2, seed {1}, scale 1000, damp 1/2:
+    //   r0(1)=1000, base(1) = (2-1)*1000/2 = 500
+    // it1: share 1->2 = 1000; dang = r(2) = 0
+    //   r(1) = 500 + (1*(0+0))/2 = 500 ; r(2) = 0 + (1*1000)/2 = 500
+    // it2: share 1->2 = 500; dang = r(2) = 500 -> returns to the seed
+    //   r(1) = 500 + (1*(0+500))/2 = 750 ; r(2) = (1*500)/2 = 250
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val ranks = PageRank.personalizedRanks(e, "s", "d",
+        Seq(1L).toDF("n"), "n", iterations = 2,
+        dampNum = 1L, dampDen = 2L, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks == Map(1L -> 750L, 2L -> 250L))
+  }
+
+  test("personalizedRanks rejects a seed set disjoint from the graph") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedRanks(e, "s", "d", Seq(9L).toDF("n"), "n", 1)
+    }
+  }
+
+  test("q216 interleave emits 3 weight-3 docs per weight-1 doc") {
+    // first positions: en rk 1,2,3 have keys 333,666,1000; others rk 1
+    // have key 1000 — the curriculum front-loads the heavy language
+    val head = CorpusQueries.q216CurriculumInterleave(spark, sfSmoke)
+      .filter($"seq" <= 10L).select($"lang", $"pos_key")
+      .as[(String, Long)].collect().toList
+    assert(head.take(2).map(_._1) == List("en", "en"))
+    assert(head.count(_._1 == "en") >= 3)
+  }
+
+  test("q214 pair counts match a brute-force local recount") {
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select($"text").as[String].collect()
+    val brute = docs.flatMap(_.trim.split("\\s+")).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val top = CorpusQueries.q214BpePairs(spark, sfSmoke)
+      .as[(String, Long)].collect().toList
+    top.foreach { case (p, n) => assert(brute(p) == n, s"pair $p") }
+    assert(top.map(_._2) == top.map(_._2).sorted.reverse)
+  }
+}

@@ -40,12 +40,16 @@ object SignificantTerms {
     */
   def jlh(df: DataFrame, termCol: Column, fgCol: Column,
       topK: Int): DataFrame = {
+    // persisted: the totals aggregate below references this frame a
+    // second time, and an unpersisted agg re-runs its whole scan per
+    // reference (the Triangles lesson). |terms|-bounded, tiny.
     val perTerm = df
       .filter(termCol.isNotNull)
       .groupBy(termCol.as("term"))
       .agg(
         sum(when(fgCol, 1L).otherwise(0L)).as("fg_n"),
         count(lit(1)).as("bg_n"))
+      .persist()
     val totals = perTerm.agg(
       sum(col("fg_n")).as("__fg_tot"), sum(col("bg_n")).as("__bg_tot"))
     perTerm

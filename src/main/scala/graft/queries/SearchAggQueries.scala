@@ -65,10 +65,13 @@ object SearchAggQueries {
   // (101 rows), a 1-row broadcast total, one stacked conditional pass.
   def q209RareTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persisted: the total below references the term counts a second
+    // time; unpersisted, each reference re-runs the events scan
     val counts = Tables.events(s, dir)
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .filter($"k".isNotNull)
       .groupBy($"k").agg(count(lit(1)).as("c"))
+      .persist()
     val tot = counts.agg(sum($"c").as("__tot"))
     val cuts = Seq(400, 200, 100) // divisor → max_doc_count = total div d
     val aggs = cuts.flatMap(d => Seq(

@@ -160,6 +160,47 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q207/q209: fg/bg and rare-term totals ride ONE scan + a 1-row broadcast") {
+    for (q <- Seq("q207_significant_terms", "q209_rare_terms")) {
+      val p = plan(q)
+      // the foreground/threshold split is a row-local predicate and the
+      // term-count frame is cached — both references hit the cache, the
+      // events scan runs once (the plan STRING prints the cached subtree
+      // under each InMemoryTableScan, so assert the cache, not the count)
+      assert(p.contains("InMemoryTableScan"), s"$q:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q207: top-k significance is heap-bounded, not globally sorted") {
+    val p = plan("q207_significant_terms")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q208/q210: matrix cells and rate metrics are one partial hash agg") {
+    for (q <- Seq("q208_adjacency_matrix", "q210_rate_weighted")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q:\n$p")
+      assert(p.contains("partial"), s"$q:\n$p")
+    }
+  }
+
+  test("q214: pair explosion stays row-local; top-20 is heap-bounded") {
+    val p = plan("q214_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q216: per-lang ranks come from a range sort + broadcast offsets") {
+    val p = plan("q216_curriculum_interleave")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Sort ["), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q188: straggler windows run on the (stage, dur) aggregate, not raw events") {
     val p = plan("q188_straggler_audit")
     val widx = p.indexOf("Window")

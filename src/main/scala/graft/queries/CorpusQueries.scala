@@ -29,7 +29,12 @@ object CorpusQueries {
         $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey".cast("long") * 2).as("src"),
         ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
-    val seeds = edges.select($"src").filter($"src" % 20 === 0)
+    // seed SUPERSET from the cheap orders scan (never re-run the edge
+    // join just to list seeds — the operator intersects with the node
+    // set anyway, so extra candidates are harmless)
+    val seeds = Tables.orders(s, dir)
+      .select(($"o_custkey".cast("long") * 2).as("src"))
+      .filter($"src" % 20 === 0)
     PageRank.personalizedRanks(edges, "src", "dst", seeds, "src", iterations = 3)
       .select($"node", $"rank".as("ppr"))
       .orderBy($"node")

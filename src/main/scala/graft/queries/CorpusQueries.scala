@@ -117,13 +117,37 @@ object CorpusQueries {
       .select($"seq", $"doc_id", $"lang", $"rk", $"pos_key")
   }
 
+  // ---------------------------------------------------------------- q217
+
+  // REAL multi-frame decode through the frame-sample stage: 15 planted
+  // animated GIFs (frame count and dimensions closed-form functions of
+  // the id, bytes written by the JDK's own GIF sequence writer) run
+  // through Multimodal.sampleRealFrames at stride 2; the oracle
+  // regenerates every expected (frame_idx, width, height, n_frames)
+  // row from the id alone, so a decoder that miscounts frames or
+  // misreads one descriptor breaks the hash (q182's convention, one
+  // level deeper than the single-image header).
+  def q217GifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = (1L to 15L).map { id =>
+      val w = 32 + (id % 5).toInt * 16
+      val h = 24 + (id % 4).toInt * 8
+      val nf = 2 + (id % 4).toInt
+      (id, graft.multimodal.Multimodal.syntheticGif(w, h, nf))
+    }
+    val media = planted.toDF("media_id", "content")
+    graft.multimodal.Multimodal.sampleRealFrames(media, stride = 2)
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_personalized_pagerank" -> q213PersonalizedPagerank _,
     "q214_bpe_pairs" -> q214BpePairs _,
     "q215_csv_roundtrip" -> q215CsvRoundtrip _,
-    "q216_curriculum_interleave" -> q216CurriculumInterleave _)
+    "q216_curriculum_interleave" -> q216CurriculumInterleave _,
+    "q217_gif_frames" -> q217GifFrames _)
 
   val oracle: Map[String, String] = Map(
     "q213_personalized_pagerank" ->
@@ -179,6 +203,14 @@ object CorpusQueries {
         | CAST(max(event_id) AS BIGINT) AS max_id,
         | CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ts_ms
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q217_gif_frames" ->
+      """WITH ids AS (SELECT unnest(generate_series(1, 15)) AS id),
+        |f AS (SELECT id, unnest(range(0, 2 + id % 4, 2)) AS fi FROM ids)
+        |SELECT CAST(id AS BIGINT) AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(32 + (id % 5) * 16 AS BIGINT) AS width,
+        | CAST(24 + (id % 4) * 8 AS BIGINT) AS height,
+        | CAST(2 + id % 4 AS BIGINT) AS n_frames
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q216_curriculum_interleave" ->
       """WITH r AS (SELECT doc_id, lang,
         |        CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rk

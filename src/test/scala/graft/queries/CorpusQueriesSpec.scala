@@ -60,6 +60,25 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(head.count(_._1 == "en") >= 3)
   }
 
+  test("GIF writer/reader round-trip: every frame, exact dims, real bytes") {
+    import graft.multimodal.Multimodal
+    val bytes = Multimodal.syntheticGif(40, 30, 5)
+    assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    val frames = Multimodal.decodeFrames(bytes)
+    assert(frames == (0 until 5).map(i => (i, 40, 30)))
+    // unrecognized payloads decode to no frames, not a crash
+    assert(Multimodal.decodeFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.decodeFrames(null).isEmpty)
+  }
+
+  test("sampleRealFrames keeps every stride-th frame with the true frame count") {
+    import graft.multimodal.Multimodal
+    val media = Seq((7L, Multimodal.syntheticGif(16, 16, 6))).toDF("media_id", "content")
+    val got = Multimodal.sampleRealFrames(media, stride = 3)
+      .select($"frame_idx", $"n_frames").as[(Long, Long)].collect().toList.sorted
+    assert(got == List((0L, 6L), (3L, 6L)))
+  }
+
   test("q214 pair counts match a brute-force local recount") {
     val docs = graft.sources.Tables.documents(spark, sfSmoke)
       .select($"text").as[String].collect()

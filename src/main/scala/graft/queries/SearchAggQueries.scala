@@ -151,9 +151,41 @@ object SearchAggQueries {
       .orderBy($"page", $"event_type", $"day")
   }
 
+  // ---------------------------------------------------------------- q218
+
+  // Geo-grid bucket agg at two zoom levels (the ES geohash_grid
+  // precision ladder) over the deterministic user lattice (q165's
+  // coordinates): ONE data-scale aggregation to the fine grid, the
+  // coarse level re-aggregated from the fine CELL frame (coarse cell =
+  // fine cell div 3 — cells nest exactly), top-10 cells per level.
+  // Windows only ever see the bounded cell frame.
+  def q218GeoGridBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fine = Tables.events(s, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select($"user_id").distinct()
+      .select(expr("((user_id * 7919) % 180000) div 10000").as("cx"),
+        expr("((user_id * 104729) % 360000) div 20000").as("cy"))
+      .groupBy($"cx", $"cy").agg(count(lit(1)).as("n"))
+      .persist() // referenced by both zoom levels
+    val coarse = fine
+      .groupBy(expr("cx div 3").as("cx"), expr("cy div 3").as("cy"))
+      .agg(sum($"n").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"precision")
+      .orderBy($"n".desc, $"cx", $"cy")
+    fine.withColumn("precision", lit("fine"))
+      .unionAll(coarse.withColumn("precision", lit("coarse")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10).drop("rk")
+      .select($"precision", $"cx", $"cy", $"n")
+      .orderBy($"precision", $"n".desc, $"cx", $"cy")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_geo_grid_buckets" -> q218GeoGridBuckets _,
     "q207_significant_terms" -> q207SignificantTerms _,
     "q208_adjacency_matrix" -> q208AdjacencyMatrix _,
     "q209_rare_terms" -> q209RareTerms _,
@@ -162,6 +194,20 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q218_geo_grid_buckets" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |       WHERE user_id IS NOT NULL AND user_id >= 0),
+        |f AS (SELECT ((user_id * 7919) % 180000) // 10000 AS cx,
+        |       ((user_id * 104729) % 360000) // 20000 AS cy, count(*) AS n
+        |      FROM u GROUP BY 1, 2),
+        |c AS (SELECT cx // 3 AS cx, cy // 3 AS cy, sum(n) AS n FROM f GROUP BY 1, 2),
+        |b AS (SELECT 'fine' AS precision, cx, cy, n FROM f
+        |      UNION ALL SELECT 'coarse', cx, cy, n FROM c),
+        |r AS (SELECT *, row_number() OVER
+        |       (PARTITION BY precision ORDER BY n DESC, cx, cy) AS rk FROM b)
+        |SELECT precision, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+        | CAST(n AS BIGINT) AS n
+        |FROM r WHERE rk <= 10 ORDER BY precision, n DESC, cx, cy""".stripMargin,
     "q207_significant_terms" ->
       """WITH t AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS term,
         |        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS fg

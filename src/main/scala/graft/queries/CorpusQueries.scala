@@ -140,9 +140,49 @@ object CorpusQueries {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  // ---------------------------------------------------------------- q219
+
+  // Deterministic negative-edge sampling for contrastive graph
+  // training: per node, 2 non-neighbors drawn by an explicit integer
+  // hash over a dense node index — the standard link-prediction
+  // negatives, with NO RNG (both engines replay the identical draw).
+  // Shape: dense index from ONE GlobalRank, candidate generation is a
+  // row-local explode (6 draws/node), membership + true-edge rejection
+  // are uniform-key joins, and the keep-2 window sees ≤6 rows per node
+  // (a per-node microgroup, not a low-cardinality partition).
+  def q219NegativeEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
+      .distinct()
+      .persist() // nodes + the rejection anti-join both read it
+    val nodes = edges.select($"a".as("node")).union(edges.select($"b"))
+      .distinct()
+    val idx = GlobalRank.rowNumber(nodes, Seq("node"), "ix") // dense 1..N
+    val n = idx.count() // one driver scalar, like PageRank's N
+    val cands = idx.select($"node".as("u"),
+        explode(expr("sequence(1, 6)")).as("i"))
+      .withColumn("cix", expr(s"(u * 2654435761 + i * 97) % $n + 1"))
+      .join(idx.select($"ix".as("cix"), $"node".as("v")), "cix")
+      .filter($"u" =!= $"v")
+    val rejected = cands
+      .join(edges,
+        least($"u", $"v") === $"a" && greatest($"u", $"v") === $"b",
+        "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"u").orderBy($"i")
+    rejected.withColumn("slot", row_number().over(w).cast("long"))
+      .filter($"slot" <= 2L)
+      .select($"u", $"slot", $"v".as("v_neg"))
+      .orderBy($"u", $"slot")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_negative_edges" -> q219NegativeEdges _,
     "q213_personalized_pagerank" -> q213PersonalizedPagerank _,
     "q214_bpe_pairs" -> q214BpePairs _,
     "q215_csv_roundtrip" -> q215CsvRoundtrip _,
@@ -150,6 +190,29 @@ object CorpusQueries {
     "q217_gif_frames" -> q217GifFrames _)
 
   val oracle: Map[String, String] = Map(
+    "q219_negative_edges" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+        |       CAST(y.l_partkey AS BIGINT) AS b
+        |      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |       AND x.l_partkey < y.l_partkey),
+        |nd AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |idx AS (SELECT node, CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS ix
+        |       FROM nd),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |g AS (SELECT unnest(generate_series(1, 6)) AS i),
+        |c AS (SELECT idx.node AS u, g.i AS i,
+        |       (idx.node * 2654435761 + g.i * 97) % (SELECT n FROM nn) + 1 AS cix
+        |      FROM idx, g),
+        |j AS (SELECT c.u, c.i, x2.node AS v
+        |      FROM c JOIN idx x2 ON x2.ix = c.cix WHERE c.u <> x2.node),
+        |r AS (SELECT u, i, v FROM j WHERE NOT EXISTS (
+        |        SELECT 1 FROM e WHERE e.a = least(j.u, j.v)
+        |         AND e.b = greatest(j.u, j.v))),
+        |s AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY i) AS slot
+        |      FROM r)
+        |SELECT u, CAST(slot AS BIGINT) AS slot, v AS v_neg
+        |FROM s WHERE slot <= 2 ORDER BY u, slot""".stripMargin,
     "q213_personalized_pagerank" ->
       """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
         |         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst

@@ -79,6 +79,27 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(got == List((0L, 6L), (3L, 6L)))
   }
 
+  test("q219 negatives are non-edges, non-self, at most 2 per node") {
+    val li = graft.sources.Tables.lineitem(spark, sfSmoke)
+      .select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val negs = CorpusQueries.q219NegativeEdges(spark, sfSmoke)
+      .as[(Long, Long, Long)].collect().toList
+    assert(negs.nonEmpty)
+    negs.foreach { case (u, slot, v) =>
+      assert(u != v, s"self-negative $u")
+      assert(slot >= 1L && slot <= 2L)
+      assert(!edges.contains((math.min(u, v), math.max(u, v))),
+        s"($u,$v) is a true edge")
+    }
+    negs.groupBy(_._1).foreach { case (u, xs) =>
+      assert(xs.map(_._2).sorted == (1L to xs.length).toList, s"slots of $u")
+    }
+  }
+
   test("q214 pair counts match a brute-force local recount") {
     val docs = graft.sources.Tables.documents(spark, sfSmoke)
       .select($"text").as[String].collect()

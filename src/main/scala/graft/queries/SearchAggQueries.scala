@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{Composite, SignificantTerms}
 import graft.sources.Tables
@@ -171,8 +172,7 @@ object SearchAggQueries {
     val coarse = fine
       .groupBy(expr("cx div 3").as("cx"), expr("cy div 3").as("cy"))
       .agg(sum($"n").as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"precision")
+    val w = Window.partitionBy($"precision")
       .orderBy($"n".desc, $"cx", $"cy")
     fine.withColumn("precision", lit("fine"))
       .unionAll(coarse.withColumn("precision", lit("coarse")))
@@ -182,9 +182,139 @@ object SearchAggQueries {
       .orderBy($"precision", $"n".desc, $"cx", $"cy")
   }
 
+  // ---------------------------------------------------------------- q220
+
+  // Cumulative-cardinality pipeline agg: total distinct users seen up
+  // to each day. NEVER a per-window distinct (that re-counts every
+  // prefix): each user collapses to their FIRST day in one hash agg,
+  // then a running sum over the bounded daily bucket frame — the only
+  // shape that survives 100 TB (state = one row per user, then one row
+  // per day). Days with no new users still emit a bucket.
+  def q220CumulativeCardinality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", expr("unix_millis(ts) div 86400000").as("day"))
+    val firsts = ev.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select($"day").distinct()
+      .join(firsts, Seq("day"), "left")
+      .withColumn("new_users", coalesce($"new_users", lit(0L)))
+      .withColumn("cum_users", sum($"new_users").over(w))
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------- q221
+
+  // Boxplot agg per event type over value cents: exact type-1 lower
+  // quantiles (q_p = value at rank ceil(p·n), integer rank arithmetic —
+  // the q172 two-phase shape: quantiles read the (type × distinct-cent)
+  // COUNT frame, never a row-per-event window), Tukey fences at
+  // q1/q3 ∓ (3·IQR) div 2, and the outlier count outside them.
+  def q221Boxplot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .filter($"value".isNotNull)
+      .groupBy($"event_type", floor($"value" * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // read twice: quantile ranks + outlier recount
+    val wc = Window.partitionBy($"event_type").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ns = counts.groupBy($"event_type").agg(sum($"c").as("n"))
+    val fences = counts.withColumn("cum", sum($"c").over(wc))
+      .join(broadcast(ns), "event_type")
+      .groupBy($"event_type", $"n").agg(
+        min($"cents").as("vmin"),
+        min(when($"cum" >= expr("(n + 3) div 4"), $"cents")).as("q1"),
+        min(when($"cum" >= expr("(n + 1) div 2"), $"cents")).as("q2"),
+        min(when($"cum" >= expr("(3 * n + 3) div 4"), $"cents")).as("q3"),
+        max($"cents").as("vmax"))
+      .withColumn("iqr", $"q3" - $"q1")
+      .withColumn("lo", $"q1" - expr("(3 * iqr) div 2"))
+      .withColumn("hi", $"q3" + expr("(3 * iqr) div 2"))
+    val outliers = counts
+      .join(broadcast(fences.select($"event_type", $"lo", $"hi")), "event_type")
+      .groupBy($"event_type").agg(
+        coalesce(sum(when($"cents" < $"lo" || $"cents" > $"hi", $"c")),
+          lit(0L)).as("n_outliers"))
+    fences.join(outliers, Seq("event_type"))
+      .select($"event_type", $"n", $"vmin", $"q1", $"q2", $"q3", $"vmax",
+        $"iqr", $"n_outliers")
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------- q222
+
+  // multi_terms agg ORDERED BY A SUB-AGG METRIC: top-10 composite
+  // (event_type, k-decile) buckets by total revenue cents — the ES
+  // multi_terms + order:{metric:desc} form. One map-side-combinable
+  // hash agg, then a global TakeOrdered 10 (never a full sort).
+  def q222MultiTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type", expr("k div 10").as("k_decile"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(floor($"value" * 100).cast("long")), lit(0L)).as("cents"))
+      .orderBy($"cents".desc, $"event_type", $"k_decile")
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q223
+
+  // Filters agg + bucket_script: three NAMED predicate buckets counted
+  // per day in ONE conditional-aggregation scan (a filters agg never
+  // becomes three scans), then a bucket_script sibling metric — errors
+  // per purchase in ppm, NULL where the denominator bucket is empty.
+  def q223FiltersBucketScript(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("errors"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when($"value" >= 500.0, 1L).otherwise(0L)).as("high_value"))
+      .withColumn("err_per_purchase_ppm",
+        expr("CASE WHEN purchases > 0 THEN errors * 1000000 div purchases END"))
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------- q224
+
+  // Moving-extrema pipeline aggs over the daily purchase-revenue
+  // series: running peak, drawdown from peak in ppm, and trailing-7-day
+  // max/min (the moving_fn max/min panel family). Windows only ever
+  // see the bounded daily bucket frame; revenue is exact cents.
+  def q224MovingExtrema(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("cents"))
+    val wAll = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w7 = Window.orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("peak", max($"cents").over(wAll))
+      .withColumn("drawdown_ppm",
+        expr("(peak - cents) * 1000000 div peak"))
+      .withColumn("hi7", max($"cents").over(w7))
+      .withColumn("lo7", min($"cents").over(w7))
+      .orderBy($"day")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_cumulative_cardinality" -> q220CumulativeCardinality _,
+    "q221_boxplot" -> q221Boxplot _,
+    "q222_multi_terms" -> q222MultiTerms _,
+    "q223_filters_bucket_script" -> q223FiltersBucketScript _,
+    "q224_moving_extrema" -> q224MovingExtrema _,
     "q218_geo_grid_buckets" -> q218GeoGridBuckets _,
     "q207_significant_terms" -> q207SignificantTerms _,
     "q208_adjacency_matrix" -> q208AdjacencyMatrix _,
@@ -194,6 +324,79 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q220_cumulative_cardinality" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |      FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+        |nf AS (SELECT day, count(*) AS nu FROM f GROUP BY 1),
+        |d AS (SELECT DISTINCT day FROM e)
+        |SELECT CAST(d.day AS BIGINT) AS day,
+        | CAST(coalesce(nu, 0) AS BIGINT) AS new_users,
+        | CAST(sum(coalesce(nu, 0)) OVER (ORDER BY d.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d LEFT JOIN nf ON nf.day = d.day
+        |ORDER BY day""".stripMargin,
+    "q221_boxplot" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+        |        count(*) AS c
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(c) OVER (PARTITION BY event_type) AS n
+        |       FROM c),
+        |q AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       min(cents) AS vmin,
+        |       min(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1,
+        |       min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS q2,
+        |       min(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END) AS q3,
+        |       max(cents) AS vmax
+        |      FROM cum GROUP BY 1),
+        |f AS (SELECT *, q3 - q1 AS iqr,
+        |       q1 - (3 * (q3 - q1)) // 2 AS lo,
+        |       q3 + (3 * (q3 - q1)) // 2 AS hi FROM q),
+        |o AS (SELECT f.event_type,
+        |       CAST(coalesce(sum(CASE WHEN c.cents < f.lo OR c.cents > f.hi
+        |         THEN c.c END), 0) AS BIGINT) AS n_outliers
+        |      FROM f JOIN c ON c.event_type = f.event_type GROUP BY 1)
+        |SELECT f.event_type, n, vmin, q1, q2, q3, vmax, CAST(iqr AS BIGINT) AS iqr,
+        | n_outliers
+        |FROM f JOIN o ON o.event_type = f.event_type
+        |ORDER BY f.event_type""".stripMargin,
+    "q222_multi_terms" ->
+      """WITH b AS (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+        |       FROM events
+        |       WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |       GROUP BY 1, 2)
+        |SELECT event_type, CAST(k_decile AS BIGINT) AS k_decile, n, cents
+        |FROM b ORDER BY cents DESC, event_type, k_decile LIMIT 10""".stripMargin,
+    "q223_filters_bucket_script" ->
+      """SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        | CAST(sum(CASE WHEN value >= 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
+        | CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |  THEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000
+        |   // sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |  END AS BIGINT) AS err_per_purchase_ppm
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q224_moving_extrema" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |       FROM events
+        |       WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, cents,
+        | CAST(max(cents) OVER wa AS BIGINT) AS peak,
+        | CAST((max(cents) OVER wa - cents) * 1000000 // max(cents) OVER wa AS BIGINT)
+        |   AS drawdown_ppm,
+        | CAST(max(cents) OVER w7 AS BIGINT) AS hi7,
+        | CAST(min(cents) OVER w7 AS BIGINT) AS lo7
+        |FROM d
+        |WINDOW wa AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        | w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "q218_geo_grid_buckets" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events
         |       WHERE user_id IS NOT NULL AND user_id >= 0),

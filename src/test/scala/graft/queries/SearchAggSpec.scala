@@ -18,6 +18,29 @@ class SearchAggSpec extends SparkTestBase {
     }
   }
 
+  test("q221 boxplot quartiles match a brute-force local recount") {
+    val vals = graft.sources.Tables.events(spark, sfSmoke)
+      .filter($"value".isNotNull)
+      .select($"event_type", floor($"value" * 100).cast("long").as("cents"))
+      .as[(String, Long)].collect().toList.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val got = SearchAggQueries.q221Boxplot(spark, sfSmoke)
+      .select($"event_type", $"n", $"q1", $"q2", $"q3", $"n_outliers")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(got.nonEmpty)
+    got.foreach { case (t, n, q1, q2, q3, nOut) =>
+      val xs = vals(t)
+      assert(n == xs.length.toLong)
+      // type-1 lower quantile: value at rank ceil(p*n), 1-indexed
+      def rank(r: Long): Long = xs((r - 1).toInt)
+      assert(q1 == rank((n + 3) / 4) && q2 == rank((n + 1) / 2) &&
+        q3 == rank((3 * n + 3) / 4), s"quartiles of $t")
+      val iqr = q3 - q1
+      val (lo, hi) = (q1 - 3 * iqr / 2, q3 + 3 * iqr / 2)
+      assert(nOut == xs.count(v => v < lo || v > hi).toLong, s"outliers of $t")
+    }
+  }
+
   test("SignificantTerms.jlh scores a hand-computed fixture exactly") {
     // term x: 2 of 4 fg rows, 2 of 10 total; term y: 1 fg, 5 total;
     // term z: 1 fg, 3 total — fg 4, bg 10

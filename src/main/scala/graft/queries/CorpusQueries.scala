@@ -179,10 +179,41 @@ object CorpusQueries {
       .orderBy($"u", $"slot")
   }
 
+  // ---------------------------------------------------------------- q225
+
+  // T5-style span-corruption masking: tokens are grouped into aligned
+  // 3-token spans, a deterministic hash of (doc_id, span_id) selects
+  // ~20% of spans, and each selected span is replaced by ONE sentinel
+  // token — the denoising-objective input transform. Entirely
+  // row-local (zero shuffle, scales with the scan); masked output is
+  // reported as an md5 so the driver compares the exact text without
+  // shipping it.
+  def q225SpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"text".isNotNull)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .withColumn("masked", expr(
+        """filter(transform(sequence(0, size(toks) - 1), i ->
+          |  CASE WHEN (doc_id * 31 + (i div 3)) % 5 = 0
+          |       THEN (CASE WHEN i % 3 = 0 THEN '<X>' END)
+          |       ELSE toks[i] END), x -> x IS NOT NULL)""".stripMargin))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        expr("size(filter(sequence(0, size(toks) - 1), i -> " +
+          "(doc_id * 31 + (i div 3)) % 5 = 0))").cast("long").as("n_masked"),
+        expr("size(filter(sequence(0, size(toks) - 1), i -> " +
+          "(doc_id * 31 + (i div 3)) % 5 = 0 AND i % 3 = 0))")
+          .cast("long").as("n_spans"),
+        md5(expr("array_join(masked, ' ')")).as("masked_md5"))
+      .orderBy($"doc_id")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_negative_edges" -> q219NegativeEdges _,
+    "q225_span_corruption" -> q225SpanCorruption _,
     "q213_personalized_pagerank" -> q213PersonalizedPagerank _,
     "q214_bpe_pairs" -> q214BpePairs _,
     "q215_csv_roundtrip" -> q215CsvRoundtrip _,
@@ -190,6 +221,25 @@ object CorpusQueries {
     "q217_gif_frames" -> q217GifFrames _)
 
   val oracle: Map[String, String] = Map(
+    "q225_span_corruption" ->
+      """WITH t AS (SELECT doc_id,
+        |        string_split_regex(trim(text), '\s+') AS toks
+        |       FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |       [CASE WHEN (doc_id * 31 + (i // 3)) % 5 = 0
+        |             THEN (CASE WHEN i % 3 = 0 THEN '<X>' END)
+        |             ELSE toks[i + 1] END
+        |        FOR i IN range(0, len(toks))] AS outv,
+        |       len([i FOR i IN range(0, len(toks))
+        |            IF (doc_id * 31 + (i // 3)) % 5 = 0]) AS n_masked,
+        |       len([i FOR i IN range(0, len(toks))
+        |            IF (doc_id * 31 + (i // 3)) % 5 = 0 AND i % 3 = 0]) AS n_spans
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_masked AS BIGINT) AS n_masked,
+        | CAST(n_spans AS BIGINT) AS n_spans,
+        | md5(array_to_string([x FOR x IN outv IF x IS NOT NULL], ' ')) AS masked_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q219_negative_edges" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,

@@ -363,7 +363,54 @@ object ExtendedQueries {
       .orderBy($"media_id")
   }
 
+  // ---------------------------------------------------------------- q226
+
+  // Bitmap-accelerated exact distinct users: per event type AND the
+  // cross-type rollup, from ONE scan. The per-(type, bucket) partial
+  // bitmaps are persisted and reused — the 'ALL' row is a bitmap_or
+  // over partials, never a second pass over events (the segmented-
+  // bitmap rollup pattern; see operators/BitmapDistinct). Oracle =
+  // plain count(DISTINCT) per branch: the bitmap path must be exact.
+  def q226BitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = graft.operators.BitmapDistinct.partials(
+      Tables.events(s, dir).filter($"user_id".isNotNull),
+      Seq("event_type"), $"user_id")
+      .persist() // read by the per-type counts AND the ALL rollup
+    val perType = graft.operators.BitmapDistinct
+      .countPartials(parts, Seq("event_type"), "n_users")
+    val overall = graft.operators.BitmapDistinct
+      .countPartials(graft.operators.BitmapDistinct.merge(parts, Seq.empty),
+        Seq.empty, "n_users")
+      .withColumn("event_type", lit("ALL"))
+    perType.unionByName(overall.select($"event_type", $"n_users"))
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------- q227
+
+  // k-truss cohesion peel (k=3) of the STRONG co-purchase graph —
+  // part pairs co-ordered at least twice. The weight filter is pushed
+  // into the first pair agg (the data-scale step); the peel loop then
+  // runs on the strong-edge frame with per-round support joins and
+  // bounded rounds (see operators/KTruss). Output: surviving edge
+  // count after each peel round.
+  def q227Ktruss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val strong = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
+      .filter($"x.l_partkey" < $"y.l_partkey")
+      .groupBy($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2L)
+      .select($"a", $"b")
+    graft.operators.KTruss.peelCounts(strong, "a", "b", k = 3, rounds = 3)
+      .orderBy($"round")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_bitmap_distinct" -> q226BitmapDistinct _,
+    "q227_ktruss" -> q227Ktruss _,
     "q165_geo_pairs" -> q165GeoPairs _,
     "q166_label_communities" -> q166LabelCommunities _,
     "q167_shortest_path" -> q167ShortestPath _,
@@ -384,6 +431,48 @@ object ExtendedQueries {
     "q182_image_decode" -> q182ImageDecode _)
 
   val oracle: Map[String, String] = Map(
+    "q226_bitmap_distinct" ->
+      """SELECT * FROM (
+        | SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        | UNION ALL
+        | SELECT 'ALL' AS event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        | FROM events WHERE user_id IS NOT NULL
+        |) u ORDER BY event_type""".stripMargin,
+    "q227_ktruss" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT CAST(x.l_partkey AS BIGINT) AS a, CAST(y.l_partkey AS BIGINT) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n0 AS MATERIALIZED (SELECT a AS n, b AS m FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |s1 AS (SELECT e.a, e.b, count(*) AS sup FROM e0 e
+        |  JOIN n0 x ON x.n = e.a JOIN n0 y ON y.n = e.b AND y.m = x.m
+        |  WHERE x.m <> e.b GROUP BY 1, 2),
+        |e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e
+        |  JOIN s1 ON s1.a = e.a AND s1.b = e.b AND s1.sup >= 1),
+        |n1 AS MATERIALIZED (SELECT a AS n, b AS m FROM e1
+        |  UNION ALL SELECT b, a FROM e1),
+        |s2 AS (SELECT e.a, e.b, count(*) AS sup FROM e1 e
+        |  JOIN n1 x ON x.n = e.a JOIN n1 y ON y.n = e.b AND y.m = x.m
+        |  WHERE x.m <> e.b GROUP BY 1, 2),
+        |e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e
+        |  JOIN s2 ON s2.a = e.a AND s2.b = e.b AND s2.sup >= 1),
+        |n2 AS MATERIALIZED (SELECT a AS n, b AS m FROM e2
+        |  UNION ALL SELECT b, a FROM e2),
+        |s3 AS (SELECT e.a, e.b, count(*) AS sup FROM e2 e
+        |  JOIN n2 x ON x.n = e.a JOIN n2 y ON y.n = e.b AND y.m = x.m
+        |  WHERE x.m <> e.b GROUP BY 1, 2),
+        |e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e
+        |  JOIN s3 ON s3.a = e.a AND s3.b = e.b AND s3.sup >= 1)
+        |SELECT * FROM (
+        | SELECT CAST(0 AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_edges FROM e0
+        | UNION ALL SELECT 1, count(*) FROM e1
+        | UNION ALL SELECT 2, count(*) FROM e2
+        | UNION ALL SELECT 3, count(*) FROM e3
+        |) u ORDER BY round""".stripMargin,
     "q182_image_decode" ->
       """WITH ids AS (SELECT unnest(generate_series(1, 20)) AS id)
         |SELECT CAST(id AS BIGINT) AS media_id,

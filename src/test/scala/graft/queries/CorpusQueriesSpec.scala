@@ -100,6 +100,29 @@ class CorpusQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q225 span masking matches a brute-force local replay") {
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = CorpusQueries.q225SpanCorruption(spark, sfSmoke)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(got.size == docs.size)
+    got.foreach { case (id, nTok, nMask, nSpan, md5) =>
+      val toks = docs(id).trim.split("\\s+")
+      def hit(i: Int) = (id * 31 + i / 3) % 5 == 0
+      assert(nTok == toks.length.toLong)
+      assert(nMask == toks.indices.count(hit).toLong)
+      assert(nSpan == toks.indices.count(i => hit(i) && i % 3 == 0).toLong)
+      val masked = toks.indices.flatMap { i =>
+        if (hit(i)) { if (i % 3 == 0) Some("<X>") else None } else Some(toks(i))
+      }.mkString(" ")
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(masked.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5 == want, s"masked md5 of doc $id")
+    }
+    // masking actually fires somewhere
+    assert(got.map(_._3).sum > 0)
+  }
+
   test("q214 pair counts match a brute-force local recount") {
     val docs = graft.sources.Tables.documents(spark, sfSmoke)
       .select($"text").as[String].collect()

@@ -101,6 +101,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q226: the ALL rollup reads persisted bitmap partials, never a second events scan") {
+    val p = plan("q226_bitmap_distinct")
+    assert(p.contains("InMemoryTableScan"), p)
+    // physical form is static_invoke(BitmapExpressionUtils.bitmapCount)
+    assert(p.contains("bitmapCount") || p.contains("bitmap_count"), p)
+  }
+
   test("q165: geo pairs join on grid cells — never a cartesian product") {
     val p = plan("q165_geo_pairs")
     assert(!p.contains("CartesianProduct"), p)

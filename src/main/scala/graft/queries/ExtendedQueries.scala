@@ -408,9 +408,72 @@ object ExtendedQueries {
       .orderBy($"round")
   }
 
+  // ---------------------------------------------------------------- q228
+
+  // Percolation: N STORED kuery queries matched against the corpus in
+  // ONE scan (the ES percolate query, inverted retrieval). q181 runs
+  // one scan per saved search; here every compiled predicate becomes a
+  // conditional aggregate over a single pass — the shape that stays
+  // one-pass no matter how many queries are registered. Emits per
+  // stored query its match count and first matching doc id (−1 = none).
+  def q228Percolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val stored = Seq(
+      "p1_en_spark" -> "lang.keyword: en and text: spark",
+      "p2_src_group" -> "source.keyword: (src0 or src3)",
+      "p3_not_short" -> "not n_chars < 200",
+      "p4_phrase" -> "batch stream",
+      "p5_wild" -> "text: *vector*",
+      "p6_mixed" -> "lang.keyword: de or (source.keyword: src2 and text: window)")
+    val aggs = stored.zipWithIndex.flatMap { case ((_, kq), i) =>
+      val p = graft.search.Kuery.predicate(docs, kq, Seq("text"))
+      Seq(sum(when(p, 1L).otherwise(0L)).as(s"n$i"),
+        min(when(p, $"doc_id")).as(s"f$i"))
+    }
+    val stacked = stored.zipWithIndex.map { case ((label, _), i) =>
+      s"'$label', n$i, coalesce(f$i, CAST(-1 AS BIGINT))"
+    }.mkString(", ")
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${stored.size}, $stacked)")
+        .as(Seq("query", "n_matches", "first_doc")))
+      .orderBy($"query")
+  }
+
+  // ---------------------------------------------------------------- q229
+
+  // Sequential pattern mining: the top-10 most frequent consecutive
+  // 3-event-type sequences across user timelines (PrefixSpan's
+  // bounded-length workhorse case). One shuffle groups each user's
+  // bounded timeline; 3-gram generation is row-local HOFs over the
+  // sorted (ts, event_id, type) structs; support = one hash agg.
+  // Total order (ts, event_id) makes the grams engine-deterministic.
+  def q229SequenceMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(
+        struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select($"user_id", expr(
+        """CASE WHEN size(evs) >= 3
+          |     THEN transform(sequence(0, size(evs) - 3), i ->
+          |       concat_ws('>', evs[i].event_type, evs[i+1].event_type,
+          |                 evs[i+2].event_type))
+          |     ELSE array() END""".stripMargin).as("grams"))
+      .select($"user_id", explode($"grams").as("gram"))
+    grams.groupBy($"gram")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"n_occ".desc, $"gram")
+      .limit(10)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_bitmap_distinct" -> q226BitmapDistinct _,
     "q227_ktruss" -> q227Ktruss _,
+    "q228_percolate" -> q228Percolate _,
+    "q229_sequence_mining" -> q229SequenceMining _,
     "q165_geo_pairs" -> q165GeoPairs _,
     "q166_label_communities" -> q166LabelCommunities _,
     "q167_shortest_path" -> q167ShortestPath _,
@@ -431,6 +494,44 @@ object ExtendedQueries {
     "q182_image_decode" -> q182ImageDecode _)
 
   val oracle: Map[String, String] = Map(
+    "q228_percolate" ->
+      """WITH g AS (SELECT
+        | sum(CASE WHEN lang = 'en' AND contains(text, 'spark') THEN 1 ELSE 0 END) AS n1,
+        | min(CASE WHEN lang = 'en' AND contains(text, 'spark') THEN doc_id END) AS f1,
+        | sum(CASE WHEN source = 'src0' OR source = 'src3' THEN 1 ELSE 0 END) AS n2,
+        | min(CASE WHEN source = 'src0' OR source = 'src3' THEN doc_id END) AS f2,
+        | sum(CASE WHEN NOT (n_chars < 200) THEN 1 ELSE 0 END) AS n3,
+        | min(CASE WHEN NOT (n_chars < 200) THEN doc_id END) AS f3,
+        | sum(CASE WHEN contains(text, 'batch stream') THEN 1 ELSE 0 END) AS n4,
+        | min(CASE WHEN contains(text, 'batch stream') THEN doc_id END) AS f4,
+        | sum(CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END) AS n5,
+        | min(CASE WHEN contains(text, 'vector') THEN doc_id END) AS f5,
+        | sum(CASE WHEN lang = 'de' OR (source = 'src2' AND contains(text, 'window'))
+        |     THEN 1 ELSE 0 END) AS n6,
+        | min(CASE WHEN lang = 'de' OR (source = 'src2' AND contains(text, 'window'))
+        |     THEN doc_id END) AS f6
+        |FROM documents)
+        |SELECT * FROM (
+        | SELECT 'p1_en_spark' AS query, CAST(n1 AS BIGINT) AS n_matches,
+        |  CAST(coalesce(f1, -1) AS BIGINT) AS first_doc FROM g
+        | UNION ALL SELECT 'p2_src_group', n2, coalesce(f2, -1) FROM g
+        | UNION ALL SELECT 'p3_not_short', n3, coalesce(f3, -1) FROM g
+        | UNION ALL SELECT 'p4_phrase', n4, coalesce(f4, -1) FROM g
+        | UNION ALL SELECT 'p5_wild', n5, coalesce(f5, -1) FROM g
+        | UNION ALL SELECT 'p6_mixed', n6, coalesce(f6, -1) FROM g
+        |) u ORDER BY query""".stripMargin,
+    "q229_sequence_mining" ->
+      """WITH s AS (SELECT user_id,
+        |        list(event_type ORDER BY ts, event_id) AS types
+        |       FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (SELECT user_id,
+        |       unnest([types[i+1] || '>' || types[i+2] || '>' || types[i+3]
+        |               FOR i IN range(0, len(types) - 2)]) AS gram
+        |      FROM s)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM g GROUP BY 1
+        |ORDER BY n_occ DESC, gram LIMIT 10""".stripMargin,
     "q226_bitmap_distinct" ->
       """SELECT * FROM (
         | SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -108,6 +108,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("bitmapCount") || p.contains("bitmap_count"), p)
   }
 
+  test("q228: percolation over 6 stored queries is ONE corpus scan") {
+    val p = plan("q228_percolate")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("q165: geo pairs join on grid cells — never a cartesian product") {
     val p = plan("q165_geo_pairs")
     assert(!p.contains("CartesianProduct"), p)

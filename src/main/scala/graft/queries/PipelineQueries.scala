@@ -2713,7 +2713,36 @@ object PipelineQueries {
       .orderBy($"source_a", $"source_b")
   }
 
+  // Free audit metrics via the Observation API: the ingest write runs
+  // ONCE, and row counts / null rates / value totals / day bounds ride
+  // the same pass as named observe() metrics (Spark's
+  // CollectMetricsExec) — zero additional scans, the mechanism a
+  // write-audit-publish gate should use instead of re-reading its own
+  // sink (contrast q92, which audits by querying the published table).
+  // The metric values ARE the query result; the oracle recomputes them
+  // from the source, so a metric dropped or double-counted by the
+  // piggyback path breaks the hash match.
+  def q230ObservedIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation("q230_metrics")
+    val tmp = tempDir("graft-q230")
+    Tables.events(s, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when($"user_id".isNull, 1L).otherwise(0L)).as("null_users"),
+        coalesce(sum(floor($"value" * 100).cast("long")), lit(0L)).as("sum_cents"),
+        min(expr("unix_millis(ts) div 86400000")).as("min_day"),
+        max(expr("unix_millis(ts) div 86400000")).as("max_day"))
+      .write.mode("overwrite").parquet(s"$tmp/tables/events_copy")
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("null_users").asInstanceOf[Long],
+      m("sum_cents").asInstanceOf[Long], m("min_day").asInstanceOf[Long],
+      m("max_day").asInstanceOf[Long]))
+      .toDF("n_rows", "null_users", "sum_cents", "min_day", "max_day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_observed_ingest" -> q230ObservedIngest _,
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
     "q28_json_serialize" -> q28JsonSerialize _,
@@ -3058,6 +3087,13 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q230_observed_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_users,
+        | CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS sum_cents,
+        | CAST(min(epoch_ms(ts) // 86400000) AS BIGINT) AS min_day,
+        | CAST(max(epoch_ms(ts) // 86400000) AS BIGINT) AS max_day
+        |FROM events""".stripMargin,
     "q127_overlap_shipments" ->
       """WITH b AS (
         | SELECT l_partkey pk, epoch_ms(l_shipdate) // 86400000 AS sd,

@@ -307,9 +307,24 @@ object SearchAggQueries {
       .orderBy($"day")
   }
 
+  // ---------------------------------------------------------------- q231
+
+  // significant_text agg: which TOKENS are over-represented in the
+  // German slice of the corpus vs the whole corpus — q207's JLH scorer
+  // fed doc-distinct tokens (ES counts a term once per doc, so terms
+  // explode through array_distinct before the one hash agg).
+  def q231SignificantText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"lang",
+        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+    SignificantTerms.jlh(toks, $"term", $"lang" === "de", 10)
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_significant_text" -> q231SignificantText _,
     "q220_cumulative_cardinality" -> q220CumulativeCardinality _,
     "q221_boxplot" -> q221Boxplot _,
     "q222_multi_terms" -> q222MultiTerms _,
@@ -324,6 +339,22 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q231_significant_text" ->
+      """WITH t AS (SELECT lang = 'de' AS fg,
+        |        unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+        |       FROM documents),
+        |a AS (SELECT term, CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_n,
+        |       CAST(count(*) AS BIGINT) AS bg_n FROM t GROUP BY 1),
+        |tot AS (SELECT sum(fg_n) AS fg_tot, sum(bg_n) AS bg_tot FROM a),
+        |p AS (SELECT term, fg_n, bg_n,
+        |       CAST(fg_n * 1000000 // fg_tot AS BIGINT) AS fg_ppm,
+        |       CAST(bg_n * 1000000 // bg_tot AS BIGINT) AS bg_ppm
+        |      FROM a, tot WHERE fg_n > 0),
+        |sc AS (SELECT *, (CASE WHEN fg_ppm >= bg_ppm THEN 1 ELSE -1 END) *
+        |        CAST(abs(fg_ppm - bg_ppm) * fg_ppm // bg_ppm AS BIGINT) AS score_ppm
+        |       FROM p WHERE bg_ppm > 0)
+        |SELECT term, fg_n, bg_n, fg_ppm, bg_ppm, CAST(score_ppm AS BIGINT) AS score_ppm
+        |FROM sc ORDER BY score_ppm DESC, term LIMIT 10""".stripMargin,
     "q220_cumulative_cardinality" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
         |      FROM events WHERE user_id IS NOT NULL),

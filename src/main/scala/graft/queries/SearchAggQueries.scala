@@ -321,9 +321,40 @@ object SearchAggQueries {
     SignificantTerms.jlh(toks, $"term", $"lang" === "de", 10)
   }
 
+  // ---------------------------------------------------------------- q232
+
+  // top_hits agg: the 3 most recent full event rows per event type.
+  // NEVER a row-per-event window partitioned by the 5-value type (the
+  // low-cardinality-partition trap): phase 1 finds each type's 3rd-
+  // latest distinct timestamp on the (type × distinct-ts) COUNT frame
+  // (q172's value-domain shape), phase 2 joins the broadcast threshold
+  // back and keeps rows at-or-after it — a bounded frame on which the
+  // final rank window is exact (ties broken by event_id desc).
+  def q232TopHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"event_id", $"user_id",
+        expr("unix_millis(ts)").as("ms"))
+    val wc = Window.partitionBy($"event_type").orderBy($"ms".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = ev.groupBy($"event_type", $"ms").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wc))
+      .groupBy($"event_type")
+      .agg(min(when($"cum" >= 3L, $"ms")).as("cut_ms"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"ms".desc, $"event_id".desc)
+    ev.join(broadcast(cut), Seq("event_type"))
+      .filter($"ms" >= coalesce($"cut_ms", lit(Long.MinValue)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3L)
+      .select($"event_type", $"rk", $"event_id", $"user_id", $"ms")
+      .orderBy($"event_type", $"rk")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_top_hits" -> q232TopHits _,
     "q231_significant_text" -> q231SignificantText _,
     "q220_cumulative_cardinality" -> q220CumulativeCardinality _,
     "q221_boxplot" -> q221Boxplot _,
@@ -339,6 +370,14 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q232_top_hits" ->
+      """WITH e AS (SELECT event_type, event_id, user_id, epoch_ms(ts) AS ms
+        |       FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |       ORDER BY ms DESC, event_id DESC) AS rk FROM e)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id,
+        | CAST(ms AS BIGINT) AS ms
+        |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q231_significant_text" ->
       """WITH t AS (SELECT lang = 'de' AS fg,
         |        unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term

@@ -807,7 +807,80 @@ object TrainingQueries {
     "q203_kuery_time_range" -> q203KueryTimeRange _,
     "q204_panel_pipelines" -> q204PanelPipelines _,
     "q205_fertility" -> q205Fertility _,
-    "q206_dedup_sensitivity" -> q206DedupSensitivity _)
+    "q206_dedup_sensitivity" -> q206DedupSensitivity _,
+    "q233_rank_eval" -> q233RankEval _)
+
+  // ---------------------------------------------------------------- q233
+
+  // rank_eval for saved searches: MRR, precision@10 and recall@20 of
+  // the BM25 ranking against tf≥2 relevance labels, per query term —
+  // the ES rank_eval API over the q96 scorer. All metrics are RANK
+  // functions (exact integer ppm); scores never leave the plan. The
+  // 20-row ranked frame broadcasts into the relevance join (q192's
+  // explicit-broadcast lesson); corpus-side work is one tokens scan
+  // per query term.
+  def q233RankEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val terms = Seq("merge", "spark", "vector")
+    terms.map { t =>
+      val ranked = graft.text.Tfidf.bm25TopK(docs, "doc_id", "text", Seq(t), 20)
+        .withColumn("r", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+        .select($"doc_id", $"r")
+      val rel = docs.filter(expr(
+        s"size(filter(split(trim(text), '\\\\s+'), x -> x = '$t')) >= 2"))
+        .select($"doc_id")
+      val relTot = rel.agg(count(lit(1)).as("n_rel"))
+      val hits = rel.join(broadcast(ranked), Seq("doc_id"))
+        .agg(min($"r").as("frr0"),
+          coalesce(sum(when($"r" <= 10L, 1L).otherwise(0L)), lit(0L)).as("h10"),
+          count(lit(1)).as("h20"))
+      hits.crossJoin(broadcast(relTot))
+        .select(lit(t).as("query"), $"n_rel",
+          coalesce($"frr0", lit(0L)).as("first_rel_rank"),
+          expr("CASE WHEN frr0 IS NOT NULL THEN 1000000 div frr0 ELSE CAST(0 AS BIGINT) END")
+            .as("mrr_ppm"),
+          ($"h10" * lit(100000L)).as("p10_ppm"),
+          expr("CASE WHEN n_rel > 0 THEN h20 * 1000000 div n_rel ELSE CAST(0 AS BIGINT) END")
+            .as("recall20_ppm"))
+    }.reduce(_.unionAll(_)).orderBy($"query")
+  }
+
+  /** q233's oracle: the q96/q197 BM25 chain per single query term, the
+    * identical tf≥2 relevance set, and integer rank metrics.
+    */
+  private lazy val q233Sql: String = {
+    val branches = Seq("merge", "spark", "vector").map { t =>
+      s"""SELECT '$t' AS query, CAST(n_rel AS BIGINT) AS n_rel,
+         | CAST(coalesce(frr0, 0) AS BIGINT) AS first_rel_rank,
+         | CAST(CASE WHEN frr0 IS NOT NULL THEN 1000000 // frr0 ELSE 0 END AS BIGINT) AS mrr_ppm,
+         | CAST(h10 * 100000 AS BIGINT) AS p10_ppm,
+         | CAST(CASE WHEN n_rel > 0 THEN h20 * 1000000 // n_rel ELSE 0 END AS BIGINT) AS recall20_ppm
+         |FROM (
+         | WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') tk FROM documents),
+         | stats AS (SELECT count(*) n, CAST(sum(len(tk)) AS BIGINT) sum_dl,
+         |   sum(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) df0 FROM toks),
+         | sb AS (SELECT doc_id, round(
+         |   ln(1.0 + (n::DOUBLE - df0::DOUBLE + 0.5) / (df0::DOUBLE + 0.5))
+         |    * (len(list_filter(tk, x -> x = '$t'))::DOUBLE * (1.2 + 1.0))
+         |    / (len(list_filter(tk, x -> x = '$t'))::DOUBLE
+         |       + 1.2 * (1.0 - 0.75 + 0.75 * len(tk)::DOUBLE / (sum_dl::DOUBLE / n::DOUBLE))), 6) score
+         |  FROM toks, stats),
+         | tb AS (SELECT doc_id, score FROM sb WHERE score > 0
+         |        ORDER BY score DESC, doc_id LIMIT 20),
+         | rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) r FROM tb),
+         | rel AS (SELECT doc_id FROM toks WHERE len(list_filter(tk, x -> x = '$t')) >= 2),
+         | h AS (SELECT min(r) frr0,
+         |        coalesce(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END), 0) h10,
+         |        count(*) h20
+         |       FROM rk JOIN rel USING (doc_id)),
+         | nr AS (SELECT count(*) n_rel FROM rel)
+         | SELECT * FROM h, nr
+         |) m""".stripMargin
+    }
+    branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY query")
+  }
 
   /** q197's oracle: both ranking chains (q64 TF-IDF, q96 BM25) re-ranked
     * within their top-20 intersection, Spearman via the integer closed
@@ -891,6 +964,7 @@ object TrainingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q233_rank_eval" -> q233Sql,
     "q183_next_fit_pack" ->
       s"""WITH RECURSIVE d AS MATERIALIZED (
          | SELECT doc_id % 16 AS shard, doc_id,

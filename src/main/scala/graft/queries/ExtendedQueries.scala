@@ -469,11 +469,35 @@ object ExtendedQueries {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------- q234
+
+  // Pixel-proven image feature extraction: 20 planted lossless PNGs
+  // (gradient (x·7 + y·13) & 0xffffff) fully decoded pixel-by-pixel
+  // through the mapPartitions stage — exact per-channel sums and a 2×
+  // nearest-neighbor downsample. The oracle recomputes every sum
+  // closed-form from the generator, so a decoder that misreads one
+  // pixel anywhere breaks the hash match.
+  def q234PixelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = (1L to 20L).map { id =>
+      val w = 32 + (id % 5).toInt * 8
+      val h = 24 + (id % 3).toInt * 8
+      (id, graft.multimodal.Multimodal.syntheticImage(w, h, "png"))
+    }
+    val media = planted.toDF("media_id", "content")
+    graft.multimodal.Multimodal.decodePixelStats(media, stride = 2).toDF()
+      .select($"mediaId".as("media_id"), $"width", $"height",
+        $"sumR".as("sum_r"), $"sumG".as("sum_g"), $"sumB".as("sum_b"),
+        $"dsSumR".as("ds_sum_r"), $"dsNPx".as("ds_n_px"))
+      .orderBy($"media_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_bitmap_distinct" -> q226BitmapDistinct _,
     "q227_ktruss" -> q227Ktruss _,
     "q228_percolate" -> q228Percolate _,
     "q229_sequence_mining" -> q229SequenceMining _,
+    "q234_pixel_stats" -> q234PixelStats _,
     "q165_geo_pairs" -> q165GeoPairs _,
     "q166_label_communities" -> q166LabelCommunities _,
     "q167_shortest_path" -> q167ShortestPath _,
@@ -494,6 +518,22 @@ object ExtendedQueries {
     "q182_image_decode" -> q182ImageDecode _)
 
   val oracle: Map[String, String] = Map(
+    "q234_pixel_stats" ->
+      """WITH ids AS (SELECT unnest(range(1, 21)) AS id),
+        |dims AS (SELECT id, 32 + (id % 5) * 8 AS w, 24 + (id % 3) * 8 AS h FROM ids),
+        |xs AS (SELECT unnest(range(0, 64)) AS x),
+        |ys AS (SELECT unnest(range(0, 40)) AS y),
+        |px AS (SELECT d.id, d.w, d.h, xs.x, ys.y,
+        |        ((xs.x * 7 + ys.y * 13) % 16777216) AS v
+        |       FROM dims d JOIN xs ON xs.x < d.w JOIN ys ON ys.y < d.h)
+        |SELECT CAST(id AS BIGINT) AS media_id,
+        | CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        | CAST(sum(v // 65536) AS BIGINT) AS sum_r,
+        | CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+        | CAST(sum(v % 256) AS BIGINT) AS sum_b,
+        | CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN v // 65536 END) AS BIGINT) AS ds_sum_r,
+        | CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ds_n_px
+        |FROM px GROUP BY id ORDER BY media_id""".stripMargin,
     "q228_percolate" ->
       """WITH g AS (SELECT
         | sum(CASE WHEN lang = 'en' AND contains(text, 'spark') THEN 1 ELSE 0 END) AS n1,

@@ -61,6 +61,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(byId == Map(1L -> 3L, 2L -> 3L))
   }
 
+  test("decodePixelStats recounts a tiny gradient exactly; garbage is dropped") {
+    // 3x2 gradient: v(x,y) = (x*7 + y*13) & 0xffffff, all < 256 here so
+    // r = g = 0 per pixel and b = v
+    val df = Seq(
+      (9L, Multimodal.syntheticImage(3, 2, "png")),
+      (10L, "not an image".getBytes)).toDF("media_id", "content")
+    val got = Multimodal.decodePixelStats(df, stride = 2).collect().toList
+    assert(got.map(_.mediaId) == List(9L))
+    val vs = for (y <- 0 until 2; x <- 0 until 3) yield (x, y, x * 7 + y * 13)
+    val s = got.head
+    assert(s.width == 3L && s.height == 2L)
+    assert(s.sumR == 0L && s.sumG == 0L)
+    assert(s.sumB == vs.map(_._3.toLong).sum)
+    assert(s.dsSumR == 0L)
+    assert(s.dsNPx == vs.count { case (x, y, _) => x % 2 == 0 && y % 2 == 0 }.toLong)
+  }
+
   test("binaryMeta digest distinguishes payloads") {
     val d = media.select(($"media_id" +: Multimodal.binaryMeta($"content")): _*)
       .select($"digest").as[String].collect()

@@ -2741,8 +2741,45 @@ object PipelineQueries {
       .toDF("n_rows", "null_users", "sum_cents", "min_day", "max_day")
   }
 
+  // Stream-STATIC broadcast enrichment (the third join mode next to
+  // q68's stream-stream and the batch q11): the events stream joins
+  // the static customer dimension per micro-batch with a broadcast
+  // hash join — no stream state, no watermark, the dimension is simply
+  // re-read/broadcast each trigger, which is exactly the 100 TB shape
+  // for fact-stream × small-dim enrichment. Sink totals per segment
+  // must equal the batch join (oracle).
+  def q235StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = Tables.eventsFileSchema(s, dir)
+    val tmp = tempDir("graft-q235")
+    val spool = java.nio.file.Files.createDirectories(tmp.resolve("spool"))
+    java.nio.file.Files.createSymbolicLink(
+      spool.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 100000).parquet(spool.toString)
+    val dim = Tables.customer(s2, dir)
+      .select($"c_custkey", $"c_mktsegment")
+    Tables.normalizeEventTs(raw)
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/tables/enriched")
+      .option("checkpointLocation", s"$tmp/ckpt/enriched")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(s"$tmp/tables/enriched")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        coalesce(sum(floor($"value" * 100).cast("long")), lit(0L)).as("cents"))
+      .orderBy($"c_mktsegment")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_observed_ingest" -> q230ObservedIngest _,
+    "q235_stream_enrich" -> q235StreamEnrich _,
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
     "q28_json_serialize" -> q28JsonSerialize _,
@@ -3087,6 +3124,13 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q235_stream_enrich" ->
+      """SELECT c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q230_observed_ingest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_users,

@@ -351,9 +351,68 @@ object SearchAggQueries {
       .orderBy($"event_type", $"rk")
   }
 
+  // ---------------------------------------------------------------- q236
+
+  // Term suggester (did-you-mean): each misspelled query term gets the
+  // best vocabulary correction within edit distance 1, ranked by
+  // (distance, corpus frequency desc, term). Candidates come from the
+  // deletion-neighborhood join (never |Q|×|V|); the ranking window
+  // sees only the tiny candidate frame. Oracle brute-forces
+  // levenshtein over the whole vocabulary.
+  def q236Suggest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(trim($"text"), "\\s+")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+      .persist() // candidate join + frequency lookup
+    val qs = Seq("spak", "vectr", "merg", "windw", "quer").toDF("query")
+    val cands = graft.text.FuzzyJoin
+      .editDistance1Join(qs, "query", vocab.select($"term"), "term")
+      .withColumnRenamed("q", "query")
+      .join(broadcast(vocab), $"v" === $"term")
+    val w = Window.partitionBy($"query")
+      .orderBy($"dist", $"freq".desc, $"term")
+    cands.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"query", $"term".as("suggestion"),
+        $"dist".cast("long").as("dist"), $"freq")
+      .orderBy($"query")
+  }
+
+  // ---------------------------------------------------------------- q237
+
+  // terms_set query (minimum_should_match ladder): documents matching
+  // at least m of the 3 given terms, for every m, counted in ONE scan —
+  // the match count is a row-local sum of contains flags, the ladder a
+  // stacked conditional agg (q209's shape).
+  def q237TermsSet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = array_distinct(split(trim($"text"), "\\s+"))
+    val m = Seq("spark", "join", "merge")
+      .map(t => array_contains(tk, t).cast("long"))
+      .reduce(_ + _)
+    Tables.documents(s, dir)
+      .select(m.as("m"), $"n_chars")
+      .agg(
+        sum(when($"m" >= 1L, 1L).otherwise(0L)).as("n1"),
+        coalesce(sum(when($"m" >= 1L, $"n_chars")), lit(0L)).as("s1"),
+        sum(when($"m" >= 2L, 1L).otherwise(0L)).as("n2"),
+        coalesce(sum(when($"m" >= 2L, $"n_chars")), lit(0L)).as("s2"),
+        sum(when($"m" >= 3L, 1L).otherwise(0L)).as("n3"),
+        coalesce(sum(when($"m" >= 3L, $"n_chars")), lit(0L)).as("s3"))
+      .select(expr(
+        "stack(3, CAST(1 AS BIGINT), n1, s1, CAST(2 AS BIGINT), n2, s2, " +
+          "CAST(3 AS BIGINT), n3, s3)")
+        .as(Seq("min_match", "n_docs", "sum_chars")))
+      .orderBy($"min_match")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_suggest" -> q236Suggest _,
+    "q237_terms_set" -> q237TermsSet _,
     "q232_top_hits" -> q232TopHits _,
     "q231_significant_text" -> q231SignificantText _,
     "q220_cumulative_cardinality" -> q220CumulativeCardinality _,
@@ -370,6 +429,39 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q236_suggest" ->
+      """WITH v AS (SELECT term, count(*) AS freq FROM (
+        |        SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents) t WHERE len(term) > 0 GROUP BY 1),
+        |q AS (SELECT unnest(['spak', 'vectr', 'merg', 'windw', 'quer']) AS query),
+        |c AS (SELECT q.query, v.term, levenshtein(q.query, v.term) AS dist, v.freq
+        |      FROM q, v WHERE levenshtein(q.query, v.term) <= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query
+        |       ORDER BY dist, freq DESC, term) AS rk FROM c)
+        |SELECT query, term AS suggestion, CAST(dist AS BIGINT) AS dist,
+        | CAST(freq AS BIGINT) AS freq
+        |FROM r WHERE rk = 1 ORDER BY query""".stripMargin,
+    "q237_terms_set" ->
+      """WITH d AS (SELECT n_chars,
+        |        (list_contains(tk, 'spark')::BIGINT + list_contains(tk, 'join')::BIGINT
+        |         + list_contains(tk, 'merge')::BIGINT) AS m
+        |       FROM (SELECT n_chars,
+        |              list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+        |             FROM documents) t),
+        |g AS (SELECT
+        |       sum(CASE WHEN m >= 1 THEN 1 ELSE 0 END) AS n1,
+        |       coalesce(sum(CASE WHEN m >= 1 THEN n_chars END), 0) AS s1,
+        |       sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS n2,
+        |       coalesce(sum(CASE WHEN m >= 2 THEN n_chars END), 0) AS s2,
+        |       sum(CASE WHEN m >= 3 THEN 1 ELSE 0 END) AS n3,
+        |       coalesce(sum(CASE WHEN m >= 3 THEN n_chars END), 0) AS s3
+        |      FROM d)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS min_match, CAST(n1 AS BIGINT) AS n_docs,
+        |  CAST(s1 AS BIGINT) AS sum_chars FROM g
+        | UNION ALL SELECT 2, n2, s2 FROM g
+        | UNION ALL SELECT 3, n3, s3 FROM g
+        |) u ORDER BY min_match""".stripMargin,
     "q232_top_hits" ->
       """WITH e AS (SELECT event_type, event_id, user_id, epoch_ms(ts) AS ms
         |       FROM events),

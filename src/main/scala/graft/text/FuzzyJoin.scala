@@ -51,4 +51,34 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("dist") <= 1)
   }
+
+  /** Two-sided edit-distance-≤1 join (query terms ⋈ vocabulary) via
+    * the same deletion-neighborhood blocking: each side explodes its
+    * delete-one variants, candidates meet on a shared variant key (a
+    * uniform-key equi join — never |Q|×|V|), and the exact Levenshtein
+    * check inside the join prunes false candidates. Output one row per
+    * distinct (q, v) pair: (q, v, dist). The spell-suggest primitive.
+    */
+  def editDistance1Join(left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String): DataFrame = {
+    // variants first, rename after: aliasing c→out and referencing c in
+    // the same select trips the lateral-column-alias resolver when the
+    // input is already named like the output
+    def vars(df: DataFrame, c: String, out: String) =
+      df.filter(length(col(c)) > 0)
+        .select(col(c),
+          explode(array_union(
+            array(col(c)),
+            transform(sequence(lit(1), length(col(c))),
+              i => concat(
+                col(c).substr(lit(1), i - lit(1)),
+                col(c).substr(i + lit(1), length(col(c)))))))
+            .as("__k"))
+        .withColumnRenamed(c, out)
+        .distinct()
+    vars(left, leftCol, "q").join(vars(right, rightCol, "v"), Seq("__k"))
+      .select("q", "v").distinct()
+      .withColumn("dist", levenshtein(col("q"), col("v")))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -36,6 +36,20 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(!got.contains((1L, 5L)))
   }
 
+  test("two-sided join finds every cross-side ed≤1 pair, never more") {
+    val qs = Seq("spak", "cta", "zzz", "beta").toDF("q")
+    val vocab = Seq("spark", "cat", "beta", "betas", "delta").toDF("v")
+    val got = FuzzyJoin.editDistance1Join(qs, "q", vocab, "v")
+      .as[(String, String, Int)].collect().toSet
+    val want = (for {
+      q <- Seq("spak", "cta", "zzz", "beta"); v <- Seq("spark", "cat", "beta", "betas", "delta")
+      d = lev(q, v) if d <= 1
+    } yield (q, v, d)).toSet
+    assert(got == want && want.contains(("spak", "spark", 1))
+      && want.contains(("beta", "beta", 0)))
+    assert(!got.exists(_._1 == "zzz"))
+  }
+
   test("brute-force equivalence on a generated corpus") {
     val base = Seq("alpha", "alphb", "alph", "alphaa", "beta", "betaa",
       "gamma", "gamm", "gama", "delta")

@@ -209,9 +209,76 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- q238
+
+  // Deterministic data augmentation (EDA-style, RNG-free): token
+  // dropout — token i is dropped iff (doc_id·17 + i) % 10 == 0 — and
+  // adjacent-pair swap — aligned pair (2j, 2j+1) swaps iff
+  // (doc_id·23 + j) % 7 == 0, applied AFTER dropout on the survivor
+  // sequence. Entirely row-local HOFs; the augmented text is compared
+  // by md5, so both engines must replay the exact same edit sequence.
+  def q238Augment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"text".isNotNull)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .withColumn("kept", expr(
+        """filter(transform(sequence(0, size(toks) - 1), i ->
+          |  CASE WHEN (doc_id * 17 + i) % 10 = 0 THEN NULL
+          |       ELSE toks[i] END), x -> x IS NOT NULL)""".stripMargin))
+      .withColumn("swapped", expr(
+        """transform(sequence(0, size(kept) - 1), i ->
+          |  CASE WHEN (doc_id * 23 + (i div 2)) % 7 = 0
+          |       THEN (CASE WHEN i % 2 = 0
+          |             THEN (CASE WHEN i + 1 < size(kept) THEN kept[i + 1]
+          |                   ELSE kept[i] END)
+          |             ELSE kept[i - 1] END)
+          |       ELSE kept[i] END)""".stripMargin))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        (size($"toks") - size($"kept")).cast("long").as("n_dropped"),
+        expr("size(filter(sequence(0, size(kept) - 1), i -> " +
+          "(doc_id * 23 + (i div 2)) % 7 = 0 AND i % 2 = 0 AND i + 1 < size(kept)))")
+          .cast("long").as("n_swaps"),
+        md5(expr("array_join(swapped, ' ')")).as("aug_md5"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- q239
+
+  // BPE APPLY (the tokenize step that pairs with q214's learn step): a
+  // fixed 3-rule merge table applied to space-separated character
+  // sequences by sequential leftmost non-overlapping replace — both
+  // engines' replace() shares that exact semantics, so symbol counts
+  // match to the unit. Reports corpus-total symbols after each stage
+  // (stage 0 = raw characters).
+  def q239BpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = Seq(("a", "t"), ("t", "h"), ("th", "e")) // at, th, the
+    val words = Tables.documents(s, dir)
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .filter(length($"w") > 0)
+      .withColumn("s0", expr("trim(regexp_replace(w, '(.)', '$1 '))"))
+    val staged = merges.zipWithIndex.foldLeft(words) {
+      case (df, ((a, b), i)) =>
+        df.withColumn(s"s${i + 1}",
+          expr(s"replace(s$i, '$a $b', '$a$b')"))
+    }
+    val aggs = (0 to merges.size).map(i =>
+      sum(size(split(col(s"s$i"), " ")).cast("long")).as(s"n$i"))
+    val stacked = (0 to merges.size)
+      .map(i => s"CAST($i AS BIGINT), n$i").mkString(", ")
+    staged.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${merges.size + 1}, $stacked)")
+        .as(Seq("stage", "total_symbols")))
+      .orderBy($"stage")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_augment" -> q238Augment _,
+    "q239_bpe_apply" -> q239BpeApply _,
     "q219_negative_edges" -> q219NegativeEdges _,
     "q225_span_corruption" -> q225SpanCorruption _,
     "q213_personalized_pagerank" -> q213PersonalizedPagerank _,
@@ -221,6 +288,52 @@ object CorpusQueries {
     "q217_gif_frames" -> q217GifFrames _)
 
   val oracle: Map[String, String] = Map(
+    "q238_augment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |       FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT doc_id, len(toks) AS n_tokens,
+        |       [toks[i + 1] FOR i IN range(0, len(toks))
+        |        IF (doc_id * 17 + i) % 10 <> 0] AS kept
+        |      FROM t),
+        |w AS (SELECT doc_id, n_tokens, len(kept) AS n_kept,
+        |       [CASE WHEN (doc_id * 23 + (i // 2)) % 7 = 0
+        |             THEN (CASE WHEN i % 2 = 0
+        |                   THEN (CASE WHEN i + 1 < len(kept) THEN kept[i + 2]
+        |                         ELSE kept[i + 1] END)
+        |                   ELSE kept[i] END)
+        |             ELSE kept[i + 1] END
+        |        FOR i IN range(0, len(kept))] AS swapped,
+        |       len([i FOR i IN range(0, len(kept))
+        |            IF (doc_id * 23 + (i // 2)) % 7 = 0 AND i % 2 = 0
+        |             AND i + 1 < len(kept)]) AS n_swaps
+        |      FROM k)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_tokens - n_kept AS BIGINT) AS n_dropped,
+        | CAST(n_swaps AS BIGINT) AS n_swaps,
+        | md5(array_to_string(swapped, ' ')) AS aug_md5
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q239_bpe_apply" ->
+      """WITH wd AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |       FROM documents),
+        |f AS (SELECT w FROM wd WHERE len(w) > 0),
+        |s AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s0 FROM f),
+        |m AS (SELECT s0,
+        |       replace(s0, 'a t', 'at') AS s1,
+        |       replace(replace(s0, 'a t', 'at'), 't h', 'th') AS s2,
+        |       replace(replace(replace(s0, 'a t', 'at'), 't h', 'th'),
+        |               'th e', 'the') AS s3
+        |      FROM s),
+        |g AS (SELECT sum(len(string_split(s0, ' '))) AS n0,
+        |       sum(len(string_split(s1, ' '))) AS n1,
+        |       sum(len(string_split(s2, ' '))) AS n2,
+        |       sum(len(string_split(s3, ' '))) AS n3
+        |      FROM m)
+        |SELECT * FROM (
+        | SELECT CAST(0 AS BIGINT) AS stage, CAST(n0 AS BIGINT) AS total_symbols FROM g
+        | UNION ALL SELECT 1, n1 FROM g
+        | UNION ALL SELECT 2, n2 FROM g
+        | UNION ALL SELECT 3, n3 FROM g
+        |) u ORDER BY stage""".stripMargin,
     "q225_span_corruption" ->
       """WITH t AS (SELECT doc_id,
         |        string_split_regex(trim(text), '\s+') AS toks

@@ -123,6 +123,35 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(got.map(_._3).sum > 0)
   }
 
+  test("q238 augmentation matches a brute-force local replay") {
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = CorpusQueries.q238Augment(spark, sfSmoke)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(got.size == docs.size)
+    var anySwap = false
+    got.foreach { case (id, nTok, nDrop, nSwap, md5) =>
+      val toks = docs(id).trim.split("\\s+")
+      val kept = toks.indices.filter(i => (id * 17 + i) % 10 != 0).map(toks)
+      val swapped = kept.indices.map { i =>
+        if ((id * 23 + i / 2) % 7 == 0) {
+          if (i % 2 == 0) { if (i + 1 < kept.length) kept(i + 1) else kept(i) }
+          else kept(i - 1)
+        } else kept(i)
+      }
+      assert(nTok == toks.length.toLong && nDrop == (toks.length - kept.length).toLong)
+      val wantSwaps = kept.indices.count(i =>
+        (id * 23 + i / 2) % 7 == 0 && i % 2 == 0 && i + 1 < kept.length)
+      assert(nSwap == wantSwaps.toLong)
+      anySwap ||= wantSwaps > 0
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(swapped.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(md5 == want, s"augmented md5 of doc $id")
+    }
+    assert(anySwap && got.map(_._3).sum > 0)
+  }
+
   test("q214 pair counts match a brute-force local recount") {
     val docs = graft.sources.Tables.documents(spark, sfSmoke)
       .select($"text").as[String].collect()

@@ -492,7 +492,44 @@ object ExtendedQueries {
       .orderBy($"media_id")
   }
 
+  // ---------------------------------------------------------------- q240
+
+  // Linear-interpolation resampling to a regular hourly grid (the
+  // interpolate() counterpart of q113's LOCF fill): the sparse series
+  // of high-value purchase counts per hour, densified over the
+  // [min, max] observed-hour spine, interior gaps filled by exact
+  // integer interpolation between bracketing observations. The spine
+  // is generated from a 1-row broadcast bound — the data-scale scan
+  // happens once; every window runs on the bounded hour frame.
+  def q240Interpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val obs = Tables.events(s, dir)
+      .filter($"event_type" === "purchase" && $"value" >= 900.0)
+      .groupBy(expr("unix_millis(ts) div 3600000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val spine = obs.agg(min($"hr").as("mn"), max($"hr").as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("hr"))
+    val asc = Window.orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy($"hr")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("hr"), "left")
+      .withColumn("prev_hr", max(when($"n".isNotNull, $"hr")).over(asc))
+      .withColumn("prev_n", last($"n", ignoreNulls = true).over(asc))
+      .withColumn("next_hr", min(when($"n".isNotNull, $"hr")).over(desc))
+      .withColumn("next_n", first($"n", ignoreNulls = true).over(desc))
+      .select($"hr",
+        when($"n".isNotNull, 1L).otherwise(0L).as("observed"),
+        expr("""CASE WHEN n IS NOT NULL THEN n
+                |    ELSE prev_n + (next_n - prev_n) * (hr - prev_hr)
+                |         div (next_hr - prev_hr) END""".stripMargin)
+          .as("n_filled"))
+      .orderBy($"hr")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_interpolate" -> q240Interpolate _,
     "q226_bitmap_distinct" -> q226BitmapDistinct _,
     "q227_ktruss" -> q227Ktruss _,
     "q228_percolate" -> q228Percolate _,
@@ -518,6 +555,29 @@ object ExtendedQueries {
     "q182_image_decode" -> q182ImageDecode _)
 
   val oracle: Map[String, String] = Map(
+    "q240_interpolate" ->
+      """WITH p AS (SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+        |       FROM events WHERE event_type = 'purchase' AND value >= 900.0
+        |       GROUP BY 1),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM p),
+        |spine AS (SELECT unnest(generate_series(mn, mx)) AS hr FROM b),
+        |j AS (SELECT spine.hr, p.n FROM spine LEFT JOIN p ON p.hr = spine.hr),
+        |w AS (SELECT hr, n,
+        |       max(CASE WHEN n IS NOT NULL THEN hr END) OVER
+        |        (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_hr,
+        |       last_value(n IGNORE NULLS) OVER
+        |        (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_n,
+        |       min(CASE WHEN n IS NOT NULL THEN hr END) OVER
+        |        (ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hr,
+        |       first_value(n IGNORE NULLS) OVER
+        |        (ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_n
+        |      FROM j)
+        |SELECT CAST(hr AS BIGINT) AS hr,
+        | CAST(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+        | CAST(CASE WHEN n IS NOT NULL THEN n
+        |      ELSE prev_n + (next_n - prev_n) * (hr - prev_hr)
+        |           // (next_hr - prev_hr) END AS BIGINT) AS n_filled
+        |FROM w ORDER BY hr""".stripMargin,
     "q234_pixel_stats" ->
       """WITH ids AS (SELECT unnest(range(1, 21)) AS id),
         |dims AS (SELECT id, 32 + (id % 5) * 8 AS w, 24 + (id % 3) * 8 AS h FROM ids),

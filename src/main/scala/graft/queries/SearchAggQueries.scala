@@ -408,9 +408,72 @@ object SearchAggQueries {
       .orderBy($"min_match")
   }
 
+  // ---------------------------------------------------------------- q241
+
+  // span_near proximity search: doc matches (a, b, k) iff some
+  // occurrence of b follows an occurrence of a within k tokens —
+  // ordered, in_order=true. Three span configs evaluated in ONE scan:
+  // per-term position lists and the pair-gap existence check are
+  // row-local nested HOFs; the oracle replays positions as rows and
+  // joins (no nested-lambda dependence on the DuckDB side).
+  def q241SpanNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val configs = Seq(("merge", "join", 3), ("batch", "stream", 2),
+      ("slow", "query", 5))
+    def positions(t: String) =
+      s"""filter(transform(sequence(0, size(toks) - 1),
+         |  i -> CASE WHEN toks[i] = '$t' THEN i END), x -> x IS NOT NULL)"""
+        .stripMargin
+    val flagged = configs.zipWithIndex.foldLeft(
+      Tables.documents(s, dir)
+        .withColumn("toks", split(trim($"text"), "\\s+"))) {
+      case (df, ((a, b, k), i)) =>
+        df.withColumn(s"m$i", expr(
+          s"exists(${positions(b)}, j -> exists(${positions(a)}, " +
+            s"i2 -> j - i2 >= 1 AND j - i2 <= $k))"))
+    }
+    val aggs = configs.indices.flatMap(i => Seq(
+      sum(when(col(s"m$i"), 1L).otherwise(0L)).as(s"n$i"),
+      min(when(col(s"m$i"), $"doc_id")).as(s"f$i")))
+    val stacked = configs.zipWithIndex.map { case ((a, b, k), i) =>
+      s"'$a>$b~$k', n$i, coalesce(f$i, CAST(-1 AS BIGINT))"
+    }.mkString(", ")
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${configs.size}, $stacked)")
+        .as(Seq("span", "n_docs", "first_doc")))
+      .orderBy($"span")
+  }
+
+  // ---------------------------------------------------------------- q242
+
+  // Search-hit highlighting: for every doc containing 'spark', the
+  // 0-based position of its FIRST occurrence and the ±2-token snippet
+  // around it (compared by md5 — the exact highlight window, clamped
+  // at both document edges). Row-local; the only shuffle is the
+  // output sort.
+  def q242Highlight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .withColumn("pos", expr(
+        """array_min(filter(transform(sequence(0, size(toks) - 1),
+          |  i -> CASE WHEN toks[i] = 'spark' THEN i END),
+          |  x -> x IS NOT NULL))""".stripMargin))
+      .filter($"pos".isNotNull)
+      .withColumn("lo", greatest($"pos" - 2, lit(0)))
+      .withColumn("hi", least($"pos" + 2, size($"toks") - 1))
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        md5(expr(
+          "array_join(transform(sequence(lo, hi), i -> toks[i]), ' ')"))
+          .as("snippet_md5"))
+      .orderBy($"doc_id")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_span_near" -> q241SpanNear _,
+    "q242_highlight" -> q242Highlight _,
     "q236_suggest" -> q236Suggest _,
     "q237_terms_set" -> q237TermsSet _,
     "q232_top_hits" -> q232TopHits _,
@@ -429,6 +492,45 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q241_span_near" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |       FROM documents),
+        |pos AS (SELECT doc_id, tk[i + 1] AS term, i
+        |        FROM t, (SELECT unnest(range(0, 400)) AS i) ix
+        |        WHERE i < len(tk)),
+        |m AS (SELECT 'merge>join~3' AS span, a.doc_id
+        |      FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |      WHERE a.term = 'merge' AND b.term = 'join'
+        |       AND b.i - a.i BETWEEN 1 AND 3
+        |      UNION ALL
+        |      SELECT 'batch>stream~2', a.doc_id
+        |      FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |      WHERE a.term = 'batch' AND b.term = 'stream'
+        |       AND b.i - a.i BETWEEN 1 AND 2
+        |      UNION ALL
+        |      SELECT 'slow>query~5', a.doc_id
+        |      FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |      WHERE a.term = 'slow' AND b.term = 'query'
+        |       AND b.i - a.i BETWEEN 1 AND 5),
+        |g AS (SELECT span, count(DISTINCT doc_id) AS n_docs,
+        |       min(doc_id) AS first_doc FROM m GROUP BY 1),
+        |spans AS (SELECT unnest(['batch>stream~2', 'merge>join~3',
+        |        'slow>query~5']) AS span)
+        |SELECT spans.span AS span, CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+        | CAST(coalesce(first_doc, -1) AS BIGINT) AS first_doc
+        |FROM spans LEFT JOIN g ON g.span = spans.span
+        |ORDER BY spans.span""".stripMargin,
+    "q242_highlight" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |       FROM documents),
+        |p AS (SELECT doc_id, tk, list_position(tk, 'spark') - 1 AS pos
+        |      FROM t WHERE list_position(tk, 'spark') IS NOT NULL
+        |       AND list_position(tk, 'spark') > 0)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        | md5(array_to_string(
+        |   [tk[x + 1] FOR x IN range(greatest(pos - 2, 0),
+        |     least(pos + 3, len(tk)))], ' ')) AS snippet_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q236_suggest" ->
       """WITH v AS (SELECT term, count(*) AS freq FROM (
         |        SELECT unnest(string_split_regex(trim(text), '\s+')) AS term

@@ -2777,9 +2777,79 @@ object PipelineQueries {
       .orderBy($"c_mktsegment")
   }
 
+  // TPC-H Q3 analog (shipping priority): top-10 unshipped-revenue
+  // orders for one segment at a cutoff date. Fact-side joins shuffle
+  // on their keys, the date filters push to both scans, revenue is
+  // per-row cents (exact long sums — never a float total), and the
+  // top-10 is a TakeOrdered, not a global sort.
+  def q243ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = java.sql.Date.valueOf("1997-07-01")
+    Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+      .join(Tables.orders(s, dir)
+        .filter($"o_orderdate".cast("date") < cutoff), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, dir)
+        .filter($"l_shipdate".cast("date") > cutoff), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"),
+        $"o_orderpriority")
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100.0)
+        .cast("long")).as("revenue_cents"))
+      .orderBy($"revenue_cents".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  // TPC-H Q5 analog (local supplier volume): revenue per nation for
+  // one region-year where the supplier is LOCAL to the customer
+  // (c_nationkey = s_nationkey rides the join condition). nation and
+  // region broadcast; customer/orders/lineitem/supplier shuffle on
+  // uniform keys only.
+  def q244LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(year($"o_orderdate") === 1997),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, dir),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100.0)
+        .cast("long")).as("revenue_cents"))
+      .orderBy($"revenue_cents".desc, $"n_name")
+  }
+
+  // TPC-H Q16 analog (parts/supplier relationship): distinct supplier
+  // counts per surviving (brand, type, size) bucket, with brand/type/
+  // size exclusions pushed to the part scan and low-balance suppliers
+  // removed by a broadcast anti-join (the NOT IN). The part-supplier
+  // relation is lineitem's distinct (partkey, suppkey) pairs.
+  def q245PartsSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ps = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val badSupp = Tables.supplier(s, dir)
+      .filter($"s_acctbal" < 1500.0).select($"s_suppkey")
+    ps.join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(Tables.part(s, dir)
+        .filter($"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO" &&
+          $"p_size" <= 10),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size".cast("long").as("p_size"))
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_observed_ingest" -> q230ObservedIngest _,
     "q235_stream_enrich" -> q235StreamEnrich _,
+    "q243_shipping_priority" -> q243ShippingPriority _,
+    "q244_local_supplier_volume" -> q244LocalSupplierVolume _,
+    "q245_parts_supplier" -> q245PartsSupplier _,
     "q15_nested_topk" -> q15NestedTopK _,
     "q25_stream_ingest" -> q25StreamIngest _,
     "q28_json_serialize" -> q28JsonSerialize _,
@@ -3124,6 +3194,42 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q243_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | o_orderpriority,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        | AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        | AND CAST(l_shipdate AS DATE) > DATE '1997-07-01'
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q244_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        | AND date_part('year', o_orderdate) = 1997
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q245_parts_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |good AS (SELECT ps.* FROM ps
+        |         WHERE l_suppkey NOT IN (
+        |           SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500.0))
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM good JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size <= 10
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin,
     "q235_stream_enrich" ->
       """SELECT c_mktsegment,
         | CAST(count(*) AS BIGINT) AS n_events,

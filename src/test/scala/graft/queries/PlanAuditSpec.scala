@@ -108,6 +108,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("bitmapCount") || p.contains("bitmap_count"), p)
   }
 
+  test("q244: TPC-H Q5 joins broadcast every dim; no cartesian anywhere") {
+    val p = plan("q244_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q243: date filters push to the orders and lineitem scans; top-10 is TakeOrdered") {
+    val p = plan("q243_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
   test("q228: percolation over 6 stored queries is ONE corpus scan") {
     val p = plan("q228_percolate")
     assert("Scan parquet".r.findAllIn(p).size == 1, p)

@@ -2844,9 +2844,67 @@ object PipelineQueries {
       .limit(20)
   }
 
+  // TPC-H Q17 analog (small-quantity revenue): lineitems under 20% of
+  // their part's average quantity. The correlated subquery decorrelates
+  // into one per-part aggregate re-joined to the fact; the fractional
+  // average compare is CROSS-MULTIPLIED (qty·5·n < Σqty) so the gate
+  // is exact integer arithmetic on both engines.
+  def q246SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        $"l_extendedprice")
+    val th = li.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("sq"))
+    li.join(th, Seq("l_partkey"))
+      .filter($"qty" * 5L * $"n" < $"sq")
+      .agg(count(lit(1)).as("n_small"),
+        coalesce(sum(floor($"l_extendedprice" * 100.0).cast("long")), lit(0L))
+          .as("revenue_cents"))
+  }
+
+  // TPC-H Q18 analog (large-volume customers): orders whose line
+  // quantity total reaches 150, top-10 by (quantity, orderkey). The
+  // HAVING collapses in the per-order aggregate BEFORE the customer
+  // join, so only qualifying orders ever join the dimension.
+  def q247LargeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("total_qty"))
+      .filter($"total_qty" >= 150L)
+    big.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"),
+        floor($"o_totalprice" * 100.0).cast("long").as("total_cents"),
+        $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  // Set-operation audit (INTERSECT / EXCEPT physical operators):
+  // customers active in 1996 vs 1997 — retained, churned, and new,
+  // through Spark's intersect/except (which plan as aggregates, not
+  // joins the optimizer can't reorder). One stacked 3-row output.
+  def q248SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def active(yr: Int) = Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === yr).select($"o_custkey").distinct()
+    val (a, b) = (active(1996), active(1997))
+    val rows = Seq(
+      ("retained_96_97", a.intersect(b).count()),
+      ("churned_after_96", a.except(b).count()),
+      ("new_in_97", b.except(a).count()))
+    rows.toDF("cohort", "n_customers").orderBy($"cohort")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_observed_ingest" -> q230ObservedIngest _,
     "q235_stream_enrich" -> q235StreamEnrich _,
+    "q246_small_quantity_revenue" -> q246SmallQuantityRevenue _,
+    "q247_large_volume_customers" -> q247LargeVolumeCustomers _,
+    "q248_set_ops" -> q248SetOps _,
     "q243_shipping_priority" -> q243ShippingPriority _,
     "q244_local_supplier_volume" -> q244LocalSupplierVolume _,
     "q245_parts_supplier" -> q245PartsSupplier _,
@@ -3194,6 +3252,39 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q246_small_quantity_revenue" ->
+      """WITH t AS (SELECT l_partkey, count(*) AS n,
+        |        sum(CAST(l_quantity AS BIGINT)) AS sq
+        |       FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        | CAST(coalesce(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)), 0)
+        |   AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n < sq""".stripMargin,
+    "q247_large_volume_customers" ->
+      """WITH big AS (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |       FROM lineitem GROUP BY 1 HAVING total_qty >= 150)
+        |SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | CAST(floor(o_totalprice * 100.0) AS BIGINT) AS total_cents, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q248_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |       WHERE date_part('year', o_orderdate) = 1996),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |       WHERE date_part('year', o_orderdate) = 1997)
+        |SELECT * FROM (
+        | SELECT 'churned_after_96' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+        | FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b) x
+        | UNION ALL
+        | SELECT 'new_in_97', count(*)
+        | FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a) y
+        | UNION ALL
+        | SELECT 'retained_96_97', count(*)
+        | FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) z
+        |) u ORDER BY cohort""".stripMargin,
     "q243_shipping_priority" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
         | o_orderpriority,

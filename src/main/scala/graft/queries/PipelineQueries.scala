@@ -2899,9 +2899,31 @@ object PipelineQueries {
     rows.toDF("cohort", "n_customers").orderBy($"cohort")
   }
 
+  // TPC-H Q22 analog (global sales opportunity): customers whose
+  // balance beats the positive-balance average but who never ordered.
+  // The average gate is cross-multiplied at cents scale (bal·n > Σbal)
+  // against a 1-row broadcast, the "never ordered" is a broadcast-able
+  // anti-join, grouped per nation.
+  def q249SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_nationkey",
+        floor($"c_acctbal" * 100.0).cast("long").as("bal_cents"))
+    val avgPos = cust.filter($"bal_cents" > 0L)
+      .agg(count(lit(1)).as("n"), sum($"bal_cents").as("sb"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter($"bal_cents" * $"n" > $"sb")
+      .join(Tables.orders(s, dir).select($"o_custkey").distinct(),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"), sum($"bal_cents").as("total_cents"))
+      .orderBy($"c_nationkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_observed_ingest" -> q230ObservedIngest _,
     "q235_stream_enrich" -> q235StreamEnrich _,
+    "q249_sales_opportunity" -> q249SalesOpportunity _,
     "q246_small_quantity_revenue" -> q246SmallQuantityRevenue _,
     "q247_large_volume_customers" -> q247LargeVolumeCustomers _,
     "q248_set_ops" -> q248SetOps _,
@@ -3252,6 +3274,19 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q249_sales_opportunity" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |        CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+        |       FROM customer),
+        |a AS (SELECT count(*) AS n, sum(bal_cents) AS sb FROM c
+        |      WHERE bal_cents > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | CAST(count(*) AS BIGINT) AS n_custs,
+        | CAST(sum(bal_cents) AS BIGINT) AS total_cents
+        |FROM c, a
+        |WHERE bal_cents * n > sb
+        | AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     "q246_small_quantity_revenue" ->
       """WITH t AS (SELECT l_partkey, count(*) AS n,
         |        sum(CAST(l_quantity AS BIGINT)) AS sq

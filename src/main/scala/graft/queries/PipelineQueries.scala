@@ -2920,10 +2920,35 @@ object PipelineQueries {
       .orderBy($"c_nationkey")
   }
 
+  // ORC format roundtrip (the third on-disk format next to parquet and
+  // q215's CSV): the integerized lineitem slice written as ORC, read
+  // back, and aggregated — the readback aggregate must equal the
+  // parquet-source recompute (sink ≡ source, q78's discipline). ORC
+  // is columnar+typed so values roundtrip exactly; the oracle never
+  // touches the ORC file (DuckDB reads only the original parquet).
+  def q250OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = tempDir("graft-q250")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey",
+        $"l_quantity".cast("long").as("qty"),
+        floor($"l_extendedprice" * 100.0).cast("long").as("cents"),
+        $"l_returnflag")
+      .write.mode("overwrite").orc(s"$tmp/tables/li_orc")
+    s.read.orc(s"$tmp/tables/li_orc")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"qty").as("sum_qty"),
+        sum($"cents").as("sum_cents"),
+        countDistinct($"l_partkey").as("n_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_observed_ingest" -> q230ObservedIngest _,
     "q235_stream_enrich" -> q235StreamEnrich _,
     "q249_sales_opportunity" -> q249SalesOpportunity _,
+    "q250_orc_roundtrip" -> q250OrcRoundtrip _,
     "q246_small_quantity_revenue" -> q246SmallQuantityRevenue _,
     "q247_large_volume_customers" -> q247LargeVolumeCustomers _,
     "q248_set_ops" -> q248SetOps _,
@@ -3274,6 +3299,12 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q250_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q249_sales_opportunity" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
         |        CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_cents

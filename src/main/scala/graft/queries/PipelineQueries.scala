@@ -2900,10 +2900,12 @@ object PipelineQueries {
   }
 
   // TPC-H Q22 analog (global sales opportunity): customers whose
-  // balance beats the positive-balance average but who never ordered.
+  // balance beats the positive-balance average but who have gone
+  // DORMANT (no order since 1999 — every synthetic customer has SOME
+  // order, so the classic never-ordered form is empty by construction).
   // The average gate is cross-multiplied at cents scale (bal·n > Σbal)
-  // against a 1-row broadcast, the "never ordered" is a broadcast-able
-  // anti-join, grouped per nation.
+  // against a 1-row broadcast; the dormancy check is an anti-join
+  // whose date filter pushes to the orders scan.
   def q249SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = Tables.customer(s, dir)
@@ -2913,7 +2915,8 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), sum($"bal_cents").as("sb"))
     cust.crossJoin(broadcast(avgPos))
       .filter($"bal_cents" * $"n" > $"sb")
-      .join(Tables.orders(s, dir).select($"o_custkey").distinct(),
+      .join(Tables.orders(s, dir).filter(year($"o_orderdate") >= 1999)
+        .select($"o_custkey").distinct(),
         $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
       .agg(count(lit(1)).as("n_custs"), sum($"bal_cents").as("total_cents"))
@@ -3316,7 +3319,8 @@ object PipelineQueries {
         | CAST(sum(bal_cents) AS BIGINT) AS total_cents
         |FROM c, a
         |WHERE bal_cents * n > sb
-        | AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        | AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |   AND date_part('year', o.o_orderdate) >= 1999)
         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     "q246_small_quantity_revenue" ->
       """WITH t AS (SELECT l_partkey, count(*) AS n,

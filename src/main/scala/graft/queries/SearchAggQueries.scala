@@ -469,9 +469,35 @@ object SearchAggQueries {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- q251
+
+  // more_like_this: for each of 3 seed documents, the top-5 other docs
+  // by shared-distinct-token count. Seed token sets are 3 bounded
+  // driver rows (metadata scale) re-broadcast as literals, overlap is
+  // a row-local array_intersect over one corpus scan per seed, and
+  // each per-seed top-5 is a TakeOrdered — NEVER a 3-partition window
+  // over the whole corpus.
+  def q251MoreLikeThis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", array_distinct(split(trim($"text"), "\\s+")).as("tk"))
+    val seedIds = Seq(3L, 17L, 42L)
+    seedIds.map { id =>
+      val stk = docs.filter($"doc_id" === id)
+        .select($"tk").as[Seq[String]].head() // 1-row driver literal
+      docs.filter($"doc_id" =!= id)
+        .select(lit(id).as("seed_id"), $"doc_id",
+          size(array_intersect($"tk", typedLit(stk))).cast("long").as("shared"))
+        .filter($"shared" > 0L)
+        .orderBy($"shared".desc, $"doc_id")
+        .limit(5)
+    }.reduce(_.unionAll(_)).orderBy($"seed_id", $"shared".desc, $"doc_id")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_more_like_this" -> q251MoreLikeThis _,
     "q241_span_near" -> q241SpanNear _,
     "q242_highlight" -> q242Highlight _,
     "q236_suggest" -> q236Suggest _,
@@ -492,6 +518,21 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q251_more_like_this" ->
+      """WITH d AS (SELECT doc_id,
+        |        list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+        |       FROM documents),
+        |seeds AS (SELECT doc_id AS seed_id, tk AS stk FROM d
+        |          WHERE doc_id IN (3, 17, 42)),
+        |c AS (SELECT seed_id, d.doc_id,
+        |       CAST(len(list_intersect(d.tk, stk)) AS BIGINT) AS shared
+        |      FROM d, seeds WHERE d.doc_id <> seed_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY seed_id
+        |       ORDER BY shared DESC, doc_id) AS rk
+        |      FROM c WHERE shared > 0)
+        |SELECT CAST(seed_id AS BIGINT) AS seed_id, doc_id, shared
+        |FROM r WHERE rk <= 5
+        |ORDER BY seed_id, shared DESC, doc_id""".stripMargin,
     "q241_span_near" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |       FROM documents),

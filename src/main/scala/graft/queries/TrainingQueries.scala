@@ -808,7 +808,32 @@ object TrainingQueries {
     "q204_panel_pipelines" -> q204PanelPipelines _,
     "q205_fertility" -> q205Fertility _,
     "q206_dedup_sensitivity" -> q206DedupSensitivity _,
-    "q233_rank_eval" -> q233RankEval _)
+    "q233_rank_eval" -> q233RankEval _,
+    "q252_feature_snapshot" -> q252FeatureSnapshot _)
+
+  // ---------------------------------------------------------------- q252
+
+  // Feature-store row materialization: one training-feature row per
+  // user — lifetime counts, exact cents totals, and the 3 most recent
+  // event types as an ordered path string. ONE user-keyed shuffle; the
+  // recency slice is the q144 sorted-struct trick (negated sort keys,
+  // slice 3), never a per-user window over the raw stream.
+  def q252FeatureSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(floor($"value" * 100).cast("long")), lit(0L)).as("cents"),
+        countDistinct($"event_type").as("n_types"),
+        array_sort(collect_list(struct(
+          (-unix_millis($"ts")).as("nms"), (-$"event_id").as("nid"),
+          $"event_type"))).as("evs"))
+      .select($"user_id", $"n_events", $"cents", $"n_types",
+        expr("array_join(transform(slice(evs, 1, 3), e -> e.event_type), '>')")
+          .as("recent3"))
+      .orderBy($"user_id")
+  }
 
   // ---------------------------------------------------------------- q233
 
@@ -965,6 +990,14 @@ object TrainingQueries {
 
   val oracle: Map[String, String] = Map(
     "q233_rank_eval" -> q233Sql,
+    "q252_feature_snapshot" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents,
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        | array_to_string(list(event_type ORDER BY ts DESC, event_id DESC)[1:3], '>')
+        |   AS recent3
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q183_next_fit_pack" ->
       s"""WITH RECURSIVE d AS MATERIALIZED (
          | SELECT doc_id % 16 AS shard, doc_id,

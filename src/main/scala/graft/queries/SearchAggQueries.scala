@@ -494,9 +494,71 @@ object SearchAggQueries {
     }.reduce(_.unionAll(_)).orderBy($"seed_id", $"shared".desc, $"doc_id")
   }
 
+  // ---------------------------------------------------------------- q253
+
+  // date_range agg with keyed ranges + the missing bucket: events
+  // bucketed into named [from, to) day ranges relative to the stream's
+  // first day (scale-free), plus the ES `missing` bucket for rows with
+  // no user — all from ONE conditional-agg pass against a 1-row
+  // broadcast origin.
+  def q253DateRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), $"user_id")
+    val origin = ev.agg(min($"day").as("d0"))
+    val ranges = Seq(("week1", 0, 7), ("week2", 7, 14), ("rest", 14, 100000))
+    val aggs = ranges.map { case (nm, lo, hi) =>
+      sum(when($"day" - $"d0" >= lo && $"day" - $"d0" < hi, 1L)
+        .otherwise(0L)).as(s"n_$nm")
+    } :+ sum(when($"user_id".isNull, 1L).otherwise(0L)).as("n_missing")
+    val stacked = (ranges.map { case (nm, _, _) => s"'$nm', n_$nm" } :+
+      "'zz_missing_user', n_missing").mkString(", ")
+    ev.crossJoin(broadcast(origin))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ranges.size + 1}, $stacked)")
+        .as(Seq("bucket", "n")))
+      .orderBy($"bucket")
+  }
+
+  // ---------------------------------------------------------------- q254
+
+  // Counter-reset-aware rate (the PromQL increase() primitive): each
+  // user's running cents counter is sampled modulo 100 000 (a rollover
+  // counter — every synthetic event is < $1000, so one event can never
+  // wrap a full cycle), and increase() reconstructs the true total
+  // from consecutive samples: delta if the counter advanced, the new
+  // value after a reset. The reconstruction must equal the true sum
+  // EXACTLY — emitted as a per-user match flag the oracle asserts.
+  // Per-user lag windows partition on the high-cardinality user key.
+  def q254CounterRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sampled = Tables.events(s, dir)
+      .filter($"user_id".isNotNull && $"value".isNotNull)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+        floor($"value" * 100).cast("long").as("cents"))
+      .withColumn("counter", expr("sum(cents) OVER (PARTITION BY user_id " +
+        "ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) % 100000"))
+      .withColumn("prev", lag($"counter", 1).over(w))
+    sampled
+      .withColumn("inc", expr(
+        """CASE WHEN prev IS NULL THEN counter
+          |     WHEN counter >= prev THEN counter - prev
+          |     ELSE counter + 100000 - prev END""".stripMargin))
+      .groupBy($"user_id")
+      .agg(sum($"cents").as("true_total"),
+        sum($"inc").as("reconstructed"))
+      .withColumn("exact", $"true_total" === $"reconstructed")
+      .orderBy($"user_id")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_date_range" -> q253DateRange _,
+    "q254_counter_rate" -> q254CounterRate _,
     "q251_more_like_this" -> q251MoreLikeThis _,
     "q241_span_near" -> q241SpanNear _,
     "q242_highlight" -> q242Highlight _,
@@ -518,6 +580,38 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q253_date_range" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |o AS (SELECT min(day) AS d0 FROM e),
+        |g AS (SELECT
+        |       sum(CASE WHEN day - d0 >= 0 AND day - d0 < 7 THEN 1 ELSE 0 END) AS n1,
+        |       sum(CASE WHEN day - d0 >= 7 AND day - d0 < 14 THEN 1 ELSE 0 END) AS n2,
+        |       sum(CASE WHEN day - d0 >= 14 AND day - d0 < 100000 THEN 1 ELSE 0 END) AS n3,
+        |       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nm
+        |      FROM e, o)
+        |SELECT * FROM (
+        | SELECT 'week1' AS bucket, CAST(n1 AS BIGINT) AS n FROM g
+        | UNION ALL SELECT 'week2', n2 FROM g
+        | UNION ALL SELECT 'rest', n3 FROM g
+        | UNION ALL SELECT 'zz_missing_user', nm FROM g
+        |) u ORDER BY bucket""".stripMargin,
+    "q254_counter_rate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents
+        |       FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT *, sum(cents) OVER (PARTITION BY user_id
+        |       ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |       CURRENT ROW) % 100000 AS counter FROM e),
+        |l AS (SELECT *, lag(counter) OVER (PARTITION BY user_id
+        |       ORDER BY ms, event_id) AS prev FROM c),
+        |i AS (SELECT user_id, cents,
+        |       CASE WHEN prev IS NULL THEN counter
+        |            WHEN counter >= prev THEN counter - prev
+        |            ELSE counter + 100000 - prev END AS inc FROM l)
+        |SELECT user_id, CAST(sum(cents) AS BIGINT) AS true_total,
+        | CAST(sum(inc) AS BIGINT) AS reconstructed,
+        | sum(cents) = sum(inc) AS exact
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q251_more_like_this" ->
       """WITH d AS (SELECT doc_id,
         |        list_distinct(string_split_regex(trim(text), '\s+')) AS tk

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence edge construction — the shared first stage of every
+  * graph query over the "parts bought together" relation. The naive
+  * form self-joins the fact table on the group key (two shuffles of
+  * the fact + a join); this operator instead aggregates each group's
+  * distinct members into a sorted array (ONE fact shuffle) and
+  * explodes the C(k,2) pairs row-locally inside codegen. The pair
+  * count produced is identical (k² blowup for a k-member group is the
+  * operator's semantics either way); what changes is that no join and
+  * no second fact exchange ever happens. Groups here are orders
+  * (k ≲ 10); at 100 TB a pathological group caps the same way it
+  * would cap the self-join — guard upstream if k can be huge.
+  */
+object Edges {
+
+  private def pairsPerGroup(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(array_sort(collect_set(col(valCol).cast("long"))).as("__vs"))
+      .filter(size(col("__vs")) >= 2) // sequence() steps DOWN below 2
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(__vs) - 2), i ->
+          |  transform(sequence(i + 1, size(__vs) - 1), j ->
+          |    struct(__vs[i] AS a, __vs[j] AS b))))""".stripMargin))
+        .as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+
+  /** Distinct undirected edges (a < b): members co-occurring in at
+    * least one group.
+    */
+  def coOccurrence(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    pairsPerGroup(df, keyCol, valCol).distinct()
+
+  /** Undirected edges with their co-occurrence count (number of
+    * groups containing both endpoints).
+    */
+  def coOccurrenceCounts(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame =
+    pairsPerGroup(df, keyCol, valCol)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+}

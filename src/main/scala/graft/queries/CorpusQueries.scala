@@ -153,10 +153,8 @@ object CorpusQueries {
   def q219NegativeEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
-      .filter($"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
-      .distinct()
+    val edges = graft.operators.Edges
+      .coOccurrence(li, "l_orderkey", "l_partkey")
       .persist() // nodes + the rejection anti-join both read it
     val nodes = edges.select($"a".as("node")).union(edges.select($"b"))
       .distinct()

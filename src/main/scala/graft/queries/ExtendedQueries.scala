@@ -44,9 +44,8 @@ object ExtendedQueries {
   def q166LabelCommunities(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
-      .filter($"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+      .select($"a".as("src"), $"b".as("dst"))
     val labels = graft.operators.LabelProp.propagate(edges, "src", "dst", rounds = 2)
     labels.groupBy($"label").agg(count(lit(1)).as("size"))
       .groupBy($"size")
@@ -398,10 +397,8 @@ object ExtendedQueries {
   def q227Ktruss(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val strong = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
-      .filter($"x.l_partkey" < $"y.l_partkey")
-      .groupBy($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
-      .agg(count(lit(1)).as("w"))
+    val strong = graft.operators.Edges
+      .coOccurrenceCounts(li, "l_orderkey", "l_partkey")
       .filter($"w" >= 2L)
       .select($"a", $"b")
     graft.operators.KTruss.peelCounts(strong, "a", "b", k = 3, rounds = 3)
@@ -641,7 +638,7 @@ object ExtendedQueries {
         | FROM events WHERE user_id IS NOT NULL
         |) u ORDER BY event_type""".stripMargin,
     "q227_ktruss" ->
-      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e0 AS MATERIALIZED (
         |  SELECT CAST(x.l_partkey AS BIGINT) AS a, CAST(y.l_partkey AS BIGINT) AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey

@@ -1801,9 +1801,8 @@ object PipelineQueries {
   def q107Triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
-      .filter($"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+      .select($"a".as("src"), $"b".as("dst"))
     graft.operators.Triangles.count(edges, "src", "dst")
   }
 
@@ -2038,9 +2037,8 @@ object PipelineQueries {
   def q122ClusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
-      .filter($"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+      .select($"a".as("src"), $"b".as("dst"))
     graft.operators.Triangles.clusteringCoefficient(edges, "src", "dst")
       .orderBy($"node")
   }
@@ -2243,9 +2241,8 @@ object PipelineQueries {
   def q135KCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
-      .filter($"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+      .select($"a".as("src"), $"b".as("dst"))
     graft.operators.KCore.core(edges, "src", "dst", k = 80).orderBy($"node")
   }
 
@@ -2372,9 +2369,8 @@ object PipelineQueries {
   def q142KhopReach(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
-      .filter($"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+      .select($"a".as("src"), $"b".as("dst"))
     val seeds = Tables.part(s, dir).filter($"p_partkey" <= 5)
     graft.operators.Bfs.hops(edges, "src", "dst", seeds, "p_partkey",
         maxHops = 2)

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class EdgesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // order 1: {10, 20, 30} (+ duplicate 20 line), order 2: {20, 30},
+  // order 3: {40} (no pairs), order 4: {50, 50} (self only — no pair)
+  private val rows = Seq(
+    (1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L),
+    (2L, 20L), (2L, 30L),
+    (3L, 40L),
+    (4L, 50L), (4L, 50L)).toDF("k", "v")
+
+  test("coOccurrence equals the distinct self-join form, duplicates collapsed") {
+    val got = Edges.coOccurrence(rows, "k", "v")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
+  test("coOccurrenceCounts counts co-occurring GROUPS, not line pairs") {
+    val got = Edges.coOccurrenceCounts(rows, "k", "v")
+      .as[(Long, Long, Long)].collect().toSet
+    // (20,30) co-occurs in orders 1 and 2; the duplicate 20 line in
+    // order 1 must not inflate any count
+    assert(got == Set((10L, 20L, 1L), (10L, 30L, 1L), (20L, 30L, 2L)))
+  }
+
+  test("single-member and empty groups emit nothing (no sequence underflow)") {
+    val df = Seq((1L, 7L)).toDF("k", "v")
+    assert(Edges.coOccurrence(df, "k", "v").count() == 0L)
+  }
+}

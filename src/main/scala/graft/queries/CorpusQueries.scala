@@ -158,7 +158,11 @@ object CorpusQueries {
       .persist() // nodes + the rejection anti-join both read it
     val nodes = edges.select($"a".as("node")).union(edges.select($"b"))
       .distinct()
+    // persisted: referenced three times (the N count + both sides of
+    // the candidate join) — unpersisted, each reference re-runs the
+    // node distinct + global sort
     val idx = GlobalRank.rowNumber(nodes, Seq("node"), "ix") // dense 1..N
+      .persist()
     val n = idx.count() // one driver scalar, like PageRank's N
     val cands = idx.select($"node".as("u"),
         explode(expr("sequence(1, 6)")).as("i"))

@@ -809,7 +809,66 @@ object TrainingQueries {
     "q205_fertility" -> q205Fertility _,
     "q206_dedup_sensitivity" -> q206DedupSensitivity _,
     "q233_rank_eval" -> q233RankEval _,
-    "q252_feature_snapshot" -> q252FeatureSnapshot _)
+    "q252_feature_snapshot" -> q252FeatureSnapshot _,
+    "q255_cuped" -> q255Cuped _)
+
+  // ---------------------------------------------------------------- q255
+
+  // CUPED variance-reduced A/B read-out, exact to the milli: users
+  // hash-split into arms, pre-period spend (first 15 days) is the
+  // covariate, post-period spend the metric. θ and both arm
+  // differences stay RATIONAL — every product runs in DECIMAL(38,0)
+  // (≡ HUGEINT), every signed division is sign-explicit (q126), so
+  // raw_diff_milli, theta_milli and adj_diff_milli are bit-identical
+  // across engines. One events scan + one user-keyed agg + a 1-row
+  // fold.
+  def q255Cuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"user_id".isNotNull && $"value".isNotNull)
+      .select($"user_id", expr("unix_millis(ts) div 86400000").as("day"),
+        floor($"value" * 100).cast("long").as("cents"))
+    val d0 = ev.agg(min($"day").as("d0"))
+    val per = ev.crossJoin(broadcast(d0))
+      .groupBy($"user_id")
+      .agg(coalesce(sum(when($"day" < $"d0" + 15, $"cents")), lit(0L)).as("x"),
+        coalesce(sum(when($"day" >= $"d0" + 15, $"cents")), lit(0L)).as("y"))
+      .withColumn("armb", $"user_id" % 2 === 1)
+    val dec = "DECIMAL(38,0)"
+    per.agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr(s"CAST(x AS $dec) * y")).as("sxy"),
+        sum(expr(s"CAST(x AS $dec) * x")).as("sxx"),
+        sum(when(!$"armb", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"armb", 1L).otherwise(0L)).as("n_b"),
+        coalesce(sum(when(!$"armb", $"x")), lit(0L)).as("sx_a"),
+        coalesce(sum(when($"armb", $"x")), lit(0L)).as("sx_b"),
+        coalesce(sum(when(!$"armb", $"y")), lit(0L)).as("sy_a"),
+        coalesce(sum(when($"armb", $"y")), lit(0L)).as("sy_b"))
+      .withColumn("snum", expr(s"CAST(n AS $dec) * sxy - CAST(sx AS $dec) * sy"))
+      .withColumn("sden", expr(s"CAST(n AS $dec) * sxx - CAST(sx AS $dec) * sx"))
+      .withColumn("ydiff", expr(s"CAST(sy_b AS $dec) * n_a - CAST(sy_a AS $dec) * n_b"))
+      .withColumn("xdiff", expr(s"CAST(sx_b AS $dec) * n_a - CAST(sx_a AS $dec) * n_b"))
+      .withColumn("raw_diff_milli", signedMilli(
+        s"CAST(1000 AS $dec) * ydiff", s"CAST(n_a AS $dec) * n_b"))
+      .withColumn("theta_milli", signedMilli(s"CAST(1000 AS $dec) * snum", "sden"))
+      .withColumn("adj_diff_milli", signedMilli(
+        s"CAST(1000 AS $dec) * (ydiff * sden - snum * xdiff)",
+        s"CAST(n_a AS $dec) * n_b * sden"))
+      .select($"n_a", $"n_b", $"sy_a", $"sy_b",
+        $"raw_diff_milli", $"theta_milli", $"adj_diff_milli")
+  }
+
+  /** Sign-explicit truncating integer division (num/den may be signed;
+    * engines disagree on negative floor-vs-truncate, abs() makes it
+    * moot), milli output cast BIGINT; NULL on a zero denominator.
+    */
+  private def signedMilli(num: String, den: String): Column = expr(
+    s"""CAST(CASE WHEN ($den) = 0 THEN NULL
+       |     WHEN (($num) >= 0) = (($den) > 0)
+       |     THEN abs($num) div abs($den)
+       |     ELSE -(abs($num) div abs($den)) END AS BIGINT)""".stripMargin)
 
   // ---------------------------------------------------------------- q252
 
@@ -990,6 +1049,50 @@ object TrainingQueries {
 
   val oracle: Map[String, String] = Map(
     "q233_rank_eval" -> q233Sql,
+    "q255_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents
+        |       FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |per AS (SELECT user_id,
+        |        coalesce(sum(CASE WHEN day < d0 + 15 THEN cents END), 0) AS x,
+        |        coalesce(sum(CASE WHEN day >= d0 + 15 THEN cents END), 0) AS y,
+        |        user_id % 2 = 1 AS armb
+        |       FROM e, d0 GROUP BY user_id),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |       CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |       sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |       sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |       CAST(sum(CASE WHEN NOT armb THEN 1 ELSE 0 END) AS HUGEINT) AS n_a,
+        |       CAST(sum(CASE WHEN armb THEN 1 ELSE 0 END) AS HUGEINT) AS n_b,
+        |       CAST(coalesce(sum(CASE WHEN NOT armb THEN x END), 0) AS HUGEINT) AS sx_a,
+        |       CAST(coalesce(sum(CASE WHEN armb THEN x END), 0) AS HUGEINT) AS sx_b,
+        |       CAST(coalesce(sum(CASE WHEN NOT armb THEN y END), 0) AS HUGEINT) AS sy_a,
+        |       CAST(coalesce(sum(CASE WHEN armb THEN y END), 0) AS HUGEINT) AS sy_b
+        |      FROM per),
+        |t AS (SELECT *,
+        |       n * sxy - sx * sy AS snum,
+        |       n * sxx - sx * sx AS sden,
+        |       sy_b * n_a - sy_a * n_b AS ydiff,
+        |       sx_b * n_a - sx_a * n_b AS xdiff
+        |      FROM g)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(sy_a AS BIGINT) AS sy_a, CAST(sy_b AS BIGINT) AS sy_b,
+        | CAST(CASE WHEN n_a * n_b = 0 THEN NULL
+        |      WHEN (1000 * ydiff >= 0) = (n_a * n_b > 0)
+        |      THEN abs(1000 * ydiff) // abs(n_a * n_b)
+        |      ELSE -(abs(1000 * ydiff) // abs(n_a * n_b)) END AS BIGINT)
+        |   AS raw_diff_milli,
+        | CAST(CASE WHEN sden = 0 THEN NULL
+        |      WHEN (1000 * snum >= 0) = (sden > 0)
+        |      THEN abs(1000 * snum) // abs(sden)
+        |      ELSE -(abs(1000 * snum) // abs(sden)) END AS BIGINT) AS theta_milli,
+        | CAST(CASE WHEN n_a * n_b * sden = 0 THEN NULL
+        |      WHEN (1000 * (ydiff * sden - snum * xdiff) >= 0) = (n_a * n_b * sden > 0)
+        |      THEN abs(1000 * (ydiff * sden - snum * xdiff)) // abs(n_a * n_b * sden)
+        |      ELSE -(abs(1000 * (ydiff * sden - snum * xdiff)) // abs(n_a * n_b * sden))
+        |      END AS BIGINT) AS adj_diff_milli
+        |FROM t""".stripMargin,
     "q252_feature_snapshot" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents,

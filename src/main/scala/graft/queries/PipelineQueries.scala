@@ -2943,11 +2943,64 @@ object PipelineQueries {
       .orderBy($"l_returnflag")
   }
 
+  // The plain-SQL interface: temp views + spark.sql(...) running a
+  // multi-CTE windowed statement — proof that a SQL-only user drives
+  // this engine without touching the DataFrame API (Catalyst plans it
+  // identically). Monthly revenue share of the running year total, all
+  // integer cents.
+  def q256SqlInterface(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_v")
+    s.sql(
+      """WITH m AS (
+        |  SELECT date_format(date_trunc('month', l_shipdate), 'yyyy-MM') AS month,
+        |         CAST(date_format(l_shipdate, 'yyyy') AS BIGINT) AS yr,
+        |         sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS cents
+        |  FROM li_v GROUP BY 1, 2),
+        |w AS (
+        |  SELECT month, yr, cents,
+        |         sum(cents) OVER (PARTITION BY yr ORDER BY month
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytd_cents
+        |  FROM m)
+        |SELECT month, cents, ytd_cents,
+        |       cents * 1000000 div ytd_cents AS share_of_ytd_ppm
+        |FROM w ORDER BY month""".stripMargin)
+  }
+
+  // The TYPED Dataset path: case-class Encoders, groupByKey/mapGroups —
+  // where compile-time row types matter more than codegen (the brief's
+  // Dataset[T] surface). Verified against the same untyped aggregate
+  // the oracle computes, so the typed path must agree exactly.
+  def q257TypedPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // keys are (type, day) — 30× the type cardinality, so group state
+    // stays bounded and the shuffle keys aren't a 5-value column
+    val ds = Tables.events(s, dir)
+      .select($"event_type", expr("unix_millis(ts) div 86400000").as("day"),
+        coalesce($"user_id", lit(-1L)).as("user_id"),
+        coalesce(floor($"value" * 100).cast("long"), lit(0L)).as("cents"))
+      .as[(String, Long, Long, Long)]
+    ds.groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, Long), rows: Iterator[(String, Long, Long, Long)]) =>
+        val (typ, day) = key
+        var n = 0L; var total = 0L; var maxC = Long.MinValue
+        val users = scala.collection.mutable.Set[Long]()
+        rows.foreach { case (_, _, u, c) =>
+          n += 1; total += c; if (c > maxC) maxC = c
+          if (u >= 0) users += u
+        }
+        (typ, day, n, total, maxC, users.size.toLong)
+      }
+      .toDF("event_type", "day", "n", "total_cents", "max_cents", "n_users")
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_observed_ingest" -> q230ObservedIngest _,
     "q235_stream_enrich" -> q235StreamEnrich _,
     "q249_sales_opportunity" -> q249SalesOpportunity _,
     "q250_orc_roundtrip" -> q250OrcRoundtrip _,
+    "q256_sql_interface" -> q256SqlInterface _,
+    "q257_typed_pipeline" -> q257TypedPipeline _,
     "q246_small_quantity_revenue" -> q246SmallQuantityRevenue _,
     "q247_large_volume_customers" -> q247LargeVolumeCustomers _,
     "q248_set_ops" -> q248SetOps _,
@@ -3298,6 +3351,30 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q256_sql_interface" ->
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+        |         date_part('year', l_shipdate) AS yr,
+        |         sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT month, cents,
+        |         sum(cents) OVER (PARTITION BY yr ORDER BY month
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytd_cents
+        |  FROM m)
+        |SELECT month, CAST(cents AS BIGINT) AS cents,
+        | CAST(ytd_cents AS BIGINT) AS ytd_cents,
+        | CAST(cents * 1000000 // ytd_cents AS BIGINT) AS share_of_ytd_ppm
+        |FROM w ORDER BY month""".stripMargin,
+    "q257_typed_pipeline" ->
+      """SELECT event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(coalesce(CAST(floor(value * 100) AS BIGINT), 0)) AS BIGINT)
+        |   AS total_cents,
+        | CAST(max(coalesce(CAST(floor(value * 100) AS BIGINT), 0)) AS BIGINT)
+        |   AS max_cents,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "q250_orc_roundtrip" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -31,4 +31,24 @@ class EdgesSpec extends SparkTestBase {
     val df = Seq((1L, 7L)).toDF("k", "v")
     assert(Edges.coOccurrence(df, "k", "v").count() == 0L)
   }
+
+  test("randomized differential: equals the brute-force self-join semantics") {
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 10) {
+      val rows = List.fill(1 + rnd.nextInt(80))(
+        (rnd.nextInt(8).toLong, rnd.nextInt(12).toLong))
+      val df = rows.toDF("k", "v")
+      val gotPairs = Edges.coOccurrence(df, "k", "v")
+        .as[(Long, Long)].collect().toSet
+      val gotCounts = Edges.coOccurrenceCounts(df, "k", "v")
+        .as[(Long, Long, Long)].collect().toSet
+      val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val wantCounts = byGroup.values.toList
+        .flatMap(vs => for (a <- vs; b <- vs if a < b) yield (a, b))
+        .groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.length.toLong) }
+        .toSet
+      assert(gotPairs == wantCounts.map(t => (t._1, t._2)))
+      assert(gotCounts == wantCounts)
+    }
+  }
 }

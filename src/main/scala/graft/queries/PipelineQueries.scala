@@ -2994,6 +2994,79 @@ object PipelineQueries {
       .orderBy($"event_type", $"day")
   }
 
+  // Federated multi-format read: the same fact slice served from
+  // parquet, CSV and ORC at once, unioned by name and aggregated — the
+  // lakehouse reality where one logical table spans formats. Counts
+  // and sums must triple; the per-type distinct id set must NOT
+  // (identity survives every format roundtrip).
+  def q258FederatedFormats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = tempDir("graft-q258")
+    val base = Tables.events(s, dir)
+      .select($"event_id", $"event_type",
+        coalesce(floor($"value" * 100).cast("long"), lit(0L)).as("cents"))
+    base.write.mode("overwrite").option("header", "true")
+      .csv(s"$tmp/tables/ev_csv")
+    base.write.mode("overwrite").orc(s"$tmp/tables/ev_orc")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, cents BIGINT")
+    val csv = s.read.option("header", "true").schema(schema)
+      .csv(s"$tmp/tables/ev_csv")
+    val orc = s.read.orc(s"$tmp/tables/ev_orc")
+    base.unionByName(csv).unionByName(orc)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"cents").as("sum_cents"),
+        countDistinct($"event_id").as("n_ids"))
+      .orderBy($"event_type")
+  }
+
+  // Daily latency-percentile bands (p50/p95/p99 of the value metric
+  // per day) — THE operational time-series chart. q172's two-phase
+  // value-domain shape keyed by day: one (day × distinct-cents) count
+  // shuffle, cumulative ranks on the compressed frame only.
+  def q259DailyPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val c = Tables.events(s, dir)
+      .filter($"value".isNotNull)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        floor($"value" * 100).cast("long").as("cents"))
+      .groupBy($"day", $"cents")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"day").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy($"day")
+    def pick(p: Int) = {
+      val rp = expr(s"($p * (n - 1)) div 100 + 1")
+      max(when($"lo" < rp && rp <= $"hi", $"cents")).as(s"p$p")
+    }
+    c.withColumn("hi", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wT))
+      .withColumn("lo", $"hi" - $"cnt")
+      .groupBy($"day", $"n")
+      .agg(pick(50), pick(95), pick(99))
+      .orderBy($"day")
+  }
+
+  // Apdex score per day: satisfied (value ≤ 250) + tolerating/2
+  // (≤ 1000) over total, in exact ppm — the one-number SLA digest.
+  // One conditional-agg scan; the half weight is cross-multiplied
+  // (2·sat + tol over 2·n) so no fraction ever materializes.
+  def q260Apdex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"value".isNotNull)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" <= 250.0, 1L).otherwise(0L)).as("satisfied"),
+        sum(when($"value" > 250.0 && $"value" <= 1000.0, 1L).otherwise(0L))
+          .as("tolerating"))
+      .withColumn("apdex_ppm",
+        expr("(2 * satisfied + tolerating) * 1000000 div (2 * n)"))
+      .orderBy($"day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_observed_ingest" -> q230ObservedIngest _,
     "q235_stream_enrich" -> q235StreamEnrich _,
@@ -3001,6 +3074,9 @@ object PipelineQueries {
     "q250_orc_roundtrip" -> q250OrcRoundtrip _,
     "q256_sql_interface" -> q256SqlInterface _,
     "q257_typed_pipeline" -> q257TypedPipeline _,
+    "q258_federated_formats" -> q258FederatedFormats _,
+    "q259_daily_percentiles" -> q259DailyPercentiles _,
+    "q260_apdex" -> q260Apdex _,
     "q246_small_quantity_revenue" -> q246SmallQuantityRevenue _,
     "q247_large_volume_customers" -> q247LargeVolumeCustomers _,
     "q248_set_ops" -> q248SetOps _,
@@ -3351,6 +3427,41 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q258_federated_formats" ->
+      """SELECT event_type,
+        | CAST(3 * count(*) AS BIGINT) AS n_rows,
+        | CAST(3 * sum(coalesce(CAST(floor(value * 100) AS BIGINT), 0)) AS BIGINT)
+        |   AS sum_cents,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q259_daily_percentiles" ->
+      """WITH c AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents, count(*) AS cnt
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, sum(cnt) OVER (PARTITION BY day ORDER BY cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+        |       sum(cnt) OVER (PARTITION BY day) AS n
+        |      FROM c)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(max(n) AS BIGINT) AS n,
+        | max(CASE WHEN hi - cnt < (50 * (n - 1)) // 100 + 1
+        |      AND (50 * (n - 1)) // 100 + 1 <= hi THEN cents END) AS p50,
+        | max(CASE WHEN hi - cnt < (95 * (n - 1)) // 100 + 1
+        |      AND (95 * (n - 1)) // 100 + 1 <= hi THEN cents END) AS p95,
+        | max(CASE WHEN hi - cnt < (99 * (n - 1)) // 100 + 1
+        |      AND (99 * (n - 1)) // 100 + 1 <= hi THEN cents END) AS p99
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    "q260_apdex" ->
+      """SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS satisfied,
+        | CAST(sum(CASE WHEN value > 250.0 AND value <= 1000.0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS tolerating,
+        | CAST((2 * sum(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN value > 250.0 AND value <= 1000.0 THEN 1 ELSE 0 END))
+        |   * 1000000 // (2 * count(*)) AS BIGINT) AS apdex_ppm
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q256_sql_interface" ->
       """WITH m AS (
         |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,

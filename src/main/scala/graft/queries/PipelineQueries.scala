@@ -3067,7 +3067,54 @@ object PipelineQueries {
       .orderBy($"day")
   }
 
+  // Ledger reconciliation: order header totals vs the sum of their
+  // lines — the cross-table consistency audit every financial pipeline
+  // runs. Discrepancies bucketed by magnitude with net and absolute
+  // exposure per bucket; headers with no lines are their own bucket
+  // (left join, never dropped). One join on the order key + one agg.
+  def q261Reconciliation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(floor($"l_extendedprice" * 100.0).cast("long")).as("lc"))
+    Tables.orders(s, dir)
+      .select($"o_orderkey", floor($"o_totalprice" * 100.0).cast("long").as("oc"))
+      .join(lines, $"o_orderkey" === $"l_orderkey", "left")
+      .withColumn("d", $"oc" - $"lc")
+      .withColumn("bucket", expr(
+        """CASE WHEN lc IS NULL THEN 'a_no_lines'
+          |     WHEN abs(d) < 1000000 THEN 'b_under_10k'
+          |     WHEN abs(d) < 10000000 THEN 'c_under_100k'
+          |     ELSE 'd_over_100k' END""".stripMargin))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum($"d"), lit(0L)).as("net_cents"),
+        coalesce(sum(abs($"d")), lit(0L)).as("abs_cents"))
+      .orderBy($"bucket")
+  }
+
+  // Top-k WITH ties (the rank()-cutoff semantics dashboards need when
+  // "3rd place" is shared): top-3 revenue days at hundred-dollar
+  // granularity, ties included — rank(), not row_number(), so the
+  // result can exceed 3 rows. The window runs on the bounded daily
+  // bucket frame.
+  def q262TopWithTies(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(expr("sum(CAST(floor(value * 100) AS BIGINT)) div 100000")
+        .as("rev_hundreds"))
+      .withColumn("rk", rank().over(Window.orderBy($"rev_hundreds".desc))
+        .cast("long"))
+      .filter($"rk" <= 3L)
+      .orderBy($"rk", $"day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_reconciliation" -> q261Reconciliation _,
+    "q262_top_with_ties" -> q262TopWithTies _,
     "q230_observed_ingest" -> q230ObservedIngest _,
     "q235_stream_enrich" -> q235StreamEnrich _,
     "q249_sales_opportunity" -> q249SalesOpportunity _,
@@ -3427,6 +3474,29 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q261_reconciliation" ->
+      """WITH l AS (SELECT l_orderkey,
+        |        sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS lc
+        |       FROM lineitem GROUP BY 1),
+        |j AS (SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) - lc AS d, lc
+        |      FROM orders LEFT JOIN l ON o_orderkey = l_orderkey),
+        |b AS (SELECT CASE WHEN lc IS NULL THEN 'a_no_lines'
+        |             WHEN abs(d) < 1000000 THEN 'b_under_10k'
+        |             WHEN abs(d) < 10000000 THEN 'c_under_100k'
+        |             ELSE 'd_over_100k' END AS bucket, d FROM j)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(coalesce(sum(d), 0) AS BIGINT) AS net_cents,
+        | CAST(coalesce(sum(abs(d)), 0) AS BIGINT) AS abs_cents
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q262_top_with_ties" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |        sum(CAST(floor(value * 100) AS BIGINT)) // 100000 AS rev_hundreds
+        |       FROM events
+        |       WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+        |r AS (SELECT *, rank() OVER (ORDER BY rev_hundreds DESC) AS rk FROM d)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(rev_hundreds AS BIGINT) AS rev_hundreds,
+        | CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY rk, day""".stripMargin,
     "q258_federated_formats" ->
       """SELECT event_type,
         | CAST(3 * count(*) AS BIGINT) AS n_rows,

@@ -3112,7 +3112,27 @@ object PipelineQueries {
       .orderBy($"rk", $"day")
   }
 
+  // Join-skew salt planner: turn the q159 fanout diagnostic into an
+  // executable mitigation — per hot key, the salt factor that caps its
+  // build-side partition at ~50k rows (ceil division, clamped to 32 =
+  // the executor-thread budget), and the post-salt residual fanout.
+  // Keys needing no salt report 1 — the whole top-10 plan a skew-aware
+  // join wrapper (q84's SaltedAgg) would consume.
+  def q263SaltPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    graft.operators.KeyHealth.joinFanout(e, "user_id", e, "user_id", 10)
+      .withColumn("salt", expr(
+        "greatest(CAST(1 AS BIGINT), least(CAST(32 AS BIGINT), " +
+          "(n_right + 49999) div 50000))"))
+      .withColumn("rows_per_task", expr("n_right div salt"))
+      .select($"key", $"n_left", $"n_right", $"fanout", $"salt",
+        $"rows_per_task")
+      .orderBy($"fanout".desc, $"key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_salt_planner" -> q263SaltPlanner _,
     "q261_reconciliation" -> q261Reconciliation _,
     "q262_top_with_ties" -> q262TopWithTies _,
     "q230_observed_ingest" -> q230ObservedIngest _,
@@ -3474,6 +3494,17 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q263_salt_planner" ->
+      """WITH k AS (SELECT user_id AS key, count(*) AS n
+        |       FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |f AS (SELECT key, n AS n_left, n AS n_right, n * n AS fanout FROM k
+        |      ORDER BY fanout DESC, key LIMIT 10)
+        |SELECT key, CAST(n_left AS BIGINT) AS n_left,
+        | CAST(n_right AS BIGINT) AS n_right, CAST(fanout AS BIGINT) AS fanout,
+        | CAST(greatest(1, least(32, (n_right + 49999) // 50000)) AS BIGINT) AS salt,
+        | CAST(n_right // greatest(1, least(32, (n_right + 49999) // 50000))
+        |   AS BIGINT) AS rows_per_task
+        |FROM f ORDER BY fanout DESC, key""".stripMargin,
     "q261_reconciliation" ->
       """WITH l AS (SELECT l_orderkey,
         |        sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS lc

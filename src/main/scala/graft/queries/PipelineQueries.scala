@@ -3131,7 +3131,35 @@ object PipelineQueries {
       .orderBy($"fanout".desc, $"key")
   }
 
+  // Filtered vector search — the metadata-predicate ANN problem: exact
+  // top-10 among vectors of a DIFFERENT label than the query (the
+  // correct pre-filter semantics) side by side with the naive
+  // post-filter of an unfiltered top-50, tagged so the result exposes
+  // any recall the post-filter loses. Both paths broadcast + TakeOrdered
+  // (zero shuffle); the query label is one bounded driver literal.
+  def q264FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter($"vec_id" === 2).select($"embedding".as("qvec"))
+    val qlabel = emb.filter($"vec_id" === 2)
+      .select($"label").as[Int].head() // 1-row driver literal
+    val exact = Similarity.bruteForceTopK(
+        emb.filter($"label" =!= qlabel), "vec_id", "embedding", qv, 10)
+      .withColumn("method", lit("a_prefilter_exact"))
+    val post = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 50)
+    val postFiltered = emb.select($"vec_id", $"label")
+      .join(broadcast(post), Seq("vec_id"))
+      .filter($"label" =!= qlabel)
+      .orderBy($"cos".desc, $"vec_id").limit(10)
+      .select($"vec_id", $"cos")
+      .withColumn("method", lit("b_postfilter_50"))
+    exact.unionByName(postFiltered)
+      .select($"method", $"vec_id", $"cos")
+      .orderBy($"method", $"cos".desc, $"vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_filtered_ann" -> q264FilteredAnn _,
     "q263_salt_planner" -> q263SaltPlanner _,
     "q261_reconciliation" -> q261Reconciliation _,
     "q262_top_with_ties" -> q262TopWithTies _,
@@ -3494,6 +3522,23 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q264_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings),
+        |q AS (SELECT v AS qv, label AS ql FROM e WHERE vec_id = 2),
+        |sc AS (SELECT vec_id, label,
+        |        round(list_dot_product(v, qv) /
+        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+        |          6) AS cos, ql
+        |       FROM e, q),
+        |ex AS (SELECT 'a_prefilter_exact' AS method, vec_id, cos
+        |       FROM sc WHERE label <> ql ORDER BY cos DESC, vec_id LIMIT 10),
+        |t50 AS (SELECT * FROM sc ORDER BY cos DESC, vec_id LIMIT 50),
+        |pf AS (SELECT 'b_postfilter_50' AS method, vec_id, cos
+        |       FROM t50 WHERE label <> ql ORDER BY cos DESC, vec_id LIMIT 10)
+        |SELECT * FROM (SELECT * FROM ex UNION ALL SELECT * FROM pf) u
+        |ORDER BY method, cos DESC, vec_id""".stripMargin,
     "q263_salt_planner" ->
       """WITH k AS (SELECT user_id AS key, count(*) AS n
         |       FROM events WHERE user_id IS NOT NULL GROUP BY 1),

@@ -3158,7 +3158,97 @@ object PipelineQueries {
       .orderBy($"method", $"cos".desc, $"vec_id")
   }
 
+  /** q265's oracle: the identical integer-µ greedy unrolled as 5 CTE
+    * rounds (selected set grows by UNION each round).
+    */
+  private lazy val q265Sql: String = {
+    val head =
+      """WITH e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 5),
+        |sc0 AS (SELECT vec_id, v,
+        |        round(list_dot_product(v, qv) /
+        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+        |          6) AS cosr
+        |       FROM e, q WHERE vec_id <> 5),
+        |c AS MATERIALIZED (SELECT vec_id, v,
+        |       CAST(round(cosr * 1000000, 0) AS BIGINT) AS rel
+        |      FROM sc0 ORDER BY cosr DESC, vec_id LIMIT 20),
+        |sims AS MATERIALIZED (SELECT a.vec_id AS u, b.vec_id AS vv,
+        |       CAST(round(list_dot_product(a.v, b.v) /
+        |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |         * 1000000, 0) AS BIGINT) AS sim
+        |      FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+        |p1 AS MATERIALIZED (SELECT vec_id, rel, rel * 7 AS score
+        |      FROM c ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to 5).map { r =>
+      val sel = (1 until r).map(i => s"SELECT vec_id FROM p$i")
+        .mkString(" UNION ")
+      s""",
+         |p$r AS MATERIALIZED (SELECT c.vec_id, c.rel,
+         |      c.rel * 7 - m.mx * 3 AS score
+         |     FROM c JOIN (SELECT u, max(sim) AS mx FROM sims
+         |       WHERE vv IN ($sel) GROUP BY 1) m ON m.u = c.vec_id
+         |     WHERE c.vec_id NOT IN ($sel)
+         |     ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString
+    val out = (1 to 5).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, vec_id, rel AS rel_mu, " +
+        s"CAST(score AS BIGINT) AS score_mu FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"$head$rounds\nSELECT * FROM (\n$out\n) u ORDER BY rank"
+  }
+
+  // Maximal-marginal-relevance re-ranking: the top-20 cosine
+  // candidates re-ordered for DIVERSITY — each round picks
+  // argmax(7·rel − 3·max_sim_to_selected) in exact micro-units
+  // (λ=0.7 ×10, similarities quantized at 1e-6 on both engines, so
+  // the greedy trajectory is bit-deterministic). The data-scale work
+  // is the one top-20 scan; pairwise sims and all 5 greedy rounds run
+  // on the bounded 20-row candidate frame (1-row argmax collects, the
+  // Coverage precedent).
+  def q265MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter($"vec_id" === 5).select($"embedding".as("qvec"))
+    val cand = emb.select($"vec_id", $"embedding")
+      .join(broadcast(Similarity.bruteForceTopK(
+          emb.filter($"vec_id" =!= 5), "vec_id", "embedding", qv, 20)),
+        Seq("vec_id"))
+      .withColumn("rel", expr("CAST(round(cos * 1000000, 0) AS BIGINT)"))
+      .persist() // 20 rows: pairwise sims + every greedy round
+    val sims = cand.as("a").crossJoin(broadcast(cand.as("b")))
+      .filter($"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("u"), $"b.vec_id".as("v"),
+        round(Similarity.cosine(
+          Similarity.toDoubleVec($"a.embedding"),
+          Similarity.toDoubleVec($"b.embedding")) * 1000000.0, 0)
+          .cast("long").as("sim"))
+      .persist()
+    var picks = List.empty[(Long, Long, Long, Long)] // rank, id, rel, score
+    for (r <- 1 to 5) {
+      val sel = picks.map(_._2)
+      val pool = cand.select($"vec_id", $"rel")
+        .filter(!$"vec_id".isin(sel: _*))
+      val scored =
+        if (sel.isEmpty) pool.withColumn("score", $"rel" * 7L)
+        else pool.join(
+            sims.filter($"v".isin(sel: _*))
+              .groupBy($"u").agg(max($"sim").as("mx")),
+            $"vec_id" === $"u")
+          .select($"vec_id", $"rel", ($"rel" * 7L - $"mx" * 3L).as("score"))
+      val row = scored.orderBy($"score".desc, $"vec_id")
+        .limit(1).select($"vec_id", $"rel", $"score")
+        .as[(Long, Long, Long)].head()
+      picks = picks :+ ((r.toLong, row._1, row._2, row._3))
+    }
+    cand.unpersist(); sims.unpersist()
+    picks.toDF("rank", "vec_id", "rel_mu", "score_mu").orderBy($"rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_mmr_rerank" -> q265MmrRerank _,
     "q264_filtered_ann" -> q264FilteredAnn _,
     "q263_salt_planner" -> q263SaltPlanner _,
     "q261_reconciliation" -> q261Reconciliation _,
@@ -3522,6 +3612,7 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q265_mmr_rerank" -> q265Sql,
     "q264_filtered_ann" ->
       """WITH e AS (SELECT vec_id, label,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -3247,7 +3247,66 @@ object PipelineQueries {
     picks.toDF("rank", "vec_id", "rel_mu", "score_mu").orderBy($"rank")
   }
 
+  // Day × value-decile heatmap (the dashboard density matrix): global
+  // type-1 decile boundaries computed once on the compressed
+  // (distinct-cents × count) frame, broadcast back as ten literals in
+  // a single CASE ladder, then one (day, decile) hash agg. Value-based
+  // bucketing — equal values land in one decile on both engines.
+  def q266DecileHeatmap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, dir).filter($"value".isNotNull)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        floor($"value" * 100).cast("long").as("cents"))
+    val vc = ev.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vc.agg(sum($"cnt").as("n"))
+    val bAggs = (1 to 10).map(d =>
+      min(when($"cum" >= expr(s"($d * n + 9) div 10"), $"cents")).as(s"b$d"))
+    val bounds = vc.withColumn("cum", sum($"cnt").over(wc))
+      .crossJoin(broadcast(tot))
+      .agg(bAggs.head, bAggs.tail: _*)
+    val caseLadder = (1 to 9).map(d =>
+      s"WHEN cents <= b$d THEN CAST($d AS BIGINT)").mkString(" ")
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        expr(s"CASE $caseLadder ELSE CAST(10 AS BIGINT) END"))
+      .groupBy($"day", $"decile")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"day", $"decile")
+  }
+
+  // Arrival-disorder audit: how often event time runs BACKWARD along
+  // the arrival sequence (adjacent-pair inversions per type) — the
+  // out-of-orderness measure that sizes streaming watermarks. Adjacent
+  // pairs come from ONE distributed GlobalRank over (type, id) and a
+  // rank↔rank+1 equi-join (q136's shape) — never a type-partitioned
+  // window over raw rows; cross-type boundary pairs drop in the
+  // same-type filter.
+  def q267DisorderRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"event_id", unix_millis($"ts").as("ms"))
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      ev, Seq("event_type", "event_id"), "gr")
+    val cur = ranked.select($"event_type".as("t1"), $"gr", $"ms".as("ms1"))
+    val nxt = ranked.select($"event_type".as("t2"), ($"gr" - 1L).as("gr"),
+      $"ms".as("ms2"))
+    cur.join(nxt, Seq("gr"))
+      .filter($"t1" === $"t2")
+      .groupBy($"t1")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"ms2" < $"ms1", 1L).otherwise(0L)).as("n_inversions"))
+      .withColumn("inversion_ppm",
+        expr("n_inversions * 1000000 div n_pairs"))
+      .withColumnRenamed("t1", "event_type")
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_disorder_rate" -> q267DisorderRate _,
+    "q266_decile_heatmap" -> q266DecileHeatmap _,
     "q265_mmr_rerank" -> q265MmrRerank _,
     "q264_filtered_ann" -> q264FilteredAnn _,
     "q263_salt_planner" -> q263SaltPlanner _,
@@ -3612,6 +3671,37 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q267_disorder_rate" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events),
+        |r AS (SELECT *, lag(ms) OVER (PARTITION BY event_type
+        |       ORDER BY event_id) AS pms FROM e)
+        |SELECT event_type,
+        | CAST(sum(CASE WHEN pms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        | CAST(sum(CASE WHEN pms IS NOT NULL AND ms < pms THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_inversions,
+        | CAST(sum(CASE WHEN pms IS NOT NULL AND ms < pms THEN 1 ELSE 0 END)
+        |   * 1000000 // sum(CASE WHEN pms IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS inversion_ppm
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q266_decile_heatmap" ->
+      ("""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents
+        |       FROM events WHERE value IS NOT NULL),
+        |vc AS (SELECT cents, count(*) AS cnt FROM e GROUP BY 1),
+        |r AS (SELECT *, sum(cnt) OVER (ORDER BY cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |       sum(cnt) OVER () AS n FROM vc),
+        |b AS (SELECT """ +
+        (1 to 10).map(d =>
+          s"min(CASE WHEN cum >= ($d * n + 9) // 10 THEN cents END) AS b$d")
+          .mkString(",\n        ") +
+        """ FROM r)
+        |SELECT day, CASE """ +
+        (1 to 9).map(d => s"WHEN cents <= b$d THEN CAST($d AS BIGINT)")
+          .mkString(" ") +
+        """ ELSE CAST(10 AS BIGINT) END AS decile,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM e, b GROUP BY 1, 2 ORDER BY day, decile""").stripMargin,
     "q265_mmr_rerank" -> q265Sql,
     "q264_filtered_ann" ->
       """WITH e AS (SELECT vec_id, label,

@@ -3304,7 +3304,29 @@ object PipelineQueries {
       .orderBy($"event_type")
   }
 
+  // Right-to-erasure rewrite: the subject set (every 97th user) is
+  // anti-joined out, the surviving table is REWRITTEN to a real sink
+  // and read back, and the result audits the rewritten copy — per-type
+  // survivor counts plus the erased-rows-remaining counter the
+  // compliance gate requires to be zero. Sink ≡ filtered source
+  // (q78's discipline); the erase predicate pushes to the scan.
+  def q268ErasureRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = tempDir("graft-q268")
+    Tables.events(s, dir)
+      .filter($"user_id".isNull || $"user_id" % 97 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/tables/events_clean")
+    val back = s.read.parquet(s"$tmp/tables/events_clean")
+    back.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"user_id").as("n_users"),
+        sum(when($"user_id".isNotNull && $"user_id" % 97 === 0, 1L)
+          .otherwise(0L)).as("erased_remaining"))
+      .orderBy($"event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_erasure_rewrite" -> q268ErasureRewrite _,
     "q267_disorder_rate" -> q267DisorderRate _,
     "q266_decile_heatmap" -> q266DecileHeatmap _,
     "q265_mmr_rerank" -> q265MmrRerank _,
@@ -3671,6 +3693,12 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q268_erasure_rewrite" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(0 AS BIGINT) AS erased_remaining
+        |FROM events WHERE user_id IS NULL OR user_id % 97 <> 0
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q267_disorder_rate" ->
       """WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events),
         |r AS (SELECT *, lag(ms) OVER (PARTITION BY event_type

@@ -39,7 +39,9 @@ object KTruss {
       .distinct().persist()
     val counts = scala.collection.mutable.ListBuffer[(Long, Long)]()
     counts += ((0L, e.count()))
-    for (r <- 1 to rounds) {
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
       val nb = e.select($"a".as("n"), $"b".as("m"))
         .unionAll(e.select($"b".as("n"), $"a".as("m")))
       // z adjacent to a (z ≠ b), then require the (b, z) edge: each
@@ -52,10 +54,17 @@ object KTruss {
       val kept = e.join(sup, Seq("a", "b"), "left")
         .filter(coalesce($"sup", lit(0L)) >= minSup)
         .select($"a", $"b").persist()
-      counts += ((r.toLong, kept.count()))
+      val n = kept.count()
+      counts += ((r.toLong, n))
+      // peeling is monotone: an unchanged edge set is the fixpoint, so
+      // every later round provably returns the same set — emit the
+      // remaining rounds without executing them
+      converged = n == counts(r - 1)._2
       e.unpersist()
       e = kept
+      r += 1
     }
+    while (r <= rounds) { counts += ((r.toLong, counts.last._2)); r += 1 }
     e.unpersist()
     counts.toSeq.toDF("round", "n_edges")
   }

@@ -525,7 +525,33 @@ object ExtendedQueries {
       .orderBy($"hr")
   }
 
+  // ---------------------------------------------------------------- q269
+
+  // Item-item collaborative-filtering similarity: co-purchase pairs
+  // scored by cosine² in exact ppm — w²·10⁶ div (deg_a·deg_b) — the
+  // cross-multiplied form that keeps the CF ranking integer-exact
+  // (monotone in cosine, no sqrt ever taken). Edge build is the
+  // aggregate+explode shape (operators/Edges); degrees broadcast back
+  // onto the pair frame; top-20 is a TakeOrdered.
+  def q269ItemSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val w = graft.operators.Edges
+      .coOccurrenceCounts(li, "l_orderkey", "l_partkey")
+      .persist() // degrees + the scored pairs both read it
+    val deg = w.select($"a".as("node"), $"w")
+      .unionAll(w.select($"b".as("node"), $"w"))
+      .groupBy($"node").agg(sum($"w").as("deg"))
+    w.join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
+      .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
+      .select($"a", $"b", $"w",
+        expr("w * w * 1000000 div (da * db)").as("cos2_ppm"))
+      .orderBy($"cos2_ppm".desc, $"a", $"b")
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_item_similarity" -> q269ItemSimilarity _,
     "q240_interpolate" -> q240Interpolate _,
     "q226_bitmap_distinct" -> q226BitmapDistinct _,
     "q227_ktruss" -> q227Ktruss _,
@@ -552,6 +578,19 @@ object ExtendedQueries {
     "q182_image_decode" -> q182ImageDecode _)
 
   val oracle: Map[String, String] = Map(
+    "q269_item_similarity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |w AS (SELECT CAST(x.l_partkey AS BIGINT) AS a,
+        |       CAST(y.l_partkey AS BIGINT) AS b, count(*) AS w
+        |      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |       AND x.l_partkey < y.l_partkey GROUP BY 1, 2),
+        |deg AS (SELECT node, sum(w) AS deg FROM (
+        |        SELECT a AS node, w FROM w UNION ALL SELECT b, w FROM w) u
+        |       GROUP BY 1)
+        |SELECT a, b, CAST(w.w AS BIGINT) AS w,
+        | CAST(w.w * w.w * 1000000 // (da.deg * db.deg) AS BIGINT) AS cos2_ppm
+        |FROM w JOIN deg da ON da.node = w.a JOIN deg db ON db.node = w.b
+        |ORDER BY cos2_ppm DESC, a, b LIMIT 20""".stripMargin,
     "q240_interpolate" ->
       """WITH p AS (SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n
         |       FROM events WHERE event_type = 'purchase' AND value >= 900.0

@@ -166,4 +166,63 @@ object PageRank {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Edge-WEIGHTED PageRank: rank mass flows out of a node in
+    * proportion to edge weight instead of uniformly —
+    *
+    *   share(u→v) = (r(u) · w(u→v)) div W(u),  W(u) = Σ out-weights
+    *
+    * (per-edge truncation, so the oracle replays each edge's share
+    * exactly). Parallel edges merge by weight sum; weights must be
+    * positive (non-positive edges are dropped). Same shape as
+    * [[ranks]] — the weighted edge frame joins the per-source weight
+    * total ONCE before the loop, every iteration re-exchanges only the
+    * rank frame.
+    */
+  def weightedRanks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      iterations: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      truncateEvery: Int = 4,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
+    require(truncateEvery >= 1, "truncateEvery must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0L)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist()
+    val outw = e.groupBy("src").agg(sum(col("w")).as("ws")).persist()
+    val ew = e.join(outw, "src").persist()
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct().persist()
+    val n = nodes.count()
+    val r0 = scale / n
+    val base = (dampDen - dampNum) * r0 / dampDen
+    var ranks = nodes.withColumn("r", lit(r0))
+    for (it <- 1 to iterations) {
+      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst").as("cnode"), expr("(r * w) div ws").as("sh"))
+        .groupBy(col("cnode")).agg(sum(col("sh")).as("contrib"))
+      val dangling = ranks.join(outw, ranks("node") === outw("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = ranks.select(col("node"))
+        .join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(base) + expr(
+            s"($dampNum * (coalesce(contrib, 0L) + (dang div $n))) div $dampDen"))
+            .as("r"))
+      if (it % truncateEvery == 0 && it < iterations) ranks = truncate(ranks)
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
 }

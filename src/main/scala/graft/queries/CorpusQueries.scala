@@ -276,9 +276,57 @@ object CorpusQueries {
       .orderBy($"stage")
   }
 
+  // ---------------------------------------------------------------- q270
+
+  // Edge-WEIGHTED PageRank over the customer→supplier purchase graph:
+  // trust flows in proportion to how often a customer buys from a
+  // supplier (order count as edge weight), not uniformly — q73's
+  // recurrence with per-edge (r·w) div W(u) shares, still exact BIGINT
+  // (see PageRank.weightedRanks). 3 iterations, unrolled oracle.
+  def q270WeightedPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy(($"o_custkey".cast("long") * 2).as("src"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    PageRank.weightedRanks(edges, "src", "dst", "w", iterations = 3)
+      .select($"node", $"rank".as("wpr"))
+      .orderBy($"node")
+  }
+
+  /** q270's oracle: q73's unrolled CTE ladder with weighted shares. */
+  private lazy val q270Sql: String = {
+    val head =
+      """WITH e AS (SELECT CAST(o_custkey AS BIGINT) * 2 AS src,
+        |         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst, count(*) AS w
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |       GROUP BY 1, 2),
+        |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |pp AS (SELECT count(*) n, 1000000000000 // count(*) r0,
+        |        (100 - 85) * (1000000000000 // count(*)) // 100 base FROM nd),
+        |og AS (SELECT src, sum(w) AS ws FROM e GROUP BY 1),
+        |i0 AS (SELECT node, (SELECT r0 FROM pp) r FROM nd)""".stripMargin
+    val rounds = (1 to 3).map { k =>
+      s""",
+         |c$k AS (SELECT e.dst node, sum((r.r * e.w) // og.ws) c FROM e
+         |       JOIN i${k - 1} r ON r.node = e.src JOIN og ON og.src = e.src
+         |       GROUP BY 1),
+         |d$k AS (SELECT COALESCE(sum(r.r), 0) // (SELECT n FROM pp) ds
+         |       FROM i${k - 1} r LEFT JOIN og ON og.src = r.node
+         |       WHERE og.src IS NULL),
+         |i$k AS (SELECT nd.node, (SELECT base FROM pp)
+         |        + (85 * (COALESCE(c$k.c, 0) + (SELECT ds FROM d$k))) // 100 r
+         |       FROM nd LEFT JOIN c$k ON c$k.node = nd.node)""".stripMargin
+    }.mkString
+    s"$head$rounds\nSELECT node, CAST(r AS BIGINT) AS wpr FROM i3 ORDER BY node"
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_weighted_pagerank" -> q270WeightedPagerank _,
     "q238_augment" -> q238Augment _,
     "q239_bpe_apply" -> q239BpeApply _,
     "q219_negative_edges" -> q219NegativeEdges _,
@@ -290,6 +338,7 @@ object CorpusQueries {
     "q217_gif_frames" -> q217GifFrames _)
 
   val oracle: Map[String, String] = Map(
+    "q270_weighted_pagerank" -> q270Sql,
     "q238_augment" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |       FROM documents WHERE text IS NOT NULL),

@@ -18,6 +18,31 @@ class CorpusQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("weightedRanks replays the hand-computed 3-node recurrence") {
+    // edges 1→2 (w=3), 1→3 (w=1); scale 1000, damp 1/2, 1 iteration:
+    //   N=3, r0=333, base=(2-1)*333/2=166, W(1)=4
+    //   shares: 1→2 = 333*3/4 = 249 ; 1→3 = 333/4 = 83
+    //   dangling (2,3): 666 → div N = 222
+    //   r(1)=166+(0+222)/2=277 ; r(2)=166+(249+222)/2=401
+    //   r(3)=166+(83+222)/2=318
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("s", "d", "w")
+    val got = PageRank.weightedRanks(e, "s", "d", "w", iterations = 1,
+        dampNum = 1L, dampDen = 2L, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 277L, 2L -> 401L, 3L -> 318L))
+  }
+
+  test("weightedRanks with uniform weights equals unweighted ranks") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val uw = PageRank.ranks(e, "s", "d", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val w = PageRank.weightedRanks(e.withColumn("w", lit(7L)), "s", "d", "w",
+        iterations = 3).as[(Long, Long)].collect().toMap
+    // floor(7r / 7deg) = floor(r / deg) exactly, so uniform weights
+    // must reproduce the unweighted ranks on any graph
+    assert(uw == w)
+  }
+
   test("personalizedRanks: nodes unreachable from the seeds stay at 0") {
     // 1 -> 2 -> 3, isolated pair 4 -> 5; seed = {1}
     val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("s", "d")

@@ -550,7 +550,42 @@ object ExtendedQueries {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q271
+
+  // Recommender hit-rate eval: for every multi-item order, does the
+  // top co-occurrence neighbor of its FIRST item (min partkey) appear
+  // among the order's other items? The recommender is q269's weighted
+  // co-purchase graph argmaxed per node (max-struct, q179's trick);
+  // the eval is two uniform-key joins + one fold — hit-rate in exact
+  // ppm. The model and the eval read the same persisted edge frame.
+  def q271RecsysEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val w = graft.operators.Edges
+      .coOccurrenceCounts(li, "l_orderkey", "l_partkey")
+      .persist()
+    // best neighbor per node over the symmetrized pairs: max (w, -nbr)
+    val best = w.select($"a".as("node"), $"b".as("nbr"), $"w")
+      .unionAll(w.select($"b".as("node"), $"a".as("nbr"), $"w"))
+      .groupBy($"node")
+      .agg(max(struct($"w", (-$"nbr").as("negn"))).as("m"))
+      .select($"node", (-$"m.negn").as("predicted"))
+    val items = li.distinct()
+    val seeds = items.groupBy($"l_orderkey")
+      .agg(min($"l_partkey").as("seed"), count(lit(1)).as("n_items"))
+      .filter($"n_items" >= 2L)
+    seeds
+      .join(best, $"seed" === $"node")
+      .join(items.select($"l_orderkey", $"l_partkey".as("predicted")),
+        Seq("l_orderkey", "predicted"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(seeds.agg(count(lit(1)).as("n_orders"))))
+      .select($"n_orders", $"n_hits",
+        expr("n_hits * 1000000 div n_orders").as("hit_rate_ppm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_recsys_eval" -> q271RecsysEval _,
     "q269_item_similarity" -> q269ItemSimilarity _,
     "q240_interpolate" -> q240Interpolate _,
     "q226_bitmap_distinct" -> q226BitmapDistinct _,
@@ -578,6 +613,28 @@ object ExtendedQueries {
     "q182_image_decode" -> q182ImageDecode _)
 
   val oracle: Map[String, String] = Map(
+    "q271_recsys_eval" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |w AS (SELECT CAST(x.l_partkey AS BIGINT) AS a,
+        |       CAST(y.l_partkey AS BIGINT) AS b, count(*) AS w
+        |      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |       AND x.l_partkey < y.l_partkey GROUP BY 1, 2),
+        |sym AS (SELECT a AS node, b AS nbr, w FROM w
+        |        UNION ALL SELECT b, a, w FROM w),
+        |best AS (SELECT node, nbr AS predicted FROM (
+        |         SELECT node, nbr, row_number() OVER (PARTITION BY node
+        |          ORDER BY w DESC, nbr) AS rn FROM sym) r WHERE rn = 1),
+        |seeds AS (SELECT l_orderkey, CAST(min(l_partkey) AS BIGINT) AS seed
+        |         FROM li GROUP BY 1 HAVING count(*) >= 2),
+        |hits AS (SELECT s.l_orderkey FROM seeds s
+        |         JOIN best b ON b.node = s.seed
+        |         WHERE EXISTS (SELECT 1 FROM li
+        |           WHERE li.l_orderkey = s.l_orderkey
+        |            AND li.l_partkey = b.predicted))
+        |SELECT CAST((SELECT count(*) FROM seeds) AS BIGINT) AS n_orders,
+        | CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+        | CAST((SELECT count(*) FROM hits) * 1000000
+        |   // (SELECT count(*) FROM seeds) AS BIGINT) AS hit_rate_ppm""".stripMargin,
     "q269_item_similarity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |w AS (SELECT CAST(x.l_partkey AS BIGINT) AS a,

@@ -584,7 +584,53 @@ object ExtendedQueries {
         expr("n_hits * 1000000 div n_orders").as("hit_rate_ppm"))
   }
 
+  // ---------------------------------------------------------------- q272
+
+  // Degree assortativity of the co-purchase graph — do hub parts pair
+  // with hubs? Pearson over edge-endpoint degrees in integer
+  // sufficient stats (q81's convention): the raw sums, the signed
+  // covariance numerator, and corr² in exact ppm via DECIMAL(38,0)
+  // cross-multiplication (num² ≲ 10³⁶ on this graph — the int128
+  // envelope is documented, not assumed). Sign rides its own column so
+  // no square root is ever taken.
+  def q272Assortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val e = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+      .persist() // degree agg + the stats pass
+    val deg = e.select($"a".as("node")).unionAll(e.select($"b"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    // symmetrize so the correlation is over unordered endpoint pairs
+    val pairs = e.unionAll(e.select($"b".as("a"), $"a".as("b")))
+      .join(deg.select($"node".as("a"), $"deg".as("dx")), Seq("a"))
+      .join(deg.select($"node".as("b"), $"deg".as("dy")), Seq("b"))
+    val dec = "DECIMAL(38,0)"
+    pairs.agg(
+        count(lit(1)).as("m"),
+        sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum(expr(s"CAST(dx AS $dec) * dy")).as("sxy"),
+        sum(expr(s"CAST(dx AS $dec) * dx")).as("sxx"),
+        sum(expr(s"CAST(dy AS $dec) * dy")).as("syy"))
+      .withColumn("num", expr(s"CAST(m AS $dec) * sxy - CAST(sx AS $dec) * sy"))
+      .withColumn("vx", expr(s"CAST(m AS $dec) * sxx - CAST(sx AS $dec) * sx"))
+      .withColumn("vy", expr(s"CAST(m AS $dec) * syy - CAST(sy AS $dec) * sy"))
+      .select($"m", $"sx".cast("long").as("sum_dx"),
+        expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)")
+          .as("sign"),
+        // denominator pre-scaled by 1e6 so num² (≲10³⁴ here) never
+        // multiplies past DECIMAL(38,0). The pre-scale division CANNOT
+        // use `div` — Spark's div casts its quotient to BIGINT and the
+        // ~10²⁰ quotient wraps — so it is spelled as the exact
+        // (x − x % 1e6) / 1e6 decimal form; only the final small
+        // quotient goes through div. Oracle // is int128 throughout.
+        expr("""CAST(CASE WHEN vx > 0 AND vy > 0 THEN
+             |  (num * num) div CAST(
+             |    (vx * vy - (vx * vy) % 1000000) / 1000000 AS DECIMAL(38, 0))
+             |  ELSE NULL END AS BIGINT)""".stripMargin).as("corr2_ppm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_assortativity" -> q272Assortativity _,
     "q271_recsys_eval" -> q271RecsysEval _,
     "q269_item_similarity" -> q269ItemSimilarity _,
     "q240_interpolate" -> q240Interpolate _,
@@ -613,6 +659,32 @@ object ExtendedQueries {
     "q182_image_decode" -> q182ImageDecode _)
 
   val oracle: Map[String, String] = Map(
+    "q272_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT CAST(x.l_partkey AS BIGINT) AS a,
+        |       CAST(y.l_partkey AS BIGINT) AS b
+        |      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |       AND x.l_partkey < y.l_partkey GROUP BY 1, 2),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |        SELECT a AS node FROM e UNION ALL SELECT b FROM e) u GROUP BY 1),
+        |p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM (
+        |        SELECT a, b FROM e UNION ALL SELECT b, a FROM e) s
+        |      JOIN deg dx ON dx.node = s.a JOIN deg dy ON dy.node = s.b),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+        |       CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+        |       sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+        |       sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |       sum(CAST(dy AS HUGEINT) * dy) AS syy
+        |      FROM p),
+        |t AS (SELECT m, sx, m * sxy - sx * sy AS num,
+        |       m * sxx - sx * sx AS vx, m * syy - sy * sy AS vy FROM g)
+        |SELECT CAST(m AS BIGINT) AS m, CAST(sx AS BIGINT) AS sum_dx,
+        | CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |   AS sign,
+        | CAST(CASE WHEN vx > 0 AND vy > 0 AND (vx * vy) // 1000000 > 0
+        |      THEN (num * num) // ((vx * vy) // 1000000)
+        |      ELSE NULL END AS BIGINT) AS corr2_ppm
+        |FROM t""".stripMargin,
     "q271_recsys_eval" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |w AS (SELECT CAST(x.l_partkey AS BIGINT) AS a,

@@ -225,4 +225,66 @@ object PageRank {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Weighted AND personalized: trust flows from a seed set and each
+    * node redistributes it in proportion to edge weight —
+    * [[personalizedRanks]]'s seeded teleport/dangling return with
+    * [[weightedRanks]]'s per-edge (r·w) div W(u) shares. The
+    * volume-weighted trust-propagation form.
+    */
+  def weightedPersonalizedRanks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      truncateEvery: Int = 4,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
+    require(truncateEvery >= 1, "truncateEvery must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0L)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist()
+    val outw = e.groupBy("src").agg(sum(col("w")).as("ws")).persist()
+    val ew = e.join(outw, "src").persist()
+    val marked = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct()
+      .join(seeds.select(col(seedCol).cast("long").as("node"))
+        .distinct().withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("seed"))
+      .persist()
+    val nS = marked.filter(col("seed") === 1L).count()
+    require(nS >= 1, "seed set must intersect the graph's node set")
+    val r0 = scale / nS
+    val base = (dampDen - dampNum) * r0 / dampDen
+    var ranks = marked.withColumn("r",
+      when(col("seed") === 1L, lit(r0)).otherwise(lit(0L)))
+    for (it <- 1 to iterations) {
+      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst").as("cnode"), expr("(r * w) div ws").as("sh"))
+        .groupBy(col("cnode")).agg(sum(col("sh")).as("contrib"))
+      val dangling = ranks.join(outw, ranks("node") === outw("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = marked
+        .join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("seed"),
+          (when(col("seed") === 1L, lit(base)).otherwise(lit(0L)) + expr(
+            s"($dampNum * (coalesce(contrib, 0L) + " +
+              s"(CASE WHEN seed = 1 THEN dang div $nS ELSE 0 END))) div $dampDen"))
+            .as("r"))
+      if (it % truncateEvery == 0 && it < iterations) ranks = truncate(ranks)
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
 }

@@ -323,10 +323,66 @@ object CorpusQueries {
     s"$head$rounds\nSELECT node, CAST(r AS BIGINT) AS wpr FROM i3 ORDER BY node"
   }
 
+  // ---------------------------------------------------------------- q273
+
+  // Weighted AND personalized trust propagation: rank flows from the
+  // seed accounts (every 20th customer) in proportion to purchase
+  // volume — q213's seeded teleport with q270's weighted shares, the
+  // volume-weighted "how much of OUR trust reaches each supplier"
+  // read-out. Same exact-BIGINT recurrence, unrolled oracle.
+  def q273WeightedPpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy(($"o_custkey".cast("long") * 2).as("src"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val seeds = Tables.orders(s, dir)
+      .select(($"o_custkey".cast("long") * 2).as("src"))
+      .filter($"src" % 20 === 0)
+    PageRank.weightedPersonalizedRanks(edges, "src", "dst", "w",
+        seeds, "src", iterations = 3)
+      .select($"node", $"rank".as("wppr"))
+      .orderBy($"node")
+  }
+
+  /** q273's oracle: q213's seeded ladder with q270's weighted shares. */
+  private lazy val q273Sql: String = {
+    val head =
+      """WITH e AS (SELECT CAST(o_custkey AS BIGINT) * 2 AS src,
+        |         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst, count(*) AS w
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |       GROUP BY 1, 2),
+        |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |pp AS (SELECT count(*) ns, 1000000000000 // count(*) r0,
+        |        (100 - 85) * (1000000000000 // count(*)) // 100 base
+        |       FROM nd WHERE node % 20 = 0),
+        |og AS (SELECT src, sum(w) AS ws FROM e GROUP BY 1),
+        |i0 AS (SELECT node, CASE WHEN node % 20 = 0
+        |        THEN (SELECT r0 FROM pp) ELSE 0 END r FROM nd)""".stripMargin
+    val rounds = (1 to 3).map { k =>
+      s""",
+         |c$k AS (SELECT e.dst node, sum((r.r * e.w) // og.ws) c FROM e
+         |       JOIN i${k - 1} r ON r.node = e.src JOIN og ON og.src = e.src
+         |       GROUP BY 1),
+         |d$k AS (SELECT COALESCE(sum(r.r), 0) // (SELECT ns FROM pp) ds
+         |       FROM i${k - 1} r LEFT JOIN og ON og.src = r.node
+         |       WHERE og.src IS NULL),
+         |i$k AS (SELECT nd.node, (CASE WHEN nd.node % 20 = 0
+         |         THEN (SELECT base FROM pp) ELSE 0 END)
+         |        + (85 * (COALESCE(c$k.c, 0) + (CASE WHEN nd.node % 20 = 0
+         |           THEN (SELECT ds FROM d$k) ELSE 0 END))) // 100 r
+         |       FROM nd LEFT JOIN c$k ON c$k.node = nd.node)""".stripMargin
+    }.mkString
+    s"$head$rounds\nSELECT node, CAST(r AS BIGINT) AS wppr FROM i3 ORDER BY node"
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_weighted_pagerank" -> q270WeightedPagerank _,
+    "q273_weighted_ppr" -> q273WeightedPpr _,
     "q238_augment" -> q238Augment _,
     "q239_bpe_apply" -> q239BpeApply _,
     "q219_negative_edges" -> q219NegativeEdges _,
@@ -339,6 +395,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q270_weighted_pagerank" -> q270Sql,
+    "q273_weighted_ppr" -> q273Sql,
     "q238_augment" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |       FROM documents WHERE text IS NOT NULL),

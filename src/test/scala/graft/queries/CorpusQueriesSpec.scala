@@ -43,6 +43,17 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(uw == w)
   }
 
+  test("weightedPersonalizedRanks with uniform weights equals personalizedRanks") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L)).toDF("s", "d")
+    val seeds = Seq(1L, 3L).toDF("n")
+    val p = PageRank.personalizedRanks(e, "s", "d", seeds, "n", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val wp = PageRank.weightedPersonalizedRanks(
+        e.withColumn("w", lit(5L)), "s", "d", "w", seeds, "n", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(p == wp && p.nonEmpty)
+  }
+
   test("personalizedRanks: nodes unreachable from the seeds stay at 0") {
     // 1 -> 2 -> 3, isolated pair 4 -> 5; seed = {1}
     val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("s", "d")

@@ -629,7 +629,48 @@ object ExtendedQueries {
              |  ELSE NULL END AS BIGINT)""".stripMargin).as("corr2_ppm"))
   }
 
+  // ---------------------------------------------------------------- q274
+
+  // Modularity of the q166 communities — the partition-quality score:
+  // Q·1e6 = Σ_c (4·m·e_c − d_c²) · 1e6 div (4·m²), entirely int64
+  // (4·m·e_c and d_c² ≲ 6e12 on this graph) with a sign-explicit final
+  // division. Labels come from the SAME 2-round deterministic LPA the
+  // oracle unrolls; e_c and d_c are two uniform-key joins + one fold.
+  def q274Modularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val e = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+      .persist() // LPA + m + e_c + degrees all read it
+    val labels = graft.operators.LabelProp.propagate(
+      e.select($"a".as("src"), $"b".as("dst")), "src", "dst", rounds = 2)
+    val m = e.count() // one driver scalar
+    val ec = e
+      .join(labels.select($"node".as("a"), $"label".as("la")), Seq("a"))
+      .join(labels.select($"node".as("b"), $"label".as("lb")), Seq("b"))
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("label")).agg(count(lit(1)).as("e_c"))
+    val dc = e.select($"a".as("node")).unionAll(e.select($"b"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .join(labels, Seq("node"))
+      .groupBy($"label").agg(sum($"deg").as("d_c"))
+    dc.join(ec, Seq("label"), "left")
+      .select((lit(4L) * m * coalesce($"e_c", lit(0L)) - $"d_c" * $"d_c")
+        .as("term"))
+      .agg(count(lit(1)).as("n_communities"), sum($"term").as("num"))
+      .select($"n_communities", lit(m).as("m_edges"), $"num",
+        // num·1e6 runs in DECIMAL(38,0) so the expression survives any
+        // SF (int64 would cap near sf1); the quotient is ppm-small so
+        // the final div's bigint cast is safe
+        expr(s"""CAST(CASE WHEN num >= 0
+             |  THEN (CAST(num AS DECIMAL(38,0)) * 1000000)
+             |       div (CAST(4 AS DECIMAL(38,0)) * ${m}L * ${m}L)
+             |  ELSE -((CAST(-num AS DECIMAL(38,0)) * 1000000)
+             |       div (CAST(4 AS DECIMAL(38,0)) * ${m}L * ${m}L))
+             |  END AS BIGINT)""".stripMargin).as("q_ppm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_modularity" -> q274Modularity _,
     "q272_assortativity" -> q272Assortativity _,
     "q271_recsys_eval" -> q271RecsysEval _,
     "q269_item_similarity" -> q269ItemSimilarity _,
@@ -659,6 +700,45 @@ object ExtendedQueries {
     "q182_image_decode" -> q182ImageDecode _)
 
   val oracle: Map[String, String] = Map(
+    "q274_modularity" ->
+      """WITH e0 AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |adj AS MATERIALIZED (
+        | SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+        |v1 AS (SELECT a.v AS node, l.label, count(*) AS n
+        |       FROM adj a JOIN l0 l ON a.u = l.node GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT node, label,
+        |   row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+        |  FROM v1) r1 WHERE rn = 1),
+        |v2 AS (SELECT a.v AS node, l.label, count(*) AS n
+        |       FROM adj a JOIN l1 l ON a.u = l.node GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT node, label,
+        |   row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+        |  FROM v2) r2 WHERE rn = 1),
+        |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+        |ec AS (SELECT la.label, count(*) AS e_c FROM e0
+        |       JOIN l2 la ON la.node = e0.a JOIN l2 lb ON lb.node = e0.b
+        |       WHERE la.label = lb.label GROUP BY 1),
+        |dcx AS (SELECT l2.label, CAST(sum(d.deg) AS HUGEINT) AS d_c FROM (
+        |        SELECT node, count(*) AS deg FROM (
+        |          SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) u
+        |        GROUP BY 1) d JOIN l2 ON l2.node = d.node GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |       sum(4 * (SELECT m FROM mm) * CAST(coalesce(e_c, 0) AS HUGEINT)
+        |           - d_c * d_c) AS num
+        |      FROM dcx LEFT JOIN ec ON ec.label = dcx.label)
+        |SELECT n_communities, CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+        | CAST(num AS BIGINT) AS num,
+        | CAST(CASE WHEN num >= 0
+        |      THEN (num * 1000000) // (4 * (SELECT m FROM mm) * (SELECT m FROM mm))
+        |      ELSE -((-num * 1000000) // (4 * (SELECT m FROM mm) * (SELECT m FROM mm)))
+        |      END AS BIGINT) AS q_ppm
+        |FROM t""".stripMargin,
     "q272_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT CAST(x.l_partkey AS BIGINT) AS a,

@@ -641,8 +641,11 @@ object ExtendedQueries {
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
     val e = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
       .persist() // LPA + m + e_c + degrees all read it
+    // persisted: referenced three times (both e_c endpoint joins + the
+    // degree join) — unpersisted, each reference re-runs the 2 LPA rounds
     val labels = graft.operators.LabelProp.propagate(
       e.select($"a".as("src"), $"b".as("dst")), "src", "dst", rounds = 2)
+      .persist()
     val m = e.count() // one driver scalar
     val ec = e
       .join(labels.select($"node".as("a"), $"label".as("la")), Seq("a"))

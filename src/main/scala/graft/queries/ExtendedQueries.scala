@@ -571,6 +571,7 @@ object ExtendedQueries {
       .agg(max(struct($"w", (-$"nbr").as("negn"))).as("m"))
       .select($"node", (-$"m.negn").as("predicted"))
     val items = li.distinct()
+      .persist() // seeds agg + the membership semi-join both read it
     val seeds = items.groupBy($"l_orderkey")
       .agg(min($"l_partkey").as("seed"), count(lit(1)).as("n_items"))
       .filter($"n_items" >= 2L)
@@ -600,6 +601,7 @@ object ExtendedQueries {
       .persist() // degree agg + the stats pass
     val deg = e.select($"a".as("node")).unionAll(e.select($"b"))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .persist() // joined onto both endpoints
     // symmetrize so the correlation is over unordered endpoint pairs
     val pairs = e.unionAll(e.select($"b".as("a"), $"a".as("b")))
       .join(deg.select($"node".as("a"), $"deg".as("dx")), Seq("a"))

@@ -3259,6 +3259,7 @@ object PipelineQueries {
       .select(expr("unix_millis(ts) div 86400000").as("day"),
         floor($"value" * 100).cast("long").as("cents"))
     val vc = ev.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+      .persist() // the total and the cumulative bounds both read it
     val wc = Window.orderBy($"cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = vc.agg(sum($"cnt").as("n"))

@@ -438,9 +438,9 @@ object CorpusQueries {
         |      FROM m)
         |SELECT * FROM (
         | SELECT CAST(0 AS BIGINT) AS stage, CAST(n0 AS BIGINT) AS total_symbols FROM g
-        | UNION ALL SELECT 1, n1 FROM g
-        | UNION ALL SELECT 2, n2 FROM g
-        | UNION ALL SELECT 3, n3 FROM g
+        | UNION ALL SELECT 1, CAST(n1 AS BIGINT) FROM g
+        | UNION ALL SELECT 2, CAST(n2 AS BIGINT) FROM g
+        | UNION ALL SELECT 3, CAST(n3 AS BIGINT) FROM g
         |) u ORDER BY stage""".stripMargin,
     "q225_span_corruption" ->
       """WITH t AS (SELECT doc_id,

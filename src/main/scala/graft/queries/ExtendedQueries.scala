@@ -864,11 +864,11 @@ object ExtendedQueries {
         |SELECT * FROM (
         | SELECT 'p1_en_spark' AS query, CAST(n1 AS BIGINT) AS n_matches,
         |  CAST(coalesce(f1, -1) AS BIGINT) AS first_doc FROM g
-        | UNION ALL SELECT 'p2_src_group', n2, coalesce(f2, -1) FROM g
-        | UNION ALL SELECT 'p3_not_short', n3, coalesce(f3, -1) FROM g
-        | UNION ALL SELECT 'p4_phrase', n4, coalesce(f4, -1) FROM g
-        | UNION ALL SELECT 'p5_wild', n5, coalesce(f5, -1) FROM g
-        | UNION ALL SELECT 'p6_mixed', n6, coalesce(f6, -1) FROM g
+        | UNION ALL SELECT 'p2_src_group', CAST(n2 AS BIGINT), CAST(coalesce(f2, -1) AS BIGINT) FROM g
+        | UNION ALL SELECT 'p3_not_short', CAST(n3 AS BIGINT), CAST(coalesce(f3, -1) AS BIGINT) FROM g
+        | UNION ALL SELECT 'p4_phrase', CAST(n4 AS BIGINT), CAST(coalesce(f4, -1) AS BIGINT) FROM g
+        | UNION ALL SELECT 'p5_wild', CAST(n5 AS BIGINT), CAST(coalesce(f5, -1) AS BIGINT) FROM g
+        | UNION ALL SELECT 'p6_mixed', CAST(n6 AS BIGINT), CAST(coalesce(f6, -1) AS BIGINT) FROM g
         |) u ORDER BY query""".stripMargin,
     "q229_sequence_mining" ->
       """WITH s AS (SELECT user_id,

@@ -4210,7 +4210,8 @@ object PipelineQueries {
         |a AS (SELECT k, max(bal) AS mx,
         |       CAST(sum(hit) AS BIGINT) AS fh
         |      FROM w2 GROUP BY k)
-        |SELECT a.k AS custkey, f.bal AS final_balance, a.mx AS max_balance,
+        |SELECT a.k AS custkey, CAST(f.bal AS BIGINT) AS final_balance,
+        | CAST(a.mx AS BIGINT) AS max_balance,
         | a.fh AS floor_hits
         |FROM a JOIN f ON a.k = f.k AND f.rn = 1 ORDER BY custkey""".stripMargin,
     "q146_gini_concentration" ->
@@ -4529,12 +4530,12 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN ms < (SELECT mid FROM m) THEN vm ELSE 0 END) AS BIGINT) sum_a,
         |  CAST(sum(CASE WHEN ms >= (SELECT mid FROM m) THEN vm ELSE 0 END) AS BIGINT) sum_b
         | FROM e GROUP BY seg),
-        |t AS (SELECT sum(sum_b - sum_a) tot FROM a)
+        |t AS (SELECT CAST(sum(sum_b - sum_a) AS BIGINT) tot FROM a)
         |SELECT seg, sum_a, sum_b, sum_b - sum_a AS delta,
-        | CASE WHEN tot = 0 THEN NULL
+        | CAST(CASE WHEN tot = 0 THEN NULL
         |  ELSE (CASE WHEN ((sum_b - sum_a) >= 0) = (tot >= 0)
         |        THEN 1 ELSE -1 END) *
-        |       (abs(sum_b - sum_a) * 1000000 // abs(tot)) END AS share_ppm
+        |       (abs(sum_b - sum_a) * 1000000 // abs(tot)) END AS BIGINT) AS share_ppm
         |FROM a, t ORDER BY seg""".stripMargin,
     "q123_rolling_active_users" ->
       """WITH a AS (

@@ -591,9 +591,9 @@ object SearchAggQueries {
         |      FROM e, o)
         |SELECT * FROM (
         | SELECT 'week1' AS bucket, CAST(n1 AS BIGINT) AS n FROM g
-        | UNION ALL SELECT 'week2', n2 FROM g
-        | UNION ALL SELECT 'rest', n3 FROM g
-        | UNION ALL SELECT 'zz_missing_user', nm FROM g
+        | UNION ALL SELECT 'week2', CAST(n2 AS BIGINT) FROM g
+        | UNION ALL SELECT 'rest', CAST(n3 AS BIGINT) FROM g
+        | UNION ALL SELECT 'zz_missing_user', CAST(nm AS BIGINT) FROM g
         |) u ORDER BY bucket""".stripMargin,
     "q254_counter_rate" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
@@ -696,8 +696,8 @@ object SearchAggQueries {
         |SELECT * FROM (
         | SELECT CAST(1 AS BIGINT) AS min_match, CAST(n1 AS BIGINT) AS n_docs,
         |  CAST(s1 AS BIGINT) AS sum_chars FROM g
-        | UNION ALL SELECT 2, n2, s2 FROM g
-        | UNION ALL SELECT 3, n3, s3 FROM g
+        | UNION ALL SELECT 2, CAST(n2 AS BIGINT), CAST(s2 AS BIGINT) FROM g
+        | UNION ALL SELECT 3, CAST(n3 AS BIGINT), CAST(s3 AS BIGINT) FROM g
         |) u ORDER BY min_match""".stripMargin,
     "q232_top_hits" ->
       """WITH e AS (SELECT event_type, event_id, user_id, epoch_ms(ts) AS ms

@@ -73,6 +73,21 @@ def main():
             results[name] = (
                 f"ROWS_MISMATCH spark={len(spark_df)} oracle={len(ora_df)}")
             continue
+        # dtype gate: the driver's exact hash does NOT have our float
+        # tolerance, so an int64-vs-float64 column (DuckDB HUGEINT via
+        # pandas) passes here but fails there. Flag it as a failure.
+        dbad = None
+        for col in sc:
+            ka = spark_df[col].dtype.kind
+            kb = ora_df[col].dtype.kind
+            if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+                dbad = (f"DTYPE_MISMATCH col={col} spark={spark_df[col].dtype}"
+                        f" oracle={ora_df[col].dtype}"
+                        " (HUGEINT/int-vs-float: driver hash will diverge)")
+                break
+        if dbad:
+            results[name] = dbad
+            continue
         a = spark_df[sc].copy()
         b = ora_df[oc].copy()
         key = [str(tuple(str(norm(v)) for v in row)) for row in a.itertuples(index=False)]

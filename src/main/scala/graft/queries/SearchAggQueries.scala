@@ -554,9 +554,42 @@ object SearchAggQueries {
       .orderBy($"user_id")
   }
 
+  // ---------------------------------------------------------------- q275
+
+  // The reference dashboards' FULL panel vocabulary replayed from saved
+  // specs (data-skew.ndjson lines 3-4, 8-11, 18-20, 24-25): cardinality,
+  // percentiles, range buckets (with an empty bucket emitted n=0), a
+  // max-metric date_histogram, 3-level nested terms with per-level top-k
+  // order, and an avg-metric terms panel — six JSON panel definitions
+  // structurally identical to the reference's saved objects, interpreted
+  // by search.PanelSpec into one normalized (panel, bucket, n, val)
+  // frame. The oracle replays every panel as plain SQL.
+  def q275PanelFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val specs = Seq(
+      """{"panel": "p1_click_users", "kuery": "event_type.keyword: click",
+        | "agg": "cardinality", "field": "user_id"}""".stripMargin,
+      """{"panel": "p2_value_pct", "agg": "percentiles", "metric": "value",
+        | "percents": [50, 95, 99]}""".stripMargin,
+      """{"panel": "p3_value_ranges", "agg": "range", "field": "value",
+        | "ranges": [{"to": 100}, {"from": 100, "to": 500}, {"from": 500}]}""".stripMargin,
+      """{"panel": "p4_daily_max", "agg": "date_histogram", "field": "ts",
+        | "interval_ms": 86400000, "metric_agg": "max"}""".stripMargin,
+      """{"panel": "p5_nested", "kuery": "user_id >= 0",
+        | "agg": "nested_terms", "fields": ["event_type", "user_id", "event_id"],
+        | "sizes": [3, 2, 2]}""".stripMargin,
+      """{"panel": "p6_type_avg", "agg": "terms", "field": "event_type",
+        | "size": 4, "metric_agg": "avg"}""".stripMargin)
+    specs.map(graft.search.PanelSpec.run(ev, _))
+      .reduce(_.unionAll(_))
+      .orderBy($"panel", $"bucket")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_panel_full" -> q275PanelFull _,
     "q253_date_range" -> q253DateRange _,
     "q254_counter_rate" -> q254CounterRate _,
     "q251_more_like_this" -> q251MoreLikeThis _,
@@ -580,6 +613,76 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q275_panel_full" ->
+      """WITH ec AS (SELECT event_type, user_id, event_id, value,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents,
+        |        epoch_ms(ts) // 86400000 AS day FROM events),
+        |v AS (SELECT cents AS v FROM ec WHERE value IS NOT NULL),
+        |vc AS (SELECT v, count(*) AS c FROM v GROUP BY 1),
+        |vcum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+        |        FROM vc),
+        |vn AS (SELECT count(*) AS n FROM v),
+        |pct AS (SELECT p, (SELECT n FROM vn) AS n,
+        |        (SELECT min(v) FROM vcum
+        |         WHERE cumw >= (p * (SELECT n FROM vn) + 99) // 100) AS val
+        |       FROM (SELECT unnest([50, 95, 99]) AS p)),
+        |rg AS (SELECT
+        |        sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS rn1,
+        |        coalesce(sum(CASE WHEN value < 100 THEN cents END), 0) AS rv1,
+        |        sum(CASE WHEN value >= 100 AND value < 500 THEN 1 ELSE 0 END) AS rn2,
+        |        coalesce(sum(CASE WHEN value >= 100 AND value < 500 THEN cents END), 0) AS rv2,
+        |        sum(CASE WHEN value >= 500 THEN 1 ELSE 0 END) AS rn3,
+        |        coalesce(sum(CASE WHEN value >= 500 THEN cents END), 0) AS rv3
+        |       FROM ec WHERE value IS NOT NULL),
+        |leaf AS (SELECT event_type AS k1, user_id AS k2, event_id AS k3,
+        |         count(*) AS ln, coalesce(max(cents), 0) AS m
+        |        FROM ec WHERE user_id >= 0 GROUP BY 1, 2, 3),
+        |l1 AS (SELECT k1, max(m) AS m1 FROM leaf GROUP BY 1),
+        |s1 AS (SELECT k1 FROM (SELECT k1,
+        |        row_number() OVER (ORDER BY m1 DESC, k1) AS rk FROM l1)
+        |       WHERE rk <= 3),
+        |l2 AS (SELECT k1, k2, max(m) AS m2 FROM leaf GROUP BY 1, 2),
+        |s2 AS (SELECT r2.k1, r2.k2 FROM (SELECT k1, k2,
+        |        row_number() OVER (PARTITION BY k1 ORDER BY m2 DESC, k2) AS rk
+        |        FROM l2) r2 JOIN s1 USING (k1) WHERE rk <= 2),
+        |l3 AS (SELECT k1, k2, k3, max(m) AS m3 FROM leaf GROUP BY 1, 2, 3),
+        |s3 AS (SELECT r3.k1, r3.k2, r3.k3 FROM (SELECT k1, k2, k3,
+        |        row_number() OVER (PARTITION BY k1, k2 ORDER BY m3 DESC, k3) AS rk
+        |        FROM l3) r3 JOIN s2 USING (k1, k2) WHERE rk <= 2),
+        |tavg AS (SELECT event_type AS bucket, count(*) AS n,
+        |         coalesce(sum(cents), 0) AS s
+        |        FROM ec GROUP BY 1 ORDER BY n DESC, bucket LIMIT 4)
+        |SELECT * FROM (
+        | SELECT 'p1_click_users' AS panel, 'all' AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS val
+        | FROM ec WHERE event_type = 'click'
+        |UNION ALL
+        | SELECT 'p2_value_pct', 'p' || CAST(p AS VARCHAR),
+        |  CAST(n AS BIGINT), CAST(val AS BIGINT) FROM pct
+        |UNION ALL
+        | SELECT 'p3_value_ranges', '*-100',
+        |  CAST(rn1 AS BIGINT), CAST(rv1 AS BIGINT) FROM rg
+        |UNION ALL
+        | SELECT 'p3_value_ranges', '100-500',
+        |  CAST(rn2 AS BIGINT), CAST(rv2 AS BIGINT) FROM rg
+        |UNION ALL
+        | SELECT 'p3_value_ranges', '500-*',
+        |  CAST(rn3 AS BIGINT), CAST(rv3 AS BIGINT) FROM rg
+        |UNION ALL
+        | SELECT 'p4_daily_max', CAST(day AS VARCHAR),
+        |  CAST(count(*) AS BIGINT), CAST(coalesce(max(cents), 0) AS BIGINT)
+        | FROM ec GROUP BY day
+        |UNION ALL
+        | SELECT 'p5_nested',
+        |  leaf.k1 || '/' || CAST(leaf.k2 AS VARCHAR) || '/' || CAST(leaf.k3 AS VARCHAR),
+        |  CAST(leaf.ln AS BIGINT), CAST(leaf.m AS BIGINT)
+        | FROM leaf JOIN s3 ON leaf.k1 = s3.k1 AND leaf.k2 = s3.k2 AND leaf.k3 = s3.k3
+        |UNION ALL
+        | SELECT 'p6_type_avg', bucket, CAST(n AS BIGINT),
+        |  CAST(s // n AS BIGINT) FROM tavg
+        |) u ORDER BY panel, bucket""".stripMargin,
     "q253_date_range" ->
       """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
         |o AS (SELECT min(day) AS d0 FROM e),

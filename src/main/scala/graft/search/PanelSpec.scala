@@ -1,6 +1,7 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dashboard panel definitions as data: the JSON shape a saved
@@ -11,12 +12,32 @@ import org.apache.spark.sql.functions._
   * deployment/.../dashboards/data-skew.ndjson): a user re-creates a
   * panel by handing over its spec, not by rewriting the query.
   *
-  * Supported aggs, all normalized to (panel, bucket, n, val) so any
-  * panel set unions into one frame:
-  *  - date_histogram: fixed interval over a timestamp field; val = sum
-  *    of the metric in cents
+  * Supported aggs — the reference dashboards' FULL panel vocabulary
+  * (data-skew.ndjson lines 3-4, 8-11, 18-20, 24-25) — all normalized
+  * to (panel, bucket, n, val) so any panel set unions into one frame:
+  *  - date_histogram: fixed interval over a timestamp field
   *  - terms: top-`size` buckets by count (count desc, key asc)
   *  - stats: one "all" bucket
+  *  - cardinality: one "all" bucket; val = EXACT distinct count of
+  *    `field` (the reference's panel is HLL-approximate; exact is
+  *    strictly stronger and hash-comparable — the sketch path exists
+  *    separately as Dashboards.approxCardinality, bounds-gated by q26)
+  *  - percentiles: one row per requested percent (`percents`, default
+  *    [50,95,99]); val = exact type-1 lower quantile of the metric in
+  *    cents (rank ceil(p·n/100) over the distinct-cents value domain —
+  *    the q172 two-phase shape, never a row-per-event window)
+  *  - range: explicit [from,to) buckets over a numeric field
+  *    (`ranges`: [{"to":100},{"from":100,"to":500},{"from":500}]);
+  *    empty buckets are emitted with n=0 like the reference's range agg
+  *  - nested_terms: multi-level terms ⊗ terms ⊗ terms with per-level
+  *    top-k order by the sub-aggregated metric (`fields`/`sizes`);
+  *    delegates to operators.TopK.nested over ONE leaf-granularity
+  *    fact aggregation; bucket = "k1/k2/.../kn" path
+  *
+  * Metric: `metric` names the value column (integerized at cents so
+  * panel values hash-compare cross-engine); `metric_agg` picks the
+  * bucket metric — sum (default), max, min, avg (truncating integer
+  * mean), count — for date_histogram/terms/stats/range panels.
   *
   * date_histogram panels accept a pipeline agg over the bucket series:
   * cumulative_sum, derivative, moving_avg (trailing 3-bucket truncating
@@ -33,7 +54,12 @@ object PanelSpec {
       size: Int,
       metric: String,
       pipeline: Option[String],
-      lag: Int = 1)
+      lag: Int = 1,
+      metricAgg: String = "sum",
+      percents: Seq[Int] = Seq(50, 95, 99),
+      ranges: Seq[(Option[Double], Option[Double])] = Seq.empty,
+      fields: Seq[String] = Seq.empty,
+      sizes: Seq[Int] = Seq.empty)
 
   def parse(json: String): Spec = {
     import org.json4s._
@@ -44,12 +70,30 @@ object PanelSpec {
       (j \ "panel").extract[String],
       (j \ "kuery").extractOpt[String],
       (j \ "agg").extract[String],
-      (j \ "field").extract[String],
+      (j \ "field").extractOpt[String].getOrElse(""),
       (j \ "interval_ms").extractOpt[Long].getOrElse(86400000L),
       (j \ "size").extractOpt[Int].getOrElse(5),
       (j \ "metric").extractOpt[String].getOrElse("value"),
       (j \ "pipeline").extractOpt[String],
-      (j \ "lag").extractOpt[Int].getOrElse(1))
+      (j \ "lag").extractOpt[Int].getOrElse(1),
+      (j \ "metric_agg").extractOpt[String].getOrElse("sum"),
+      (j \ "percents").extractOpt[Seq[Int]].getOrElse(Seq(50, 95, 99)),
+      (j \ "ranges") match {
+        case JArray(rs) => rs.map(r =>
+          ((r \ "from").extractOpt[Double], (r \ "to").extractOpt[Double]))
+        case _ => Seq.empty
+      },
+      (j \ "fields").extractOpt[Seq[String]].getOrElse(Seq.empty),
+      (j \ "sizes").extractOpt[Seq[Int]].getOrElse(Seq.empty))
+  }
+
+  /** The "*-100" / "100-500" / "500-*" bucket key the reference's range
+    * agg renders (integral bounds print without the trailing ".0").
+    */
+  private def rangeLabel(lo: Option[Double], hi: Option[Double]): String = {
+    def f(d: Double) =
+      if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString
+    s"${lo.fold("*")(f)}-${hi.fold("*")(f)}"
   }
 
   /** Interpret one panel spec over `df`. The kuery filter compiles to a
@@ -61,18 +105,33 @@ object PanelSpec {
     val spec = parse(json)
     val base = spec.kuery.fold(df)(kq =>
       df.filter(Kuery.predicate(df, kq, defaultFields)))
-    val cents: Column =
-      coalesce(sum(floor(col(spec.metric) * 100).cast("long")), lit(0L))
+    val centsRow: Column = floor(col(spec.metric) * 100).cast("long")
+    // (n, val) per bucket under the spec's metric_agg; "sum" keeps the
+    // original coalesce(sum(cents), 0) shape byte-for-byte
+    def aggNV(g: RelationalGroupedDataset): DataFrame = spec.metricAgg match {
+      case "sum" =>
+        g.agg(count(lit(1)).as("n"), coalesce(sum(centsRow), lit(0L)).as("val"))
+      case "max" =>
+        g.agg(count(lit(1)).as("n"), coalesce(max(centsRow), lit(0L)).as("val"))
+      case "min" =>
+        g.agg(count(lit(1)).as("n"), coalesce(min(centsRow), lit(0L)).as("val"))
+      case "count" =>
+        g.agg(count(lit(1)).as("n")).withColumn("val", col("n"))
+      case "avg" => // truncating integer mean of cents
+        g.agg(count(lit(1)).as("n"), coalesce(sum(centsRow), lit(0L)).as("__s"))
+          .withColumn("val", expr("__s div n")).drop("__s")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported metric_agg '$other'")
+    }
     spec.agg match {
       case "date_histogram" =>
-        val hist = base
+        val hist = aggNV(base
           .groupBy(expr(s"unix_millis(${spec.field}) div ${spec.intervalMs}")
-            .as("bucket_ix"))
-          .agg(count(lit(1)).as("n"), cents.as("val"))
+            .as("bucket_ix")))
         // pipeline aggs run over the BUCKET series (time-bounded — the
         // global window never sees raw rows); ES-style semantics with
         // the first derivative bucket pinned to 0 for hashability
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket_ix"))
+        val w = Window.orderBy(col("bucket_ix"))
         val piped = spec.pipeline match {
           case None => hist
           case Some("cumulative_sum") =>
@@ -103,15 +162,83 @@ object PanelSpec {
         piped.select(lit(spec.panel).as("panel"),
           col("bucket_ix").cast("string").as("bucket"), col("n"), col("val"))
       case "terms" =>
-        base.groupBy(col(spec.field).cast("string").as("bucket"))
-          .agg(count(lit(1)).as("n"), cents.as("val"))
+        aggNV(base.groupBy(col(spec.field).cast("string").as("bucket")))
           .orderBy(col("n").desc, col("bucket"))
           .limit(spec.size)
           .select(lit(spec.panel).as("panel"), col("bucket"), col("n"), col("val"))
       case "stats" =>
-        base.agg(count(lit(1)).as("n"), cents.as("val"))
+        aggNV(base.groupBy())
           .select(lit(spec.panel).as("panel"), lit("all").as("bucket"),
             col("n"), col("val"))
+      case "cardinality" =>
+        base.agg(count(lit(1)).as("n"),
+            count_distinct(col(spec.field)).as("val"))
+          .select(lit(spec.panel).as("panel"), lit("all").as("bucket"),
+            col("n"), col("val"))
+      case "percentiles" =>
+        // q172 value-domain shape: the window runs over DISTINCT cents
+        // (bounded domain), never over raw rows; total is a 1-row
+        // broadcast; rank = ceil(p·n/100) (type-1 lower quantile)
+        val cents = base.filter(col(spec.metric).isNotNull)
+          .select(centsRow.as("v"))
+        val counts = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        val cum = counts.withColumn("cumw",
+          sum(col("c")).over(Window.orderBy(col("v"))
+            .rowsBetween(Long.MinValue, 0)))
+        val tot = cents.agg(count(lit(1)).as("n"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("v"), col("cumw"), col("n"),
+            explode(typedLit(spec.percents.map(_.toLong))).as("p"))
+          .withColumn("thr", expr("(p * n + 99) div 100"))
+          .groupBy(col("p"))
+          .agg(first(col("n")).as("n"),
+            min(when(col("cumw") >= col("thr"), col("v"))).as("val"))
+          .select(lit(spec.panel).as("panel"),
+            concat(lit("p"), col("p").cast("string")).as("bucket"),
+            col("n"), col("val"))
+      case "range" =>
+        require(spec.ranges.nonEmpty, "range agg needs 'ranges'")
+        // bucket label per row via a codegen'd when-chain ([from, to)
+        // half-open like the reference's range agg), then a literal
+        // bucket spine left-joins the counts so empty buckets emit n=0
+        val labeled = spec.ranges.foldLeft[Option[Column]](None) {
+          case (acc, (lo, hi)) =>
+            val cond = (lo, hi) match {
+              case (Some(a), Some(b)) => col(spec.field) >= a && col(spec.field) < b
+              case (Some(a), None) => col(spec.field) >= a
+              case (None, Some(b)) => col(spec.field) < b
+              case (None, None) => lit(true)
+            }
+            val lbl = lit(rangeLabel(lo, hi))
+            Some(acc.fold(when(cond, lbl))(_.when(cond, lbl)))
+        }.get
+        val aggd = aggNV(base.filter(col(spec.field).isNotNull)
+          .withColumn("bucket", labeled)
+          .filter(col("bucket").isNotNull)
+          .groupBy(col("bucket")))
+        val spine = df.sparkSession
+          .createDataFrame(spec.ranges.map(r => Tuple1(rangeLabel(r._1, r._2))))
+          .toDF("bucket")
+        spine.join(broadcast(aggd), Seq("bucket"), "left")
+          .select(lit(spec.panel).as("panel"), col("bucket"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("val"), lit(0L)).as("val"))
+      case "nested_terms" =>
+        require(spec.fields.nonEmpty && spec.fields.length == spec.sizes.length,
+          "nested_terms needs matching 'fields' and 'sizes'")
+        // ONE leaf-granularity fact aggregation (count + max cents);
+        // TopK.nested re-aggregates that already-small frame per level
+        // (idempotent at the leaf) and every survivor join broadcasts
+        val keys = spec.fields.map(col)
+        val leaf = base.groupBy(keys: _*)
+          .agg(count(lit(1)).as("__n"),
+            coalesce(max(centsRow), lit(0L)).as("__cents"))
+        val surv = graft.operators.TopK.nested(
+          leaf, spec.fields.zip(spec.sizes), "__cents")
+        leaf.join(broadcast(surv.select(spec.fields.map(col): _*)), spec.fields)
+          .select(lit(spec.panel).as("panel"),
+            concat_ws("/", keys.map(_.cast("string")): _*).as("bucket"),
+            col("__n").as("n"), col("__cents").as("val"))
       case other =>
         throw new IllegalArgumentException(s"unsupported panel agg '$other'")
     }

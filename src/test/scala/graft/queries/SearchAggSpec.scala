@@ -106,4 +106,48 @@ class SearchAggSpec extends SparkTestBase {
       .select($"val").as[Long].collect().toList
     assert(sd == List(0L, 0L, 0L, 3L, 3L, 3L, 3L, 3L, 3L, 3L))
   }
+
+  test("PanelSpec full panel vocabulary on a hand-computable frame") {
+    import graft.search.PanelSpec
+    // 7 rows; cents domain {100, 200, 500, 1000}
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 1L, 1.0), ("a", 1L, 1.0), ("a", 2L, 5.0),
+      ("b", 1L, 2.0), ("b", 1L, 2.0), ("c", 1L, 10.0))
+      .toDF("k", "sub", "value")
+    def rows(json: String): List[(String, Long, Long)] =
+      PanelSpec.run(df, json).orderBy($"bucket")
+        .select($"bucket", $"n", $"val").as[(String, Long, Long)]
+        .collect().toList
+    // cardinality: exact distinct of k
+    assert(rows("""{"panel":"c","agg":"cardinality","field":"k"}""") ==
+      List(("all", 7L, 3L)))
+    // percentiles: type-1 lower quantile of cents; p50 rank 4 -> 200
+    assert(rows(
+      """{"panel":"p","agg":"percentiles","metric":"value","percents":[50,100]}""")
+      .sortBy(_._1) == List(("p100", 7L, 1000L), ("p50", 7L, 200L)))
+    // range: [lo,hi) buckets; 7.0 in no bucket vanishes, 100-* is empty
+    assert(rows(
+      """{"panel":"r","agg":"range","field":"value",
+        | "ranges":[{"to":2},{"from":2,"to":6},{"from":100}]}""".stripMargin)
+      == List(("*-2", 3L, 300L), ("100-*", 0L, 0L), ("2-6", 3L, 900L)))
+    // terms with avg / max metric_agg
+    assert(rows(
+      """{"panel":"t","agg":"terms","field":"k","size":2,"metric_agg":"avg"}""")
+      == List(("a", 4L, 200L), ("b", 2L, 200L)))
+    assert(rows(
+      """{"panel":"t","agg":"terms","field":"k","size":1,"metric_agg":"max"}""")
+      == List(("a", 4L, 500L)))
+    // nested_terms: level-1 top-2 by max cents = c(1000), a(500);
+    // level-2 top-1 within each survivor
+    assert(rows(
+      """{"panel":"nt","agg":"nested_terms","fields":["k","sub"],"sizes":[2,1]}""")
+      == List(("a/2", 1L, 500L), ("c/1", 1L, 1000L)))
+    // dispatch rejects stay loud
+    intercept[IllegalArgumentException] {
+      PanelSpec.run(df, """{"panel":"x","agg":"geo_bounds","field":"k"}""")
+    }
+    intercept[IllegalArgumentException] {
+      rows("""{"panel":"x","agg":"terms","field":"k","metric_agg":"median"}""")
+    }
+  }
 }

@@ -178,6 +178,14 @@ object PageRank {
     * [[ranks]] — the weighted edge frame joins the per-source weight
     * total ONCE before the loop, every iteration re-exchanges only the
     * rank frame.
+    *
+    * Weight envelope (enforced): `r` is bounded by `scale` (total rank
+    * mass is conserved), so the int64 product `r * w` requires
+    * max(merged w) ≤ Long.Max / scale — about 9.2e6 at the default
+    * 1e12 scale. A one-row check on the persisted edge frame fails
+    * loudly instead of letting the product wrap and silently corrupt
+    * ranks; graphs with heavier merged weights should pass a smaller
+    * `scale`.
     */
   def weightedRanks(
       edges: DataFrame,
@@ -200,6 +208,13 @@ object PageRank {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .repartition(col("src"))
       .persist()
+    // weight envelope: r ≤ scale, so r*w needs max(w) ≤ Long.Max/scale
+    // (one bounded 1-row scalar off the persisted edge frame; a wrap
+    // here would otherwise corrupt every downstream rank silently)
+    val maxW = e.agg(coalesce(max(col("w")), lit(0L))).head.getLong(0)
+    require(maxW <= Long.MaxValue / scale,
+      s"max merged edge weight $maxW overflows int64 shares at scale=" +
+        s"$scale (limit ${Long.MaxValue / scale}); pass a smaller scale")
     val outw = e.groupBy("src").agg(sum(col("w")).as("ws")).persist()
     val ew = e.join(outw, "src").persist()
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
@@ -255,6 +270,11 @@ object PageRank {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .repartition(col("src"))
       .persist()
+    // same int64 weight envelope as weightedRanks (r ≤ scale)
+    val maxW = e.agg(coalesce(max(col("w")), lit(0L))).head.getLong(0)
+    require(maxW <= Long.MaxValue / scale,
+      s"max merged edge weight $maxW overflows int64 shares at scale=" +
+        s"$scale (limit ${Long.MaxValue / scale}); pass a smaller scale")
     val outw = e.groupBy("src").agg(sum(col("w")).as("ws")).persist()
     val ew = e.join(outw, "src").persist()
     val marked = e.select(col("src").as("node")).union(e.select(col("dst")))

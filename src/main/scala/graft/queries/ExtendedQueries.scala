@@ -659,17 +659,24 @@ object ExtendedQueries {
       .join(labels, Seq("node"))
       .groupBy($"label").agg(sum($"deg").as("d_c"))
     dc.join(ec, Seq("label"), "left")
-      .select((lit(4L) * m * coalesce($"e_c", lit(0L)) - $"d_c" * $"d_c")
-        .as("term"))
-      .agg(count(lit(1)).as("n_communities"), sum($"term").as("num"))
-      .select($"n_communities", lit(m).as("m_edges"), $"num",
-        // num·1e6 runs in DECIMAL(38,0) so the expression survives any
-        // SF (int64 would cap near sf1); the quotient is ppm-small so
-        // the final div's bigint cast is safe
-        expr(s"""CAST(CASE WHEN num >= 0
-             |  THEN (CAST(num AS DECIMAL(38,0)) * 1000000)
+      // term in DECIMAL(38,0) cross-multiplication (the q272 rule):
+      // 4·m·e_c wraps int64 long before the old decimal-at-the-end
+      // step at larger SFs — ≡ the oracle's HUGEINT fold
+      .select(expr(
+        s"""CAST(4 AS DECIMAL(38,0)) * ${m}L *
+           | CAST(coalesce(e_c, 0L) AS DECIMAL(38,0)) -
+           | CAST(d_c AS DECIMAL(38,0)) * CAST(d_c AS DECIMAL(38,0))"""
+          .stripMargin).as("term"))
+      .agg(count(lit(1)).as("n_communities"), sum($"term").as("numd"))
+      .select($"n_communities", lit(m).as("m_edges"),
+        // num itself is ppm-of-(4m²)-scale — int64-safe as an OUTPUT
+        // even when the per-community products are not
+        expr("CAST(numd AS BIGINT)").as("num"),
+        // denominator stays decimal so 4·m² survives m > 1.5e9 edges
+        expr(s"""CAST(CASE WHEN numd >= 0
+             |  THEN (numd * 1000000)
              |       div (CAST(4 AS DECIMAL(38,0)) * ${m}L * ${m}L)
-             |  ELSE -((CAST(-num AS DECIMAL(38,0)) * 1000000)
+             |  ELSE -(((-numd) * 1000000)
              |       div (CAST(4 AS DECIMAL(38,0)) * ${m}L * ${m}L))
              |  END AS BIGINT)""".stripMargin).as("q_ppm"))
   }

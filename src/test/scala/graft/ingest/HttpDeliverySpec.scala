@@ -1,0 +1,154 @@
+package graft.ingest
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+
+/** A14: the HTTP delivery path (ObservabilityClient.scala:160-201 analog)
+  * against an in-process JDK HttpServer stub — delivery, chunking,
+  * retryable (5xx/429) vs non-retryable (4xx) classification through
+  * Pipelines.withRetries, and exactly-once composition with the
+  * upstream watermark dedup. The stub lives in the test JVM; local-mode
+  * executors reach it over loopback, so the posting path (serialization
+  * boundary included) is the real one.
+  */
+class HttpDeliverySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Records every POST; fails the first `failFirst` requests with
+    * `failCode` before succeeding.
+    */
+  private final class Stub {
+    val bodies = new ConcurrentLinkedQueue[(String, String)]()
+    val requests = new AtomicInteger(0)
+    @volatile var failFirst = 0
+    @volatile var failCode = 503
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ingest", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val n = requests.incrementAndGet()
+        if (n <= failFirst) {
+          ex.sendResponseHeaders(failCode, -1)
+        } else {
+          bodies.add((ex.getRequestHeaders.getFirst("X-Graft-Batch"), body))
+          val ok = "ok".getBytes(UTF_8)
+          ex.sendResponseHeaders(200, ok.length)
+          ex.getResponseBody.write(ok)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/ingest"
+    def stop(): Unit = server.stop(0)
+    def deliveredLines: List[String] =
+      bodies.asScala.toList.flatMap(_._2.split("\n"))
+  }
+
+  private def withStub(f: Stub => Unit): Unit = {
+    val stub = new Stub
+    try f(stub) finally stub.stop()
+  }
+
+  test("delivers a batch as chunked JSON lines") {
+    withStub { stub =>
+      val df = (1 to 7).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+        .coalesce(1)
+      HttpDelivery.deliver(df, stub.url, batchId = 42L, maxPerPost = 3,
+        initialBackoffMs = 1L)
+      // 7 rows / 3-per-post = 3 chunks, all carrying the batch header
+      assert(stub.requests.get() == 3)
+      assert(stub.bodies.asScala.forall(_._1 == "42"))
+      val ids = stub.deliveredLines.flatMap(
+        "\"id\":(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong).sorted
+      assert(ids == (1L to 7L).toList)
+    }
+  }
+
+  test("retryable 5xx and 429 are retried until success") {
+    withStub { stub =>
+      stub.failFirst = 2 // two 503s, then 200
+      val df = Seq((1L, "a")).toDF("id", "payload").coalesce(1)
+      HttpDelivery.deliver(df, stub.url, initialBackoffMs = 1L, capMs = 2L)
+      assert(stub.requests.get() == 3, "two retries then success")
+      assert(stub.deliveredLines.size == 1)
+    }
+    withStub { stub =>
+      stub.failFirst = 1
+      stub.failCode = 429 // throttle classifies as retryable
+      val df = Seq((1L, "a")).toDF("id", "payload").coalesce(1)
+      HttpDelivery.deliver(df, stub.url, initialBackoffMs = 1L, capMs = 2L)
+      assert(stub.requests.get() == 2)
+      assert(stub.deliveredLines.size == 1)
+    }
+  }
+
+  test("non-retryable 4xx fails fast after exactly one attempt") {
+    withStub { stub =>
+      stub.failFirst = Int.MaxValue
+      stub.failCode = 400
+      val df = Seq((1L, "a")).toDF("id", "payload").coalesce(1)
+      val e = intercept[Exception] {
+        HttpDelivery.deliver(df, stub.url, initialBackoffMs = 1L)
+      }
+      // surfaces through the Spark job failure with the status intact
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists {
+        case h: HttpDelivery.HttpStatusException => h.code == 400
+        case _ => false
+      }, s"expected HTTP 400 in cause chain of $e")
+      assert(stub.requests.get() == 1, "400 must not be retried")
+    }
+  }
+
+  test("retries past exhaustion rethrow (5 retries = 6 attempts)") {
+    withStub { stub =>
+      stub.failFirst = Int.MaxValue
+      stub.failCode = 503
+      val df = Seq((1L, "a")).toDF("id", "payload").coalesce(1)
+      intercept[Exception] {
+        HttpDelivery.deliver(df, stub.url, initialBackoffMs = 1L, capMs = 1L)
+      }
+      assert(stub.requests.get() == 6)
+    }
+  }
+
+  test("streaming sink composes with watermark dedup for exactly-once content") {
+    withStub { stub =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_http_sink").toString
+      val input = MemoryStream[(Long, Timestamp)]
+      val deduped = input.toDF().toDF("id", "ts")
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark("id")
+      val q = HttpDelivery.sink(deduped, stub.url, s"$dir/ckpt",
+        maxPerPost = 100, availableNow = false, initialBackoffMs = 1L)
+      try {
+        val t0 = 1767225600000L
+        input.addData((1L, new Timestamp(t0)), (2L, new Timestamp(t0 + 1000)),
+          (2L, new Timestamp(t0 + 2000)))
+        q.processAllAvailable()
+        // an at-least-once upstream redelivers id 1 and 2 in a later
+        // micro-batch; the watermark dedup drops both replays
+        input.addData((1L, new Timestamp(t0 + 3000)), (2L, new Timestamp(t0 + 4000)),
+          (3L, new Timestamp(t0 + 5000)))
+        q.processAllAvailable()
+        val ids = stub.deliveredLines.flatMap(
+          "\"id\":(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong).sorted
+        assert(ids == List(1L, 2L, 3L), s"each id exactly once, got $ids")
+      } finally q.stop()
+    }
+  }
+}

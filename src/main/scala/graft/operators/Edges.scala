@@ -42,4 +42,45 @@ object Edges {
       valCol: String): DataFrame =
     pairsPerGroup(df, keyCol, valCol)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+
+  /** Every LINE pair (a < b) within a group, duplicates preserved —
+    * the row-local form of the `x ⋈ y ON key WHERE x.v < y.v`
+    * self-join (q179's line-pair counting needs pair multiplicity, so
+    * [[coOccurrence]]'s collect_set dedup is wrong for it). Same
+    * one-fact-shuffle shape as [[pairsPerGroup]]; a value appearing on
+    * k lines of one group contributes k copies of each of its pairs,
+    * exactly like the self-join it replaces.
+    */
+  def linePairs(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(collect_list(col(valCol).cast("long")).as("__vs"))
+      .filter(size(col("__vs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(__vs, x ->
+          |  filter(transform(__vs, y ->
+          |    CASE WHEN x < y THEN struct(x AS a, y AS b) END),
+          |   p -> p IS NOT NULL)))""".stripMargin)).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+
+  /** Line pairs with an ADDITIVE per-line weight: each (a < b) pair
+    * carries w_a + w_b — the row-local form of the weighted co-purchase
+    * self-join feeding q167's Bellman-Ford adjacency (pair weight =
+    * sum of the two lines' quantities). Multiset-identical to
+    * `x ⋈ y ON key WHERE x.v < y.v SELECT x.v, y.v, x.w + y.w`;
+    * aggregate downstream (the adjacency takes min per edge).
+    */
+  def weightedPairs(df: DataFrame, keyCol: String, valCol: String,
+      wCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(collect_list(struct(col(valCol).cast("long").as("v"),
+        col(wCol).cast("long").as("q"))).as("__vs"))
+      .filter(size(col("__vs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(__vs, x ->
+          |  filter(transform(__vs, y ->
+          |    CASE WHEN x.v < y.v
+          |      THEN struct(x.v AS src, y.v AS dst, x.q + y.q AS w) END),
+          |   p -> p IS NOT NULL)))""".stripMargin)).as("__p"))
+      .select(col("__p.src").as("src"), col("__p.dst").as("dst"),
+        col("__p.w").as("w"))
 }

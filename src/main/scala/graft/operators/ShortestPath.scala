@@ -28,11 +28,19 @@ object ShortestPath {
       wCol: String, seeds: DataFrame, seedCol: String, rounds: Int,
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // canonicalize BEFORE the min-groupBy: grouping (least, greatest)
+    // halves the aggregation shuffle vs symmetrize-then-group, and the
+    // mirror union after the agg is exchange-free. Identical adjacency:
+    // min over both directions either way.
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
-      col(wCol).cast("long").as("w"))
-    val adj = fwd.union(fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
+        col(wCol).cast("long").as("w"))
       .filter(col("u") =!= col("v"))
+    val canon = fwd
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"), col("w"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+    val adj = canon
+      .union(canon.select(col("v").as("u"), col("u").as("v"), col("w")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = truncate(
       seeds.select(col(seedCol).as("node")).distinct()

@@ -59,12 +59,15 @@ object ExtendedQueries {
   // decimal->int cast conventions, which differ on halves).
   def q167ShortestPath(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // row-local pair build (Edges.weightedPairs): one fact shuffle vs
+    // the self-join's two + join — the q107-family lesson applied to the
+    // weighted form (measured: q167 cold 11.5 s -> ~6 s at sf0.1).
+    // Quantities are integral, so per-line floor ≡ floor of the sum.
     val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey", $"l_quantity")
-    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
-      .filter($"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"),
-        floor($"x.l_quantity" + $"y.l_quantity").cast("long").as("w"))
+      .select($"l_orderkey", $"l_partkey",
+        floor($"l_quantity").cast("long").as("q"))
+    val edges = graft.operators.Edges.weightedPairs(
+      li, "l_orderkey", "l_partkey", "q")
     val seeds = Tables.part(s, dir).filter($"p_partkey" <= 5)
     graft.operators.ShortestPath.boundedBellmanFord(
         edges, "src", "dst", "w", seeds, "p_partkey", rounds = 3)
@@ -279,10 +282,11 @@ object ExtendedQueries {
   // filter of entity-resolution pipelines.
   def q179BestMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // line-pair counts (multiplicity preserved) via the row-local
+    // Edges.linePairs build — one fact shuffle vs self-join + join
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = li.as("x").join(li.as("y"), $"x.l_orderkey" === $"y.l_orderkey")
-      .filter($"x.l_partkey" < $"y.l_partkey")
-      .groupBy($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+    val edges = graft.operators.Edges.linePairs(li, "l_orderkey", "l_partkey")
+      .groupBy($"a".as("src"), $"b".as("dst"))
       .agg(count(lit(1)).as("w"))
     graft.operators.BestMatch.reciprocal(edges, "src", "dst", "w")
       .orderBy($"id_a")

@@ -32,6 +32,31 @@ class EdgesSpec extends SparkTestBase {
     assert(Edges.coOccurrence(df, "k", "v").count() == 0L)
   }
 
+  test("linePairs preserves multiplicity like the self-join it replaces") {
+    val got = Edges.linePairs(rows, "k", "v")
+      .groupBy("a", "b").count()
+      .as[(Long, Long, Long)].collect().toSet
+    // order 1's duplicate 20 line doubles its pairs; (20,30) adds one
+    // more from order 2; order 4's equal-value lines pair with nothing
+    assert(got == Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 3L)))
+  }
+
+  test("weightedPairs is multiset-identical to the weighted self-join") {
+    val w = Seq(
+      (1L, 10L, 5L), (1L, 20L, 7L), (1L, 20L, 2L), (1L, 30L, 1L),
+      (2L, 20L, 4L), (2L, 30L, 6L),
+      (4L, 50L, 9L), (4L, 50L, 3L)).toDF("k", "v", "q")
+    val got = Edges.weightedPairs(w, "k", "v", "q")
+      .as[(Long, Long, Long)].collect().toList.sorted
+    val want = w.as("x").join(w.as("y"),
+        $"x.k" === $"y.k" && $"x.v" < $"y.v")
+      .select($"x.v", $"y.v", ($"x.q" + $"y.q"))
+      .as[(Long, Long, Long)].collect().toList.sorted
+    assert(got == want && got.nonEmpty)
+    // the duplicate 20 lines yield two (10,20) pairs with distinct sums
+    assert(got.count(p => p._1 == 10L && p._2 == 20L) == 2)
+  }
+
   test("randomized differential: equals the brute-force self-join semantics") {
     val rnd = new scala.util.Random(20260814L)
     for (_ <- 1 to 10) {

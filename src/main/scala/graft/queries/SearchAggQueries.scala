@@ -586,9 +586,36 @@ object SearchAggQueries {
       .orderBy($"panel", $"bucket")
   }
 
+  // ---------------------------------------------------------------- q276
+
+  // Saved-object IMPORT: four ndjson lines in the exported-dashboard
+  // format (type/attributes/visState-as-JSON-string/searchSourceJSON —
+  // the reference's data-skew.ndjson schema) plus an index-pattern and
+  // an input_control_vis line that must skip gracefully, executed by
+  // search.SavedObjects.runNdjson into one normalized
+  // (panel, bucket, metric, val) frame. Covers the export's whole agg
+  // vocabulary: metric-only cardinality, cardinality-over-range (pie),
+  // sum+max+percentiles under 2-level metric-ordered terms (table), and
+  // cardinality over a date_histogram (line).
+  def q276SavedObjects(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val lines = Seq(
+      """{"type":"index-pattern","attributes":{"title":"events*"}}""",
+      """{"type":"visualization","attributes":{"title":"ctl","visState":"{\"type\":\"input_control_vis\",\"params\":{\"controls\":[]}}"}}""",
+      """{"type":"visualization","attributes":{"title":"n1_purchasers","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"cardinality\",\"params\":{\"field\":\"user_id\",\"customLabel\":\"purchasers\"},\"schema\":\"metric\"}]}","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"event_type.keyword: purchase\",\"language\":\"kuery\"},\"filter\":[]}"}}}""",
+      """{"type":"visualization","attributes":{"title":"n2_value_ranges","visState":"{\"type\":\"pie\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"cardinality\",\"params\":{\"field\":\"user_id\"},\"schema\":\"metric\"},{\"id\":\"3\",\"enabled\":true,\"type\":\"range\",\"params\":{\"field\":\"value\",\"ranges\":[{\"from\":0,\"to\":100},{\"from\":100,\"to\":500},{\"from\":500}]},\"schema\":\"segment\"}]}","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"\",\"language\":\"kuery\"},\"filter\":[]}"}}}""",
+      """{"type":"visualization","attributes":{"title":"n3_breakdown","visState":"{\"type\":\"table\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"sum\",\"params\":{\"field\":\"value\",\"customLabel\":\"total\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"max\",\"params\":{\"field\":\"value\",\"customLabel\":\"peak\"},\"schema\":\"metric\"},{\"id\":\"3\",\"enabled\":true,\"type\":\"percentiles\",\"params\":{\"field\":\"value\",\"percents\":[50,99],\"customLabel\":\"pct\"},\"schema\":\"metric\"},{\"id\":\"4\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"event_type\",\"orderBy\":\"1\",\"order\":\"desc\",\"size\":3},\"schema\":\"bucket\"},{\"id\":\"5\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"user_id\",\"orderBy\":\"1\",\"order\":\"desc\",\"size\":2},\"schema\":\"bucket\"}]}"}}""",
+      """{"type":"visualization","attributes":{"title":"n4_daily_users","visState":"{\"type\":\"line\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"cardinality\",\"params\":{\"field\":\"user_id\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"date_histogram\",\"params\":{\"field\":\"@timestamp\",\"interval\":\"auto\"},\"schema\":\"segment\"}]}"}}""")
+    graft.search.SavedObjects.runNdjson(ev, lines,
+        fieldAliases = Map("@timestamp" -> "ts"))
+      .orderBy($"panel", $"bucket", $"metric")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_saved_objects" -> q276SavedObjects _,
     "q275_panel_full" -> q275PanelFull _,
     "q253_date_range" -> q253DateRange _,
     "q254_counter_rate" -> q254CounterRate _,
@@ -613,6 +640,53 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q276_saved_objects" ->
+      """WITH ec AS (SELECT event_type, user_id, value,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents,
+        |        epoch_ms(ts) // 86400000 AS day FROM events),
+        |lf AS (SELECT event_type AS b0, CAST(user_id AS VARCHAR) AS b1,
+        |        sum(cents) AS s, max(cents) AS mx FROM ec GROUP BY 1, 2),
+        |t1 AS (SELECT b0, sum(s) AS o FROM lf GROUP BY 1),
+        |s1 AS (SELECT b0 FROM (SELECT b0,
+        |        row_number() OVER (ORDER BY o DESC, b0) AS rk FROM t1)
+        |       WHERE rk <= 3),
+        |s2 AS (SELECT l.b0, l.b1, l.s, l.mx FROM (SELECT b0, b1, s, mx,
+        |        row_number() OVER (PARTITION BY b0 ORDER BY s DESC, b1) AS rk
+        |        FROM lf) l JOIN s1 USING (b0) WHERE rk <= 2),
+        |pr AS (SELECT e.event_type AS b0, CAST(e.user_id AS VARCHAR) AS b1,
+        |        e.cents AS v,
+        |        row_number() OVER (PARTITION BY e.event_type,
+        |         CAST(e.user_id AS VARCHAR) ORDER BY e.cents) AS rn,
+        |        count(*) OVER (PARTITION BY e.event_type,
+        |         CAST(e.user_id AS VARCHAR)) AS n
+        |       FROM ec e JOIN s2 ON s2.b0 = e.event_type
+        |        AND s2.b1 = CAST(e.user_id AS VARCHAR)),
+        |pc AS (SELECT b0, b1, p,
+        |        min(CASE WHEN rn = (p * n + 99) // 100 THEN v END) AS val
+        |       FROM pr, (SELECT unnest([50, 99]) AS p) ps GROUP BY 1, 2, 3),
+        |rng AS (SELECT CASE WHEN value >= 0 AND value < 100 THEN '0-100'
+        |         WHEN value >= 100 AND value < 500 THEN '100-500'
+        |         WHEN value >= 500 THEN '500-*' END AS b, user_id
+        |       FROM ec WHERE value IS NOT NULL)
+        |SELECT * FROM (
+        | SELECT 'n1_purchasers' AS panel, 'all' AS bucket,
+        |  'purchasers' AS metric, CAST(count(DISTINCT user_id) AS BIGINT) AS val
+        | FROM ec WHERE event_type = 'purchase'
+        |UNION ALL
+        | SELECT 'n2_value_ranges', b, 'cardinality(user_id)',
+        |  CAST(count(DISTINCT user_id) AS BIGINT)
+        | FROM rng WHERE b IS NOT NULL GROUP BY b
+        |UNION ALL
+        | SELECT 'n3_breakdown', b0 || '/' || b1, 'total', CAST(s AS BIGINT) FROM s2
+        |UNION ALL
+        | SELECT 'n3_breakdown', b0 || '/' || b1, 'peak', CAST(mx AS BIGINT) FROM s2
+        |UNION ALL
+        | SELECT 'n3_breakdown', b0 || '/' || b1, 'pct p' || CAST(p AS VARCHAR),
+        |  CAST(val AS BIGINT) FROM pc
+        |UNION ALL
+        | SELECT 'n4_daily_users', CAST(day AS VARCHAR), 'cardinality(user_id)',
+        |  CAST(count(DISTINCT user_id) AS BIGINT) FROM ec GROUP BY day
+        |) u ORDER BY panel, bucket, metric""".stripMargin,
     "q275_panel_full" ->
       """WITH ec AS (SELECT event_type, user_id, event_id, value,
         |        CAST(floor(value * 100) AS BIGINT) AS cents,

@@ -77,7 +77,9 @@ object PanelSpec {
       (j \ "pipeline").extractOpt[String],
       (j \ "lag").extractOpt[Int].getOrElse(1),
       (j \ "metric_agg").extractOpt[String].getOrElse("sum"),
-      (j \ "percents").extractOpt[Seq[Int]].getOrElse(Seq(50, 95, 99)),
+      // json4s extracts a MISSING field as Some(List()), not None
+      (j \ "percents").extractOpt[Seq[Int]]
+        .filter(_.nonEmpty).getOrElse(Seq(50, 95, 99)),
       (j \ "ranges") match {
         case JArray(rs) => rs.map(r =>
           ((r \ "from").extractOpt[Double], (r \ "to").extractOpt[Double]))

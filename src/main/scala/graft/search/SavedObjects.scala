@@ -188,10 +188,14 @@ object SavedObjects {
       d.withColumn(name, e)
     }.filter(labelCols.map(col(_).isNotNull)
       .foldLeft(lit(true))(_ && _))
+    // persisted: every terms level re-aggregates it, the kept join
+    // reads it, and each stacked metric branch reads kept — without
+    // the persist each union branch re-runs the fact aggregation
+    // (the two-reference rule)
     val leaf =
-      if (levels.isEmpty) base.agg(partials.head, partials.tail: _*)
-      else withLabels.groupBy(labelCols.map(col): _*)
-        .agg(partials.head, partials.tail: _*)
+      (if (levels.isEmpty) base.agg(partials.head, partials.tail: _*)
+       else withLabels.groupBy(labelCols.map(col): _*)
+         .agg(partials.head, partials.tail: _*)).persist()
 
     // terms pruning, outermost → innermost; range/date_histogram levels
     // keep every bucket. Order metric re-composes from the leaf partials.
@@ -238,7 +242,7 @@ object SavedObjects {
       }
     }
     val kept = survivors.fold(leaf)(s =>
-      leaf.join(broadcast(s), labelCols))
+      leaf.join(broadcast(s), labelCols).persist())
 
     val bucketExpr =
       if (levels.isEmpty) lit("all")

@@ -232,4 +232,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.indexOf("HashAggregate", widx) > 0 ||
       p.substring(widx).contains("Aggregate"), p)
   }
+
+  test("q275: panel survivor joins broadcast; no sort-merge, no cartesian") {
+    val p = plan("q275_panel_full")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q276: imported panels reuse the persisted leaf frame per metric branch") {
+    val p = plan("q276_saved_objects")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"leaf/kept persist lost — each union branch re-runs the fact agg:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -150,4 +150,55 @@ class SearchAggSpec extends SparkTestBase {
       rows("""{"panel":"x","agg":"terms","field":"k","metric_agg":"median"}""")
     }
   }
+
+  test("PanelSpec randomized differential vs local brute force") {
+    import graft.search.PanelSpec
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      val data = List.fill(30 + rnd.nextInt(120))(
+        (s"k${rnd.nextInt(6)}", rnd.nextInt(40) / 4.0))
+      val df = data.toDF("k", "value")
+      def cents(v: Double) = math.floor(v * 100).toLong
+      // percentiles: type-1 lower quantile over all cents
+      val ps = List(10, 50, 90, 100)
+      val gotP = PanelSpec.run(df,
+          s"""{"panel":"p","agg":"percentiles","metric":"value",
+             | "percents":[${ps.mkString(",")}]}""".stripMargin)
+        .select($"bucket", $"val").as[(String, Long)].collect().toMap
+      val sorted = data.map(t => cents(t._2)).sorted
+      ps.foreach { p =>
+        val want = sorted((math.ceil(p * sorted.length / 100.0) - 1).toInt.max(0))
+        assert(gotP(s"p$p") == want, s"trial $trial p$p")
+      }
+      // range: [lo,hi) buckets incl. an always-empty one
+      val gotR = PanelSpec.run(df,
+          """{"panel":"r","agg":"range","field":"value",
+            | "ranges":[{"to":3},{"from":3,"to":7},{"from":999}]}""".stripMargin)
+        .select($"bucket", $"n", $"val").as[(String, Long, Long)]
+        .collect().map { case (b, n, v) => b -> ((n, v)) }.toMap
+      def bucket(lo: Double, hi: Double) = {
+        val xs = data.filter(t => t._2 >= lo && t._2 < hi)
+        (xs.length.toLong, xs.map(t => cents(t._2)).sum)
+      }
+      assert(gotR("*-3") == bucket(Double.MinValue, 3))
+      assert(gotR("3-7") == bucket(3, 7))
+      assert(gotR("999-*") == ((0L, 0L)), s"trial $trial empty bucket")
+      // nested_terms: per-level top-k by max cents, key tie asc
+      val data2 = data.map { case (k, v) => (k, s"s${rnd.nextInt(4)}", v) }
+      val gotN = PanelSpec.run(data2.toDF("k", "sub", "value"),
+          """{"panel":"nt","agg":"nested_terms","fields":["k","sub"],
+            | "sizes":[2,2]}""".stripMargin)
+        .select($"bucket", $"val").as[(String, Long)].collect().toMap
+      val leaf = data2.groupBy(t => (t._1, t._2))
+        .view.mapValues(_.map(t => cents(t._3)).max).toMap
+      val l1 = leaf.groupBy(_._1._1).view.mapValues(_.values.max).toList
+        .sortBy { case (k, m) => (-m, k) }.take(2).map(_._1)
+      val want = l1.flatMap { k =>
+        leaf.filter(_._1._1 == k).toList
+          .sortBy { case ((_, s), m) => (-m, s) }.take(2)
+          .map { case ((_, s), m) => s"$k/$s" -> m }
+      }.toMap
+      assert(gotN == want, s"trial $trial nested")
+    }
+  }
 }

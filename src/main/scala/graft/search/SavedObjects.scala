@@ -198,30 +198,46 @@ object SavedObjects {
          .agg(partials.head, partials.tail: _*)).persist()
 
     // terms pruning, outermost → innermost; range/date_histogram levels
-    // keep every bucket. Order metric re-composes from the leaf partials.
-    def orderCol(b: BucketAgg): (Column => Column, String) = b.orderBy match {
-      case "_key" => (identity, "") // key order handled in the window sort
-      case "_count" => (sum, "__n")
-      case id =>
-        plain.zipWithIndex.find(_._1.id == id) match {
-          case Some((m, i)) =>
-            val comp: Column => Column = m.kind match {
-              case "max" => max
-              case "min" => min
-              case _ => sum // sum/count/avg-partial compose additively
-            }
-            (comp, s"__m$i")
-          case None => (sum, "__n") // dangling orderBy id → doc count
-        }
-    }
+    // keep every bucket. sum/count/max/min order metrics re-compose from
+    // the leaf partials; avg composes EXACTLY as Σsum/Σn (a sum-composed
+    // "avg" would silently order by total); cardinality cannot compose
+    // from per-leaf distincts, so it re-aggregates the labeled fact rows
+    // at that prefix — one extra uniform-key aggregation, still never a
+    // distinct-per-window.
+    def orderAgg(b: BucketAgg, prefix: Seq[String]): Option[DataFrame] =
+      b.orderBy match {
+        case "_key" => None // key order handled in the window sort
+        case "_count" =>
+          Some(leaf.groupBy(prefix.map(col): _*).agg(sum(col("__n")).as("__o")))
+        case id =>
+          plain.zipWithIndex.find(_._1.id == id) match {
+            case Some((m, i)) =>
+              val src = col(s"__m$i")
+              m.kind match {
+                case "max" => Some(leaf.groupBy(prefix.map(col): _*)
+                  .agg(max(src).as("__o")))
+                case "min" => Some(leaf.groupBy(prefix.map(col): _*)
+                  .agg(min(src).as("__o")))
+                case "avg" => Some(leaf.groupBy(prefix.map(col): _*)
+                  .agg((sum(src).cast("double") / sum(col("__n"))).as("__o")))
+                case "cardinality" => Some(withLabels
+                  .groupBy(prefix.map(col): _*)
+                  .agg(count_distinct(resolve(m.field)).as("__o")))
+                case _ => Some(leaf.groupBy(prefix.map(col): _*)
+                  .agg(sum(src).as("__o")))
+              }
+            case None => // dangling orderBy id → doc count
+              Some(leaf.groupBy(prefix.map(col): _*)
+                .agg(sum(col("__n")).as("__o")))
+          }
+      }
     var survivors: Option[DataFrame] = None
     levels.zipWithIndex.foreach { case ((b, name, _), i) =>
       val prefix = labelCols.take(i + 1)
       if (b.kind == "terms") {
-        val (comp, src) = orderCol(b)
         val keyOrder = if (b.orderDesc) col(name).desc else col(name).asc
-        val agg0 = leaf.groupBy(prefix.map(col): _*)
-          .agg((if (src.isEmpty) count(lit(1)) else comp(col(src))).as("__o"))
+        val agg0 = orderAgg(b, prefix).getOrElse(
+          leaf.groupBy(prefix.map(col): _*).agg(count(lit(1)).as("__o")))
         val scoped = survivors.fold(agg0)(s =>
           agg0.join(broadcast(s), labelCols.take(i)))
         val w = Window.partitionBy(labelCols.take(i).map(col): _*)

@@ -51,6 +51,29 @@ class SavedObjectsSpec extends SparkTestBase {
     assert(byCount == Set("a", "c"))
   }
 
+  test("avg- and cardinality-ordered terms rank by the TRUE metric, not its sum partial") {
+    // a: 3 rows avg 10, sum 30; b: 1 row avg 20, sum 20 — avg order must
+    // pick b first even though a's sum is larger
+    val df = Seq(("a", 10.0, "u1"), ("a", 10.0, "u1"), ("a", 10.0, "u1"),
+      ("b", 20.0, "u2")).toDF("k", "v", "u")
+    val avgPanel = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "avg", "v", "m", Seq())),
+      Seq(SavedObjects.BucketAgg("terms", "k", 1, "1", orderDesc = true,
+        Seq.empty, 86400000L)))
+    assert(SavedObjects.run(df, avgPanel)
+      .select($"bucket").as[String].collect().toList == List("b"))
+    // c: 2 rows 3 distinct-ish users? — cardinality order: x has 4 rows
+    // but 1 distinct user, y has 2 rows with 2 distinct users
+    val df2 = Seq(("x", 1.0, "u1"), ("x", 1.0, "u1"), ("x", 1.0, "u1"),
+      ("x", 1.0, "u1"), ("y", 1.0, "u2"), ("y", 1.0, "u3")).toDF("k", "v", "u")
+    val cardPanel = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "cardinality", "u", "m", Seq())),
+      Seq(SavedObjects.BucketAgg("terms", "k", 1, "1", orderDesc = true,
+        Seq.empty, 86400000L)))
+    assert(SavedObjects.run(df2, cardPanel)
+      .select($"bucket").as[String].collect().toList == List("y"))
+  }
+
   test("per-bucket percentiles are exact type-1 quantiles") {
     val df = Seq.tabulate(100)(i => ("g", i / 100.0 + 0.001)).toDF("k", "v")
     val panel = SavedObjects.Panel("p", None,

@@ -86,6 +86,143 @@ class SavedObjectsSpec extends SparkTestBase {
     assert(got == Map("pct p25" -> 24L, "pct p50" -> 49L, "pct p99" -> 98L))
   }
 
+  test("randomized differential vs a local panel interpreter") {
+    val rnd = new scala.util.Random(20260814L)
+    val interval = 3600000L
+    for (trial <- 1 to 8) {
+      val rows = List.fill(40 + rnd.nextInt(160))((
+        s"k${rnd.nextInt(5)}", s"s${rnd.nextInt(3)}",
+        rnd.nextInt(1200) / 4.0, s"u${rnd.nextInt(7)}",
+        new java.sql.Timestamp(1767225600000L + rnd.nextInt(10) * interval)))
+      val df = rows.toDF("k", "sub", "v", "u", "t")
+      def cents(x: Double) = math.floor(x * 100).toLong
+
+      // random panel: 1-2 plain metrics + maybe percentiles; 0-2 buckets
+      val mkinds = List("sum", "max", "min", "avg", "count", "cardinality")
+      val plain = (1 to 1 + rnd.nextInt(2)).map(i => SavedObjects.MetricAgg(
+        i.toString, mkinds(rnd.nextInt(mkinds.length)),
+        if (rnd.nextBoolean()) "v" else "u", s"m$i", Seq())).toList
+      val pcts = if (rnd.nextBoolean())
+        List(SavedObjects.MetricAgg("9", "percentiles", "v", "pp", Seq(30, 80)))
+      else Nil
+      // metrics on "u" must be cardinality/count (non-numeric otherwise)
+      val metrics = plain.map(m =>
+        if (m.field == "u" && !Set("count", "cardinality").contains(m.kind))
+          m.copy(kind = "cardinality") else m) ++ pcts
+      val ranges = Seq((None, Some(100.0)), (Some(100.0), Some(200.0)),
+        (Some(200.0), None)).map { case (a, b) =>
+          (a: Option[Double], b: Option[Double]) }
+      val bkinds = List.fill(rnd.nextInt(3))(
+        List("terms", "range", "date_histogram")(rnd.nextInt(3)))
+      var termsFieldPool = List("k", "sub")
+      val buckets = bkinds.flatMap {
+        case "terms" if termsFieldPool.nonEmpty =>
+          val f = termsFieldPool.head; termsFieldPool = termsFieldPool.tail
+          val orderBy = List("_count", "_key", metrics.head.id)(rnd.nextInt(3))
+          Some(SavedObjects.BucketAgg("terms", f, 1 + rnd.nextInt(3), orderBy,
+            rnd.nextBoolean(), Seq.empty, interval))
+        case "range" =>
+          Some(SavedObjects.BucketAgg("range", "v", 5, "_count", true,
+            ranges, interval))
+        case "date_histogram" =>
+          Some(SavedObjects.BucketAgg("date_histogram", "t", 5, "_count", true,
+            Seq.empty, interval))
+        case _ => None
+      }
+      val panel = SavedObjects.Panel(s"t$trial", None, metrics, buckets)
+
+      // ---- local interpreter ----
+      type Row5 = (String, String, Double, String, java.sql.Timestamp)
+      def fmt(d: Double) =
+        if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString
+      def label(b: SavedObjects.BucketAgg, r: Row5): Option[String] = b.kind match {
+        case "terms" => Some(if (b.field == "k") r._1 else r._2)
+        case "date_histogram" =>
+          Some((r._5.getTime / interval).toString)
+        case "range" =>
+          b.ranges.collectFirst {
+            case (lo, hi) if lo.forall(r._3 >= _) && hi.forall(r._3 < _) =>
+              s"${lo.fold("*")(fmt)}-${hi.fold("*")(fmt)}"
+          }
+      }
+      // rows → full label path (drop rows outside every range bucket)
+      val labeled = rows.flatMap { r =>
+        val ls = buckets.map(label(_, r))
+        if (ls.exists(_.isEmpty)) None else Some((ls.map(_.get), r))
+      }
+      def fieldVal(f: String, r: Row5): Double = if (f == "v") r._3 else 0.0
+      def metricVal(m: SavedObjects.MetricAgg, rs: List[Row5]): Long = m.kind match {
+        case "count" => rs.length.toLong
+        case "cardinality" =>
+          rs.map(r => if (m.field == "u") r._4 else fieldVal(m.field, r)).distinct.length.toLong
+        case "sum" => rs.map(r => cents(fieldVal(m.field, r))).sum
+        case "max" => rs.map(r => cents(fieldVal(m.field, r))).max
+        case "min" => rs.map(r => cents(fieldVal(m.field, r))).min
+        case "avg" =>
+          val s = rs.map(r => cents(fieldVal(m.field, r))).sum
+          if (rs.nonEmpty) s / rs.length else 0L
+        case _ => 0L
+      }
+      def orderVal(orderBy: String, rs: List[Row5]): Double = orderBy match {
+        case "_count" => rs.length.toDouble
+        case id => metrics.find(m => m.id == id && m.kind != "percentiles") match {
+          case None => rs.length.toDouble
+          case Some(m) => m.kind match {
+            case "avg" =>
+              rs.map(r => cents(fieldVal(m.field, r))).sum.toDouble / rs.length
+            case _ => metricVal(m, rs).toDouble
+          }
+        }
+      }
+      // survivor pruning level by level
+      var groups: List[(List[String], List[Row5])] =
+        labeled.groupBy(_._1).view.mapValues(_.map(_._2)).toList
+      buckets.zipWithIndex.foreach { case (b, i) =>
+        if (b.kind == "terms") {
+          val byPrefix = groups.flatMap { case (p, rs) =>
+            rs.map(r => (p.take(i), p(i), r)) }
+            .groupBy(_._1)
+          val keep: Set[List[String]] = byPrefix.flatMap { case (pref, xs) =>
+            val perKey = xs.groupBy(_._2).view
+              .mapValues(_.map(_._3)).toList
+            val ranked =
+              if (b.orderBy == "_key")
+                perKey.sortBy(_._1)(if (b.orderDesc) Ordering[String].reverse
+                  else Ordering[String])
+              else perKey.sortBy { case (key, rs) =>
+                (if (b.orderDesc) -orderVal(b.orderBy, rs)
+                 else orderVal(b.orderBy, rs), key)
+              }(Ordering.Tuple2(Ordering[Double], Ordering[String]))
+            ranked.take(b.size).map(t => pref :+ t._1)
+          }.toSet
+          groups = groups.filter { case (p, _) => keep(p.take(i + 1)) }
+        }
+      }
+      val want: Set[(String, String, Long)] = (groups match {
+        case g if buckets.nonEmpty => g
+        case _ => List((List("all"), rows))
+      }).flatMap { case (p, rs) =>
+        val bucket = if (buckets.isEmpty) "all" else p.mkString("/")
+        val plainRows = metrics.filter(_.kind != "percentiles")
+          .map(m => (bucket, m.label, metricVal(m, rs)))
+        val pctRows = metrics.filter(_.kind == "percentiles").flatMap { m =>
+          val sorted = rs.map(r => cents(fieldVal(m.field, r))).sorted
+          m.percents.map { p =>
+            val rank = math.max(1, (p * sorted.length + 99) / 100)
+            (bucket, s"${m.label} p$p", sorted(rank.toInt - 1))
+          }
+        }
+        plainRows ++ pctRows
+      }.toSet
+
+      val got = SavedObjects.run(df, panel)
+        .select($"bucket", $"metric", $"val").as[(String, String, Long)]
+        .collect().toSet
+      assert(got == want,
+        s"trial $trial panel=$panel\n missing=${want -- got}\n extra=${got -- want}")
+    }
+  }
+
   test("the reference's full dashboard export imports and executes") {
     assume(Files.exists(Paths.get(refNdjson)), "reference export not present")
     val lines = Files.readAllLines(Paths.get(refNdjson)).asScala.toSeq

@@ -113,9 +113,14 @@ object SavedObjects {
       kuery, metrics, buckets))
   }
 
-  /** All importable panels of an ndjson export. */
+  /** All importable panels of an ndjson export. Tolerant per line — a
+    * truncated or hand-edited object skips instead of killing the other
+    * 33 panels of the export ([[parseLine]] stays strict for
+    * single-object use).
+    */
   def parseNdjson(lines: Iterable[String]): Seq[Panel] =
-    lines.filter(_.trim.nonEmpty).flatMap(parseLine).toSeq
+    lines.filter(_.trim.nonEmpty)
+      .flatMap(l => scala.util.Try(parseLine(l)).toOption.flatten).toSeq
 
   // -------------------------------------------------------------- run
 

@@ -28,6 +28,10 @@ class SavedObjectsSpec extends SparkTestBase {
       """{"type":"visualization","attributes":{"title":"m","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"sum\",\"params\":{\"field\":\"v\"},\"schema\":\"metric\"}]}"}}""")
     val panels = SavedObjects.parseNdjson(lines)
     assert(panels.map(_.title) == Seq("m"))
+    // a truncated/corrupt line skips without killing the import
+    assert(SavedObjects.parseNdjson(
+      lines :+ """{"type":"visualization","attributes":{"title":"bad","visState":"{not json"""")
+      .map(_.title) == Seq("m"))
     assert(panels.head.metrics == Seq(
       SavedObjects.MetricAgg("1", "sum", "v", "sum(v)", Seq(50))))
   }

@@ -53,6 +53,25 @@ object SavedObjects {
 
   // ------------------------------------------------------------ parse
 
+  /** ES fixed-interval strings → milliseconds: "30s", "15m", "1h",
+    * "1d", "1w", bare millisecond digits. "auto" and anything
+    * unrecognized → None (caller defaults to daily).
+    */
+  private[search] def parseInterval(s: String): Option[Long] = {
+    val t = s.trim.toLowerCase
+    if (t.nonEmpty && t.forall(_.isDigit)) return Some(t.toLong)
+    val m = "^(\\d+)(ms|s|m|h|d|w)$".r.findFirstMatchIn(t).getOrElse(return None)
+    val unit = m.group(2) match {
+      case "ms" => 1L
+      case "s" => 1000L
+      case "m" => 60000L
+      case "h" => 3600000L
+      case "d" => 86400000L
+      case "w" => 604800000L
+    }
+    Some(m.group(1).toLong * unit)
+  }
+
   /** Parse one saved-object line; Some(panel) only for visualizations
     * with a supported agg tree.
     */
@@ -101,10 +120,8 @@ object SavedObjects {
                   (r \ "to").extractOpt[Double]))
                 case _ => Seq.empty
               },
-              (p \ "interval").extractOpt[String] match {
-                case Some(s) if s.forall(_.isDigit) && s.nonEmpty => s.toLong
-                case _ => 86400000L // "auto" and absent → daily
-              })
+              (p \ "interval").extractOpt[String]
+                .flatMap(parseInterval).getOrElse(86400000L))
         }
       }
     }

@@ -36,6 +36,28 @@ class SavedObjectsSpec extends SparkTestBase {
       SavedObjects.MetricAgg("1", "sum", "v", "sum(v)", Seq(50))))
   }
 
+  test("ES interval strings parse to milliseconds; auto/junk default") {
+    assert(SavedObjects.parseInterval("30s") == Some(30000L))
+    assert(SavedObjects.parseInterval("15m") == Some(900000L))
+    assert(SavedObjects.parseInterval("1h") == Some(3600000L))
+    assert(SavedObjects.parseInterval("2d") == Some(172800000L))
+    assert(SavedObjects.parseInterval("1w") == Some(604800000L))
+    assert(SavedObjects.parseInterval("250ms") == Some(250L))
+    assert(SavedObjects.parseInterval("3600000") == Some(3600000L))
+    assert(SavedObjects.parseInterval("auto").isEmpty)
+    assert(SavedObjects.parseInterval("1 fortnight").isEmpty)
+    // a panel with interval "1h" buckets hourly, not daily
+    val df = Seq.tabulate(4)(i =>
+      (1.0, new java.sql.Timestamp(1767225600000L + i * 1800000L)))
+      .toDF("v", "t")
+    val p = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "count", "", "n", Seq())),
+      Seq(SavedObjects.BucketAgg("date_histogram", "t", 5, "_count", true,
+        Seq.empty, SavedObjects.parseInterval("1h").get)))
+    assert(SavedObjects.run(df, p).select($"val").as[Long]
+      .collect().sorted.toList == List(2L, 2L))
+  }
+
   test("terms ordering follows the referenced metric id per level") {
     // groups: a(total 60), b(total 100), c(total 10) -> top-2 by sum =
     // b, a; _count order would instead pick a (3 rows) and c (2 rows)

@@ -75,6 +75,31 @@ class HttpDeliverySpec extends SparkTestBase {
     }
   }
 
+  test("chunk boundaries: empty partitions post nothing; exact multiples split clean") {
+    withStub { stub =>
+      // 6 rows over 4 partitions -> some partitions empty; no empty POSTs
+      val df = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+        .repartition(4)
+      HttpDelivery.deliver(df, stub.url, maxPerPost = 100, initialBackoffMs = 1L)
+      assert(stub.bodies.asScala.forall(_._2.nonEmpty), "no empty bodies")
+      assert(stub.deliveredLines.size == 6)
+    }
+    withStub { stub =>
+      // exactly 2 chunks of 3 — no trailing empty chunk
+      val df = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+        .coalesce(1)
+      HttpDelivery.deliver(df, stub.url, maxPerPost = 3, initialBackoffMs = 1L)
+      assert(stub.requests.get() == 2, s"got ${stub.requests.get()} posts")
+      assert(stub.bodies.asScala.forall(_._2.split("\n").length == 3))
+    }
+    withStub { stub =>
+      // an empty frame delivers zero posts (and doesn't error)
+      val df = Seq.empty[(Long, String)].toDF("id", "payload")
+      HttpDelivery.deliver(df, stub.url, initialBackoffMs = 1L)
+      assert(stub.requests.get() == 0)
+    }
+  }
+
   test("retryable 5xx and 429 are retried until success") {
     withStub { stub =>
       stub.failFirst = 2 // two 503s, then 200

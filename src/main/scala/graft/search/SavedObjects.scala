@@ -149,7 +149,11 @@ object SavedObjects {
 
   /** Interpret one panel over `df`. `fieldAliases` maps index-pattern
     * field names onto DataFrame columns (".keyword" suffixes are
-    * stripped automatically — the Kuery convention).
+    * stripped automatically — the Kuery convention). Aliases apply to
+    * AGG fields only; a panel's kuery filter compiles against the
+    * DataFrame's own column names — rename columns upfront (e.g.
+    * `df.withColumnRenamed("ts", "timestamp")`) if a saved query
+    * references index names the frame doesn't carry.
     */
   def run(df: DataFrame, panel: Panel,
       fieldAliases: Map[String, String] = Map.empty,

@@ -25,8 +25,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - [[sink]] wraps delivery in `foreachBatch`, which is at-least-once
   *    on failure/restart — compose with the upstream
   *    `dropDuplicatesWithinWatermark` delivery dedup
-  *    (Pipelines.Config.dedupeDelivery) and/or an idempotent receiver
-  *    keyed on the `X-Graft-Batch` header both posts carry.
+  *    (Pipelines.Config.dedupeDelivery) and/or an idempotent receiver.
+  *    CAUTION on receiver-side dedup granularity: a batch is delivered
+  *    NON-atomically (per partition, per chunk), so a receiver that
+  *    drops every repeat of a seen `X-Graft-Batch` id would permanently
+  *    lose the chunks a partially-failed first attempt never delivered.
+  *    Dedup on the batch id alone is only safe when the receiver
+  *    commits the whole batch atomically; otherwise key idempotency on
+  *    row identity (or on the (batch, partition, chunk) triple — both
+  *    posts carry the batch id header, and chunk boundaries are
+  *    deterministic for a given partitioning).
   */
 object HttpDelivery {
 

@@ -595,8 +595,10 @@ object SearchAggQueries {
   // search.SavedObjects.runNdjson into one normalized
   // (panel, bucket, metric, val) frame. Covers the export's whole agg
   // vocabulary: metric-only cardinality, cardinality-over-range (pie),
-  // sum+max+percentiles under 2-level metric-ordered terms (table), and
-  // cardinality over a date_histogram (line).
+  // sum+max+avg+percentiles under 2-level metric-ordered terms (table),
+  // and cardinality over an auto-interval date_histogram (line — the
+  // 30-day span resolves to the ladder's daily rung, scale-stable
+  // because every SF covers the same period).
   def q276SavedObjects(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -605,9 +607,39 @@ object SearchAggQueries {
       """{"type":"visualization","attributes":{"title":"ctl","visState":"{\"type\":\"input_control_vis\",\"params\":{\"controls\":[]}}"}}""",
       """{"type":"visualization","attributes":{"title":"n1_purchasers","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"cardinality\",\"params\":{\"field\":\"user_id\",\"customLabel\":\"purchasers\"},\"schema\":\"metric\"}]}","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"event_type.keyword: purchase\",\"language\":\"kuery\"},\"filter\":[]}"}}}""",
       """{"type":"visualization","attributes":{"title":"n2_value_ranges","visState":"{\"type\":\"pie\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"cardinality\",\"params\":{\"field\":\"user_id\"},\"schema\":\"metric\"},{\"id\":\"3\",\"enabled\":true,\"type\":\"range\",\"params\":{\"field\":\"value\",\"ranges\":[{\"from\":0,\"to\":100},{\"from\":100,\"to\":500},{\"from\":500}]},\"schema\":\"segment\"}]}","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"\",\"language\":\"kuery\"},\"filter\":[]}"}}}""",
-      """{"type":"visualization","attributes":{"title":"n3_breakdown","visState":"{\"type\":\"table\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"sum\",\"params\":{\"field\":\"value\",\"customLabel\":\"total\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"max\",\"params\":{\"field\":\"value\",\"customLabel\":\"peak\"},\"schema\":\"metric\"},{\"id\":\"3\",\"enabled\":true,\"type\":\"percentiles\",\"params\":{\"field\":\"value\",\"percents\":[50,99],\"customLabel\":\"pct\"},\"schema\":\"metric\"},{\"id\":\"4\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"event_type\",\"orderBy\":\"1\",\"order\":\"desc\",\"size\":3},\"schema\":\"bucket\"},{\"id\":\"5\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"user_id\",\"orderBy\":\"1\",\"order\":\"desc\",\"size\":2},\"schema\":\"bucket\"}]}"}}""",
+      """{"type":"visualization","attributes":{"title":"n3_breakdown","visState":"{\"type\":\"table\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"sum\",\"params\":{\"field\":\"value\",\"customLabel\":\"total\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"max\",\"params\":{\"field\":\"value\",\"customLabel\":\"peak\"},\"schema\":\"metric\"},{\"id\":\"3\",\"enabled\":true,\"type\":\"percentiles\",\"params\":{\"field\":\"value\",\"percents\":[50,99],\"customLabel\":\"pct\"},\"schema\":\"metric\"},{\"id\":\"6\",\"enabled\":true,\"type\":\"avg\",\"params\":{\"field\":\"value\",\"customLabel\":\"mean\"},\"schema\":\"metric\"},{\"id\":\"4\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"event_type\",\"orderBy\":\"1\",\"order\":\"desc\",\"size\":3},\"schema\":\"bucket\"},{\"id\":\"5\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"user_id\",\"orderBy\":\"1\",\"order\":\"desc\",\"size\":2},\"schema\":\"bucket\"}]}"}}""",
       """{"type":"visualization","attributes":{"title":"n4_daily_users","visState":"{\"type\":\"line\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"cardinality\",\"params\":{\"field\":\"user_id\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"date_histogram\",\"params\":{\"field\":\"@timestamp\",\"interval\":\"auto\"},\"schema\":\"segment\"}]}"}}""")
     graft.search.SavedObjects.runNdjson(ev, lines,
+        fieldAliases = Map("@timestamp" -> "ts"))
+      .orderBy($"panel", $"bucket", $"metric")
+  }
+
+  // ---------------------------------------------------------------- q277
+
+  // DASHBOARD-granularity import: a `type:"dashboard"` saved object in
+  // the exported format (appState match_phrase filter array +
+  // panelsJSON references — the reference export's data-skew.ndjson
+  // lines 16/34 shape, which scope every member panel to one
+  // application) resolved through its panel_N → id references and
+  // executed by search.SavedObjects.runDashboards. Gates three round-7
+  // behaviors at once: the dashboard phrase filter composes onto every
+  // member panel; `"interval":"auto"` resolves through the normalized
+  // OpenSearch ladder from the FILTERED frame's time range (the 2-day
+  // panel kuery forces the 1-hour rung — fixed daily would emit 2
+  // buckets, not ~48; the oracle replays the ladder selection itself so
+  // the gate is scale-free); and avg metrics divide by the non-null
+  // count with Σsum/Σcount ordering. The unreferenced visualization
+  // (id v9) must NOT run at dashboard granularity.
+  def q277DashboardImport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val lines = Seq(
+      """{"type":"index-pattern","attributes":{"title":"events*"}}""",
+      """{"type":"dashboard","attributes":{"title":"skew","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"\",\"language\":\"kuery\"},\"filter\":[{\"meta\":{\"negate\":false,\"disabled\":false,\"key\":\"event_type.keyword\",\"type\":\"phrase\"},\"query\":{\"match_phrase\":{\"event_type.keyword\":\"click\"}}},{\"meta\":{\"negate\":false,\"disabled\":true},\"query\":{\"match_phrase\":{\"event_type.keyword\":\"ignored-disabled\"}}}]}"}},"references":[{"id":"ip1","name":"kibanaSavedObjectMeta.searchSourceJSON.filter[0].meta.index","type":"index-pattern"},{"id":"v1","name":"panel_0","type":"visualization"},{"id":"v2","name":"panel_1","type":"visualization"}]}""",
+      """{"type":"visualization","id":"v1","attributes":{"title":"hourly","visState":"{\"type\":\"histogram\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"sum\",\"params\":{\"field\":\"value\",\"customLabel\":\"total\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"date_histogram\",\"params\":{\"field\":\"@timestamp\",\"interval\":\"auto\",\"useNormalizedOpenSearchInterval\":true},\"schema\":\"segment\"}]}","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"ts >= 2024-01-03 and ts < 2024-01-05\",\"language\":\"kuery\"},\"filter\":[]}"}}}""",
+      """{"type":"visualization","id":"v2","attributes":{"title":"top_users","visState":"{\"type\":\"table\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"avg\",\"params\":{\"field\":\"value\",\"customLabel\":\"mean\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"min\",\"params\":{\"field\":\"value\",\"customLabel\":\"low\"},\"schema\":\"metric\"},{\"id\":\"3\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"user_id\",\"orderBy\":\"1\",\"order\":\"desc\",\"size\":3},\"schema\":\"bucket\"}]}"}}""",
+      """{"type":"visualization","id":"v9","attributes":{"title":"orphan","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{},\"schema\":\"metric\"}]}"}}""")
+    graft.search.SavedObjects.runDashboards(ev, lines,
         fieldAliases = Map("@timestamp" -> "ts"))
       .orderBy($"panel", $"bucket", $"metric")
   }
@@ -615,6 +647,7 @@ object SearchAggQueries {
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_dashboard_import" -> q277DashboardImport _,
     "q276_saved_objects" -> q276SavedObjects _,
     "q275_panel_full" -> q275PanelFull _,
     "q253_date_range" -> q253DateRange _,
@@ -640,19 +673,50 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q277_dashboard_import" ->
+      """WITH ec AS (SELECT user_id, value,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents,
+        |        epoch_ms(ts) AS ms, ts FROM events
+        |       WHERE event_type = 'click'),
+        |w AS (SELECT * FROM ec
+        |      WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-05'),
+        |sp AS (SELECT greatest(((max(ms) - min(ms)) // 1000) // 50, 1) AS need
+        |       FROM w),
+        |st AS (SELECT CAST(coalesce(min(r), 604800) AS BIGINT) * 1000 AS step
+        |       FROM (VALUES (1),(5),(30),(60),(300),(1800),(3600),(10800),
+        |             (43200),(86400),(604800)) t(r), sp
+        |       WHERE r >= need),
+        |hist AS (SELECT ms // step AS bix, sum(cents) AS s
+        |        FROM w, st GROUP BY 1),
+        |lf2 AS (SELECT CAST(user_id AS VARCHAR) AS b, sum(cents) AS s,
+        |         count(value) AS cv, min(cents) AS mn
+        |        FROM ec GROUP BY 1),
+        |top3 AS (SELECT b, s, cv, mn FROM (SELECT b, s, cv, mn,
+        |          row_number() OVER (ORDER BY CAST(s AS DOUBLE) / cv DESC, b)
+        |            AS rk FROM lf2)
+        |        WHERE rk <= 3)
+        |SELECT * FROM (
+        | SELECT 'skew/hourly' AS panel, CAST(bix AS VARCHAR) AS bucket,
+        |  'total' AS metric, CAST(s AS BIGINT) AS val FROM hist
+        |UNION ALL
+        | SELECT 'skew/top_users', b, 'mean', CAST(s // cv AS BIGINT) FROM top3
+        |UNION ALL
+        | SELECT 'skew/top_users', b, 'low', CAST(mn AS BIGINT) FROM top3
+        |) u ORDER BY panel, bucket, metric""".stripMargin,
     "q276_saved_objects" ->
       """WITH ec AS (SELECT event_type, user_id, value,
         |        CAST(floor(value * 100) AS BIGINT) AS cents,
         |        epoch_ms(ts) // 86400000 AS day FROM events),
         |lf AS (SELECT event_type AS b0, CAST(user_id AS VARCHAR) AS b1,
-        |        sum(cents) AS s, max(cents) AS mx FROM ec GROUP BY 1, 2),
+        |        sum(cents) AS s, max(cents) AS mx, count(value) AS cv
+        |       FROM ec GROUP BY 1, 2),
         |t1 AS (SELECT b0, sum(s) AS o FROM lf GROUP BY 1),
         |s1 AS (SELECT b0 FROM (SELECT b0,
         |        row_number() OVER (ORDER BY o DESC, b0) AS rk FROM t1)
         |       WHERE rk <= 3),
-        |s2 AS (SELECT l.b0, l.b1, l.s, l.mx FROM (SELECT b0, b1, s, mx,
-        |        row_number() OVER (PARTITION BY b0 ORDER BY s DESC, b1) AS rk
-        |        FROM lf) l JOIN s1 USING (b0) WHERE rk <= 2),
+        |s2 AS (SELECT l.b0, l.b1, l.s, l.mx, l.cv FROM (SELECT b0, b1, s, mx,
+        |        cv, row_number() OVER (PARTITION BY b0 ORDER BY s DESC, b1)
+        |         AS rk FROM lf) l JOIN s1 USING (b0) WHERE rk <= 2),
         |pr AS (SELECT e.event_type AS b0, CAST(e.user_id AS VARCHAR) AS b1,
         |        e.cents AS v,
         |        row_number() OVER (PARTITION BY e.event_type,
@@ -680,6 +744,8 @@ object SearchAggQueries {
         | SELECT 'n3_breakdown', b0 || '/' || b1, 'total', CAST(s AS BIGINT) FROM s2
         |UNION ALL
         | SELECT 'n3_breakdown', b0 || '/' || b1, 'peak', CAST(mx AS BIGINT) FROM s2
+        |UNION ALL
+        | SELECT 'n3_breakdown', b0 || '/' || b1, 'mean', CAST(s // cv AS BIGINT) FROM s2
         |UNION ALL
         | SELECT 'n3_breakdown', b0 || '/' || b1, 'pct p' || CAST(p AS VARCHAR),
         |  CAST(val AS BIGINT) FROM pc
@@ -725,7 +791,7 @@ object SearchAggQueries {
         |        row_number() OVER (PARTITION BY k1, k2 ORDER BY m3 DESC, k3) AS rk
         |        FROM l3) r3 JOIN s2 USING (k1, k2) WHERE rk <= 2),
         |tavg AS (SELECT event_type AS bucket, count(*) AS n,
-        |         coalesce(sum(cents), 0) AS s
+        |         coalesce(sum(cents), 0) AS s, count(value) AS cv
         |        FROM ec GROUP BY 1 ORDER BY n DESC, bucket LIMIT 4)
         |SELECT * FROM (
         | SELECT 'p1_click_users' AS panel, 'all' AS bucket,
@@ -755,7 +821,7 @@ object SearchAggQueries {
         | FROM leaf JOIN s3 ON leaf.k1 = s3.k1 AND leaf.k2 = s3.k2 AND leaf.k3 = s3.k3
         |UNION ALL
         | SELECT 'p6_type_avg', bucket, CAST(n AS BIGINT),
-        |  CAST(s // n AS BIGINT) FROM tavg
+        |  CAST(coalesce(s // cv, 0) AS BIGINT) FROM tavg
         |) u ORDER BY panel, bucket""".stripMargin,
     "q253_date_range" ->
       """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events),

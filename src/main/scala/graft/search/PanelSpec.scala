@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   * Metric: `metric` names the value column (integerized at cents so
   * panel values hash-compare cross-engine); `metric_agg` picks the
   * bucket metric — sum (default), max, min, avg (truncating integer
-  * mean), count — for date_histogram/terms/stats/range panels.
+  * mean over the NON-NULL metric values, the ES mean), count — for
+  * date_histogram/terms/stats/range panels.
   *
   * date_histogram panels accept a pipeline agg over the bucket series:
   * cumulative_sum, derivative, moving_avg (trailing 3-bucket truncating
@@ -101,9 +102,26 @@ object PanelSpec {
   /** Interpret one panel spec over `df`. The kuery filter compiles to a
     * Catalyst predicate (pushdown-eligible); the metric column is
     * integerized at cents so panel values hash-compare cross-engine.
+    * A percentiles panel persists its value-domain counts frame (read
+    * by both cumsum phases) — long-lived sessions should prefer
+    * [[runManaged]] or clear the session cache between panels.
     */
   def run(df: DataFrame, json: String,
-      defaultFields: Seq[String] = Seq.empty): DataFrame = {
+      defaultFields: Seq[String] = Seq.empty): DataFrame =
+    runTracked(df, json, defaultFields)._1
+
+  /** [[run]] plus a cleanup thunk: invoke AFTER materializing the
+    * result to unpersist anything the plan pinned.
+    */
+  def runManaged(df: DataFrame, json: String,
+      defaultFields: Seq[String] = Seq.empty): (DataFrame, () => Unit) = {
+    val (out, cached) = runTracked(df, json, defaultFields)
+    (out, () => cached.foreach(_.unpersist()))
+  }
+
+  private def runTracked(df: DataFrame, json: String,
+      defaultFields: Seq[String]): (DataFrame, Seq[DataFrame]) = {
+    var cached = Vector.empty[DataFrame]
     val spec = parse(json)
     val base = spec.kuery.fold(df)(kq =>
       df.filter(Kuery.predicate(df, kq, defaultFields)))
@@ -119,13 +137,17 @@ object PanelSpec {
         g.agg(count(lit(1)).as("n"), coalesce(min(centsRow), lit(0L)).as("val"))
       case "count" =>
         g.agg(count(lit(1)).as("n")).withColumn("val", col("n"))
-      case "avg" => // truncating integer mean of cents
-        g.agg(count(lit(1)).as("n"), coalesce(sum(centsRow), lit(0L)).as("__s"))
-          .withColumn("val", expr("__s div n")).drop("__s")
+      case "avg" => // truncating integer mean of cents; divides by the
+        // NON-NULL metric count (ES mean), not the bucket row count
+        g.agg(count(lit(1)).as("n"), coalesce(sum(centsRow), lit(0L)).as("__s"),
+            count(col(spec.metric)).as("__c"))
+          .withColumn("val",
+            when(col("__c") > 0, expr("__s div __c")).otherwise(lit(0L)))
+          .drop("__s", "__c")
       case other =>
         throw new IllegalArgumentException(s"unsupported metric_agg '$other'")
     }
-    spec.agg match {
+    val out = spec.agg match {
       case "date_histogram" =>
         val hist = aggNV(base
           .groupBy(expr(s"unix_millis(${spec.field}) div ${spec.intervalMs}")
@@ -178,17 +200,21 @@ object PanelSpec {
           .select(lit(spec.panel).as("panel"), lit("all").as("bucket"),
             col("n"), col("val"))
       case "percentiles" =>
-        // q172 value-domain shape: the window runs over DISTINCT cents
-        // (bounded domain), never over raw rows; total is a 1-row
-        // broadcast; rank = ceil(p·n/100) (type-1 lower quantile)
+        // q172 value-domain shape: ranks run over DISTINCT cents
+        // (bounded domain), never over raw rows; rank = ceil(p·n/100)
+        // (type-1 lower quantile). The running sum is the deterministic
+        // two-phase PrefixSum.valueDomainCumsum — a continuous metric's
+        // distinct-cents frame approaches the raw row count, so a
+        // global Window.orderBy here would be the classic
+        // single-reducer trap at 100× scale. counts is persisted (both
+        // cumsum phases read it).
         val cents = base.filter(col(spec.metric).isNotNull)
           .select(centsRow.as("v"))
         val counts = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
-        val cum = counts.withColumn("cumw",
-          sum(col("c")).over(Window.orderBy(col("v"))
-            .rowsBetween(Long.MinValue, 0)))
-        val tot = cents.agg(count(lit(1)).as("n"))
-        cum.crossJoin(broadcast(tot))
+          .persist()
+        cached :+= counts
+        graft.operators.PrefixSum
+          .valueDomainCumsum(counts, "v", "c", "cumw", "n")
           .select(col("v"), col("cumw"), col("n"),
             explode(typedLit(spec.percents.map(_.toLong))).as("p"))
           .withColumn("thr", expr("(p * n + 99) div 100"))
@@ -244,5 +270,6 @@ object PanelSpec {
       case other =>
         throw new IllegalArgumentException(s"unsupported panel agg '$other'")
     }
+    (out, cached)
   }
 }

@@ -1,8 +1,9 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Importer for exported-dashboard saved objects — the ndjson a user
   * downloads from the reference's dashboards (cf. deployment/infra/
@@ -18,10 +19,23 @@ import org.apache.spark.sql.functions._
   * objects use (judge-enumerated): metrics `count, sum, max, min, avg,
   * cardinality (exact here), percentiles (type-1 lower quantile)`;
   * buckets `terms (per-level top-k, orderBy a metric id / _count /
-  * _key), range, date_histogram (interval auto → daily)`.
-  * `index-pattern` / `search` / `dashboard` / `input_control_vis`
-  * lines parse to no panel (controls are the q10 filter-control
-  * surface; searches are the q09/q181 kuery surface).
+  * _key), range, date_histogram (fixed "30s".."1w" intervals, calendar
+  * "1M"/"1q"/"1y" via date_trunc, and "auto" resolved through
+  * [[graft.operators.DateHistogram.autoInterval]]'s normalized ladder
+  * from the FILTERED frame's time range — the reference's four
+  * `useNormalizedOpenSearchInterval` panels, data-skew.ndjson lines
+  * 19/20/24/25)`. A bucket-bearing panel with no metric agg gets the
+  * implied doc-count metric (what Kibana renders). `index-pattern` /
+  * `search` / `input_control_vis` lines parse to no panel (controls are
+  * the q10 filter-control surface; searches are the q09/q181 kuery
+  * surface).
+  *
+  * `type:"dashboard"` lines ARE traversed ([[runDashboards]]): the
+  * dashboard's appState `filter` array (match_phrase entries, honoring
+  * `meta.negate`/`meta.disabled`) and its own kuery compose onto every
+  * member panel resolved through the `references` panel_N → id map —
+  * the reference export's two dashboards scope every panel to
+  * `appName.keyword = "TPCDS SQL Benchmark 3000 GB"` this way.
   *
   * Execution shape at scale: ONE leaf-granularity aggregation of the
   * fact table holds every composable metric partial; terms pruning
@@ -29,7 +43,23 @@ import org.apache.spark.sql.functions._
   * joins ([[graft.operators.TopK.nested]]'s shape, generalized to an
   * arbitrary order metric); percentile metrics run only over the
   * surviving leaves (broadcast semi-join, then the q172 value-domain
-  * two-phase rank — never a row-per-event window).
+  * rank — per-path window when bucket levels exist, the deterministic
+  * two-phase [[graft.operators.PrefixSum.valueDomainCumsum]] when the
+  * panel is bucket-less, so no code path ever funnels a whole value
+  * domain through one task).
+  *
+  * ES null semantics: sum/min/max/avg skip null metric values (avg
+  * divides by the NON-NULL count; min/max partials stay nullable so an
+  * all-null leaf never clamps a bucket's composed extremum to 0); the
+  * normalized output coalesces an all-null bucket's value to 0 so
+  * results stay integer-typed and hash-comparable.
+  *
+  * Caching: [[run]]/[[runNdjson]]/[[runDashboards]] persist the shared
+  * leaf/survivor frames their union branches re-read (the
+  * two-reference rule). Long-lived sessions should use the *Managed
+  * variants, which return a cleanup thunk that unpersists everything
+  * once the caller has materialized the result
+  * (`Triangles.closedTriangles`'s contract).
   *
   * Output is normalized to (panel, bucket, metric, val): bucket is the
   * "/"-joined level path, metric the agg's customLabel (or
@@ -42,38 +72,81 @@ object SavedObjects {
       id: String, kind: String, field: String, label: String,
       percents: Seq[Int])
 
+  /** `auto=true` wins over `intervalMs`; `calendar` (date_trunc unit)
+    * wins over both. Appended with defaults so positional construction
+    * of the original 7 fields stays source-compatible.
+    */
   final case class BucketAgg(
       kind: String, field: String, size: Int, orderBy: String,
       orderDesc: Boolean, ranges: Seq[(Option[Double], Option[Double])],
-      intervalMs: Long)
+      intervalMs: Long, auto: Boolean = false,
+      calendar: Option[String] = None)
 
   final case class Panel(
       title: String, kuery: Option[String], metrics: Seq[MetricAgg],
-      buckets: Seq[BucketAgg])
+      buckets: Seq[BucketAgg], id: Option[String] = None)
+
+  /** One match_phrase entry of a dashboard's appState filter array. */
+  final case class PhraseFilter(field: String, value: String, negate: Boolean)
+
+  /** A `type:"dashboard"` saved object: global filter context plus the
+    * ordered visualization ids its panelsJSON references.
+    */
+  final case class Dashboard(
+      title: String, kuery: Option[String], filters: Seq[PhraseFilter],
+      panelIds: Seq[String])
 
   // ------------------------------------------------------------ parse
 
-  /** ES fixed-interval strings → milliseconds: "30s", "15m", "1h",
-    * "1d", "1w", bare millisecond digits. "auto" and anything
-    * unrecognized → None (caller defaults to daily).
+  /** Parsed `params.interval`: a fixed width, a calendar date_trunc
+    * unit, or the auto ladder.
     */
-  private[search] def parseInterval(s: String): Option[Long] = {
-    val t = s.trim.toLowerCase
-    if (t.nonEmpty && t.forall(_.isDigit)) return Some(t.toLong)
-    val m = "^(\\d+)(ms|s|m|h|d|w)$".r.findFirstMatchIn(t).getOrElse(return None)
-    val unit = m.group(2) match {
-      case "ms" => 1L
-      case "s" => 1000L
-      case "m" => 60000L
-      case "h" => 3600000L
-      case "d" => 86400000L
-      case "w" => 604800000L
+  sealed trait IntervalSpec
+  final case class FixedMs(ms: Long) extends IntervalSpec
+  final case class Calendar(unit: String) extends IntervalSpec
+  case object AutoInterval extends IntervalSpec
+
+  /** ES fixed-interval strings → milliseconds: "30s", "15m", "1h",
+    * "1d", "1w", bare millisecond digits. Units are CASE-SENSITIVE
+    * ("M" is the month calendar interval, not minutes — see
+    * [[parseIntervalSpec]]); calendar/auto/unrecognized → None (callers
+    * of the raw-millis form default to daily).
+    */
+  private[search] def parseInterval(s: String): Option[Long] =
+    parseIntervalSpec(s).collect { case FixedMs(ms) => ms }
+
+  /** Full interval vocabulary: fixed widths, calendar units
+    * ("1M"/"1q"/"1y" → month/quarter/year, case-sensitively — ES
+    * reserves uppercase M for months), and "auto". Unrecognized input
+    * returns None so callers apply the daily tolerant-import default
+    * (never a mis-cased unit silently changing scale).
+    */
+  private[search] def parseIntervalSpec(s: String): Option[IntervalSpec] = {
+    val t = s.trim
+    if (t.equalsIgnoreCase("auto")) return Some(AutoInterval)
+    if (t.nonEmpty && t.forall(_.isDigit)) return Some(FixedMs(t.toLong))
+    "^(\\d+)(ms|s|m|h|d|w|M|q|y)$".r.findFirstMatchIn(t).map { m =>
+      m.group(2) match {
+        case "M" => Calendar("month")
+        case "q" => Calendar("quarter")
+        case "y" => Calendar("year")
+        case unit =>
+          val ms = unit match {
+            case "ms" => 1L
+            case "s" => 1000L
+            case "m" => 60000L
+            case "h" => 3600000L
+            case "d" => 86400000L
+            case "w" => 604800000L
+          }
+          FixedMs(m.group(1).toLong * ms)
+      }
     }
-    Some(m.group(1).toLong * unit)
   }
 
   /** Parse one saved-object line; Some(panel) only for visualizations
-    * with a supported agg tree.
+    * with a supported agg tree. A panel with buckets but no metric agg
+    * gets the implied doc-count metric (Kibana's default table column).
     */
   def parseLine(line: String): Option[Panel] = {
     import org.json4s._
@@ -110,6 +183,8 @@ object SavedObjects {
               label, (p \ "percents").extractOpt[Seq[Double]]
                 .filter(_.nonEmpty).getOrElse(Seq(50.0)).map(_.toInt))
           case _ => // segment / bucket / group: nesting levels in order
+            val ispec = (p \ "interval").extractOpt[String]
+              .flatMap(parseIntervalSpec).getOrElse(FixedMs(86400000L))
             buckets :+= BucketAgg(
               kind, field,
               (p \ "size").extractOpt[Int].getOrElse(5),
@@ -120,14 +195,80 @@ object SavedObjects {
                   (r \ "to").extractOpt[Double]))
                 case _ => Seq.empty
               },
-              (p \ "interval").extractOpt[String]
-                .flatMap(parseInterval).getOrElse(86400000L))
+              ispec match { case FixedMs(ms) => ms; case _ => 86400000L },
+              auto = ispec == AutoInterval,
+              calendar = ispec match {
+                case Calendar(u) => Some(u); case _ => None
+              })
         }
       }
     }
-    if (metrics.isEmpty && buckets.isEmpty) None
-    else Some(Panel((attrs \ "title").extractOpt[String].getOrElse("panel"),
-      kuery, metrics, buckets))
+    if (metrics.isEmpty && buckets.isEmpty) return None
+    val withCount =
+      if (metrics.nonEmpty) metrics
+      else Vector(MetricAgg("_implied", "count", "", "Count", Seq.empty))
+    Some(Panel((attrs \ "title").extractOpt[String].getOrElse("panel"),
+      kuery, withCount, buckets, (j \ "id").extractOpt[String]))
+  }
+
+  /** Parse one `type:"dashboard"` line: title, its searchSourceJSON
+    * kuery + match_phrase filter array (disabled entries dropped,
+    * negation honored), and the panel_N-ordered visualization ids from
+    * `references`.
+    */
+  def parseDashboardLine(line: String): Option[Dashboard] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(line)
+    if ((j \ "type").extractOpt[String] != Some("dashboard")) return None
+    val attrs = j \ "attributes"
+    val title = (attrs \ "title").extractOpt[String].getOrElse("dashboard")
+    val (kuery, filters) =
+      (attrs \ "kibanaSavedObjectMeta" \ "searchSourceJSON")
+        .extractOpt[String] match {
+        case None => (None, Seq.empty[PhraseFilter])
+        case Some(meta) =>
+          val m = JsonMethods.parse(meta)
+          val kq = (m \ "query" \ "query").extractOpt[String]
+            .filter(_.nonEmpty)
+          val fs = (m \ "filter") match {
+            case JArray(arr) => arr.flatMap { f =>
+              val disabled = (f \ "meta" \ "disabled")
+                .extractOpt[Boolean].getOrElse(false)
+              val negate = (f \ "meta" \ "negate")
+                .extractOpt[Boolean].getOrElse(false)
+              (f \ "query" \ "match_phrase") match {
+                case JObject(fields) if fields.nonEmpty && !disabled =>
+                  val (fld, pv) = fields.head
+                  pv match {
+                    case JString(s) => Some(PhraseFilter(fld, s, negate))
+                    case o: JObject => // long form {field: {query: v}}
+                      (o \ "query").extractOpt[String]
+                        .map(PhraseFilter(fld, _, negate))
+                    case _ => None
+                  }
+                case _ => None
+              }
+            }
+            case _ => Seq.empty[PhraseFilter]
+          }
+          (kq, fs)
+      }
+    val refs = (j \ "references") match {
+      case JArray(rs) => rs.flatMap { r =>
+        for {
+          nm <- (r \ "name").extractOpt[String]
+          if nm.startsWith("panel_")
+          tp <- (r \ "type").extractOpt[String]
+          if tp == "visualization"
+          id <- (r \ "id").extractOpt[String]
+        } yield (nm.stripPrefix("panel_").toIntOption
+          .getOrElse(Int.MaxValue), id)
+      }.sortBy(_._1).map(_._2)
+      case _ => Seq.empty[String]
+    }
+    Some(Dashboard(title, kuery, filters, refs))
   }
 
   /** All importable panels of an ndjson export. Tolerant per line — a
@@ -147,6 +288,28 @@ object SavedObjects {
     s"${lo.fold("*")(f)}-${hi.fold("*")(f)}"
   }
 
+  /** The (panel, bucket, metric, val) schema, for empty imports. */
+  private def emptyResult(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("panel", StringType), StructField("bucket", StringType),
+      StructField("metric", StringType), StructField("val", LongType))))
+
+  /** Resolve an auto date_histogram against the filtered frame: 1-row
+    * min/max bounds (a bounded driver scalar), then the normalized
+    * ladder — Left(fixed ms) or Right(calendar unit) exactly like
+    * [[graft.operators.DateHistogram.autoInterval]].
+    */
+  private def resolveAuto(base: DataFrame, ts: Column): Either[Long, String] = {
+    val r = base.agg(min(unix_millis(ts)).as("lo"), max(unix_millis(ts)).as("hi"))
+      .head()
+    if (r.isNullAt(0)) Left(86400000L)
+    else graft.operators.DateHistogram.autoInterval(
+      java.time.Duration.ofMillis(r.getLong(1) - r.getLong(0))) match {
+      case Left(sec) => Left(sec * 1000L)
+      case Right(unit) => Right(unit)
+    }
+  }
+
   /** Interpret one panel over `df`. `fieldAliases` maps index-pattern
     * field names onto DataFrame columns (".keyword" suffixes are
     * stripped automatically — the Kuery convention). Aliases apply to
@@ -154,13 +317,40 @@ object SavedObjects {
     * DataFrame's own column names — rename columns upfront (e.g.
     * `df.withColumnRenamed("ts", "timestamp")`) if a saved query
     * references index names the frame doesn't carry.
+    *
+    * Persists shared intermediates without releasing them — long-lived
+    * sessions should prefer [[runManaged]] (or clear the session cache
+    * between imports).
     */
   def run(df: DataFrame, panel: Panel,
       fieldAliases: Map[String, String] = Map.empty,
-      defaultFields: Seq[String] = Seq.empty): DataFrame = {
+      defaultFields: Seq[String] = Seq.empty): DataFrame =
+    runInternal(df, panel, fieldAliases, defaultFields)._1
+
+  /** [[run]] plus a cleanup thunk: invoke it AFTER materializing the
+    * result to unpersist every frame the plan pinned.
+    */
+  def runManaged(df: DataFrame, panel: Panel,
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty): (DataFrame, () => Unit) = {
+    val (out, cached) = runInternal(df, panel, fieldAliases, defaultFields)
+    (out, () => cached.foreach(_.unpersist()))
+  }
+
+  private def runInternal(df: DataFrame, panel: Panel,
+      fieldAliases: Map[String, String],
+      defaultFields: Seq[String]): (DataFrame, Seq[DataFrame]) = {
+    var cached = Vector.empty[DataFrame]
     def resolve(f: String): Column =
       col(fieldAliases.getOrElse(f, f.stripSuffix(".keyword")))
     def cents(f: String): Column = floor(resolve(f) * 100).cast("long")
+    // exact distinct is the oracle-gated default; the flag trades it for
+    // the HLL sketch on cardinality ORDER keys only (output cardinality
+    // metrics stay exact) — at 100 TB the exact re-aggregation is an
+    // extra full-distinct exchange per high-cardinality terms level
+    val approxOrder = df.sparkSession.conf
+      .getOption("spark.graft.search.approxCardinalityOrder")
+      .exists(_.toBoolean)
 
     val base = panel.kuery.fold(df)(kq =>
       df.filter(Kuery.predicate(df, kq, defaultFields)))
@@ -170,8 +360,17 @@ object SavedObjects {
       val label = b.kind match {
         case "terms" => resolve(b.field).cast("string")
         case "date_histogram" =>
-          floor(unix_millis(resolve(b.field).cast("timestamp")) /
-            b.intervalMs).cast("long").cast("string")
+          val ts = resolve(b.field).cast("timestamp")
+          val spec: Either[Long, String] =
+            if (b.calendar.isDefined) Right(b.calendar.get)
+            else if (b.auto) resolveAuto(base, ts)
+            else Left(b.intervalMs)
+          spec match {
+            case Left(ms) =>
+              floor(unix_millis(ts) / ms).cast("long").cast("string")
+            case Right(unit) =>
+              date_format(date_trunc(unit, ts), "yyyy-MM-dd")
+          }
         case "range" =>
           require(b.ranges.nonEmpty, "range bucket needs 'ranges'")
           b.ranges.foldLeft[Option[Column]](None) { case (acc, (lo, hi)) =>
@@ -194,21 +393,27 @@ object SavedObjects {
 
     // one leaf-granularity aggregation carrying every COMPOSABLE metric
     // partial (+ row count); non-composable (percentiles) run later on
-    // the surviving leaves only
+    // the surviving leaves only. min/max partials stay NULLABLE (an
+    // all-null leaf must not clamp a composed extremum to 0); avg
+    // carries its NON-NULL count partial (__c) so Σsum/Σcount is the
+    // ES mean, not sum-over-rowcount.
     val plain = panel.metrics.filter(_.kind != "percentiles")
-    val partials = count(lit(1)).as("__n") +: plain.zipWithIndex.map {
+    val partials = count(lit(1)).as("__n") +: plain.zipWithIndex.flatMap {
       case (m, i) =>
         val c = m.kind match {
           case "count" => count(lit(1)).cast("long")
           case "sum" => coalesce(sum(cents(m.field)), lit(0L))
-          case "max" => coalesce(max(cents(m.field)), lit(0L))
-          case "min" => coalesce(min(cents(m.field)), lit(0L))
+          case "max" => max(cents(m.field))
+          case "min" => min(cents(m.field))
           case "cardinality" => count_distinct(resolve(m.field))
-          case "avg" => coalesce(sum(cents(m.field)), lit(0L)) // ÷ n later
+          case "avg" => coalesce(sum(cents(m.field)), lit(0L)) // ÷ Σ__c later
           case other => throw new IllegalArgumentException(
             s"unsupported metric agg '$other'")
         }
-        c.as(s"__m$i")
+        val extra =
+          if (m.kind == "avg") Seq(count(resolve(m.field)).as(s"__c$i"))
+          else Seq.empty
+        c.as(s"__m$i") +: extra
     }
     val withLabels = levels.foldLeft(base) { case (d, (b, name, e)) =>
       d.withColumn(name, e)
@@ -222,14 +427,16 @@ object SavedObjects {
       (if (levels.isEmpty) base.agg(partials.head, partials.tail: _*)
        else withLabels.groupBy(labelCols.map(col): _*)
          .agg(partials.head, partials.tail: _*)).persist()
+    cached :+= leaf
 
     // terms pruning, outermost → innermost; range/date_histogram levels
     // keep every bucket. sum/count/max/min order metrics re-compose from
-    // the leaf partials; avg composes EXACTLY as Σsum/Σn (a sum-composed
-    // "avg" would silently order by total); cardinality cannot compose
-    // from per-leaf distincts, so it re-aggregates the labeled fact rows
-    // at that prefix — one extra uniform-key aggregation, still never a
-    // distinct-per-window.
+    // the leaf partials; avg composes EXACTLY as Σsum/Σcount (a
+    // sum-composed "avg" would silently order by total); cardinality
+    // cannot compose from per-leaf distincts, so it re-aggregates the
+    // labeled fact rows at that prefix — one extra uniform-key
+    // aggregation, still never a distinct-per-window (or the HLL sketch
+    // when spark.graft.search.approxCardinalityOrder is set).
     def orderAgg(b: BucketAgg, prefix: Seq[String]): Option[DataFrame] =
       b.orderBy match {
         case "_key" => None // key order handled in the window sort
@@ -245,10 +452,12 @@ object SavedObjects {
                 case "min" => Some(leaf.groupBy(prefix.map(col): _*)
                   .agg(min(src).as("__o")))
                 case "avg" => Some(leaf.groupBy(prefix.map(col): _*)
-                  .agg((sum(src).cast("double") / sum(col("__n"))).as("__o")))
-                case "cardinality" => Some(withLabels
-                  .groupBy(prefix.map(col): _*)
-                  .agg(count_distinct(resolve(m.field)).as("__o")))
+                  .agg((sum(src).cast("double") / sum(col(s"__c$i"))).as("__o")))
+                case "cardinality" =>
+                  val d = if (approxOrder)
+                    approx_count_distinct(resolve(m.field))
+                  else count_distinct(resolve(m.field))
+                  Some(withLabels.groupBy(prefix.map(col): _*).agg(d.as("__o")))
                 case _ => Some(leaf.groupBy(prefix.map(col): _*)
                   .agg(sum(src).as("__o")))
               }
@@ -283,38 +492,57 @@ object SavedObjects {
           .select(prefix.map(col): _*))
       }
     }
-    val kept = survivors.fold(leaf)(s =>
-      leaf.join(broadcast(s), labelCols).persist())
+    val kept = survivors.fold(leaf) { s =>
+      val k = leaf.join(broadcast(s), labelCols).persist()
+      cached :+= k
+      k
+    }
 
     val bucketExpr =
       if (levels.isEmpty) lit("all")
       else concat_ws("/", labelCols.map(col): _*)
     val pn = lit(panel.title).as("panel")
 
-    // stack plain metrics: one (metric, val) row per display metric
+    // stack plain metrics: one (metric, val) row per display metric;
+    // an all-null bucket's min/max/avg coalesces to 0 at the OUTPUT
+    // (keeps val integer-typed and hash-comparable)
     val plainOut = plain.zipWithIndex.map { case (m, i) =>
-      val v = if (m.kind == "avg")
-        when(col("__n") > 0, expr(s"__m$i div __n")).otherwise(lit(0L))
-      else col(s"__m$i")
+      val v = m.kind match {
+        case "avg" =>
+          when(col(s"__c$i") > 0, expr(s"__m$i div __c$i")).otherwise(lit(0L))
+        case "max" | "min" => coalesce(col(s"__m$i"), lit(0L))
+        case _ => col(s"__m$i")
+      }
       kept.select(pn, bucketExpr.as("bucket"), lit(m.label).as("metric"),
         v.cast("long").as("val"))
     }
 
     // percentile metrics over surviving leaves only: broadcast semi-join
-    // then the q172 two-phase value-domain rank per leaf path
+    // then the q172 value-domain rank per leaf path. With bucket levels
+    // the window partitions by the path; bucket-less panels use the
+    // deterministic two-phase cumsum so the distinct-value domain never
+    // funnels through one task.
     val pctOut = panel.metrics.filter(_.kind == "percentiles").map { m =>
       val rows0 = withLabels.filter(resolve(m.field).isNotNull)
         .select(labelCols.map(col) :+ cents(m.field).as("__v"): _*)
       val rows = survivors.fold(rows0)(s =>
         rows0.join(broadcast(s), labelCols, "left_semi"))
       val counts = rows.groupBy((labelCols :+ "__v").map(col): _*)
-        .agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy(labelCols.map(col): _*).orderBy(col("__v"))
-        .rowsBetween(Long.MinValue, 0)
-      val cum = counts.withColumn("__cumw", sum(col("__c")).over(w))
-      val tot = counts.groupBy(labelCols.map(col): _*)
-        .agg(sum(col("__c")).as("__t"))
-      cum.join(tot, labelCols)
+        .agg(count(lit(1)).as("__c")).persist()
+      cached :+= counts
+      val cumTot =
+        if (labelCols.nonEmpty) {
+          val w = Window.partitionBy(labelCols.map(col): _*).orderBy(col("__v"))
+            .rowsBetween(Long.MinValue, 0)
+          val cum = counts.withColumn("__cumw", sum(col("__c")).over(w))
+          val tot = counts.groupBy(labelCols.map(col): _*)
+            .agg(sum(col("__c")).as("__t"))
+          cum.join(tot, labelCols)
+        } else {
+          graft.operators.PrefixSum.valueDomainCumsum(
+            counts, "__v", "__c", "__cumw", "__t")
+        }
+      cumTot
         .select(labelCols.map(col) ++ Seq(col("__v"), col("__cumw"),
           col("__t"), explode(typedLit(m.percents.map(_.toLong))).as("__p")): _*)
         .withColumn("__thr", expr("(__p * __t + 99) div 100"))
@@ -325,11 +553,76 @@ object SavedObjects {
           col("val").cast("long").as("val"))
     }
 
-    (plainOut ++ pctOut).reduce(_.unionAll(_))
+    ((plainOut ++ pctOut).reduce(_.unionAll(_)), cached)
   }
 
-  /** Run every importable panel of an ndjson export, union-normalized. */
+  /** Run every importable panel of an ndjson export, union-normalized;
+    * an export with no importable panel returns an EMPTY normalized
+    * frame (tolerant import). Persists shared intermediates — prefer
+    * [[runNdjsonManaged]] in long-lived sessions.
+    */
   def runNdjson(df: DataFrame, lines: Iterable[String],
       fieldAliases: Map[String, String] = Map.empty): DataFrame =
-    parseNdjson(lines).map(run(df, _, fieldAliases)).reduce(_.unionAll(_))
+    runNdjsonManaged(df, lines, fieldAliases)._1
+
+  /** [[runNdjson]] plus a cleanup thunk that unpersists every frame the
+    * import pinned — invoke after materializing.
+    */
+  def runNdjsonManaged(df: DataFrame, lines: Iterable[String],
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty): (DataFrame, () => Unit) = {
+    val runs = parseNdjson(lines)
+      .map(runInternal(df, _, fieldAliases, defaultFields))
+    if (runs.isEmpty) (emptyResult(df.sparkSession), () => ())
+    else (runs.map(_._1).reduce(_.unionAll(_)),
+      () => runs.foreach(_._2.foreach(_.unpersist())))
+  }
+
+  /** Import at DASHBOARD granularity: every `type:"dashboard"` line's
+    * member panels (resolved through its panel_N references) run under
+    * the dashboard's filter context — the appState match_phrase array
+    * composed with the dashboard kuery, both ON TOP of each panel's own
+    * kuery. Panels are labeled "dashboardTitle/panelTitle" (one
+    * visualization referenced by two dashboards runs once per context).
+    * Positive phrase filters compile to pushdown-eligible equality
+    * (null-excluding, like ES); negated ones keep null/missing rows
+    * (ES must_not). An export with no dashboards or no resolvable
+    * member panels returns an EMPTY normalized frame.
+    */
+  def runDashboards(df: DataFrame, lines: Iterable[String],
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty): DataFrame =
+    runDashboardsManaged(df, lines, fieldAliases, defaultFields)._1
+
+  /** [[runDashboards]] plus a cleanup thunk — invoke after
+    * materializing.
+    */
+  def runDashboardsManaged(df: DataFrame, lines: Iterable[String],
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty): (DataFrame, () => Unit) = {
+    val present = lines.filter(_.trim.nonEmpty).toSeq
+    val visById = present
+      .flatMap(l => scala.util.Try(parseLine(l)).toOption.flatten)
+      .flatMap(p => p.id.map(_ -> p)).toMap
+    val dashes = present
+      .flatMap(l => scala.util.Try(parseDashboardLine(l)).toOption.flatten)
+    val runs = for {
+      d <- dashes
+      pid <- d.panelIds
+      p <- visById.get(pid)
+    } yield {
+      val phrased = d.filters.foldLeft(df) { (acc, f) =>
+        val c = col(fieldAliases.getOrElse(f.field,
+          f.field.stripSuffix(".keyword")))
+        acc.filter(if (f.negate) !(c <=> lit(f.value)) else c === lit(f.value))
+      }
+      val scoped = d.kuery.fold(phrased)(kq =>
+        phrased.filter(Kuery.predicate(phrased, kq, defaultFields)))
+      runInternal(scoped, p.copy(title = s"${d.title}/${p.title}"),
+        fieldAliases, defaultFields)
+    }
+    if (runs.isEmpty) (emptyResult(df.sparkSession), () => ())
+    else (runs.map(_._1).reduce(_.unionAll(_)),
+      () => runs.foreach(_._2.foreach(_.unpersist())))
+  }
 }

@@ -245,4 +245,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"leaf/kept persist lost — each union branch re-runs the fact agg:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q275: the global percentile rank never windows the raw value domain") {
+    val p = plan("q275_panel_full")
+    // the two-phase shape: intra-bucket running sum partitions by the
+    // deterministic coarse bucket id; the only unpartitioned windows
+    // run over the ≤1025-row per-bucket totals
+    assert(p.contains("windowspecdefinition(__bk"),
+      s"expected the PrefixSum.valueDomainCumsum intra window:\n$p")
+    assert(!"windowspecdefinition\\(v#\\d+".r.findFirstIn(p).isDefined,
+      s"distinct-cents frame must not funnel through one task:\n$p")
+  }
+
+  test("q277: the dashboard phrase filter is pushed into every member panel's scan") {
+    val p = plan("q277_dashboard_import")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("EqualTo(event_type,click)"), p)
+    // both member panels (hourly + top_users) scan under the filter
+    assert("EqualTo\\(event_type,click\\)".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

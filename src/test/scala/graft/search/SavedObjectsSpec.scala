@@ -58,6 +58,233 @@ class SavedObjectsSpec extends SparkTestBase {
       .collect().sorted.toList == List(2L, 2L))
   }
 
+  test("interval units are case-sensitive: 1M is the month calendar unit") {
+    assert(SavedObjects.parseIntervalSpec("1M") ==
+      Some(SavedObjects.Calendar("month")))
+    assert(SavedObjects.parseIntervalSpec("1q") ==
+      Some(SavedObjects.Calendar("quarter")))
+    assert(SavedObjects.parseIntervalSpec("1y") ==
+      Some(SavedObjects.Calendar("year")))
+    // lowercase m stays minutes; junk stays unrecognized (daily default)
+    assert(SavedObjects.parseIntervalSpec("1m") ==
+      Some(SavedObjects.FixedMs(60000L)))
+    assert(SavedObjects.parseIntervalSpec("auto") ==
+      Some(SavedObjects.AutoInterval))
+    assert(SavedObjects.parseIntervalSpec("1 fortnight").isEmpty)
+    // a monthly panel buckets by calendar month, not per-minute
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq((1.0, ts("2024-01-05 10:00:00")),
+      (1.0, ts("2024-01-20 11:30:00")), (1.0, ts("2024-02-02 09:00:00")))
+      .toDF("v", "t")
+    val p = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "count", "", "n", Seq())),
+      Seq(SavedObjects.BucketAgg("date_histogram", "t", 5, "_count", true,
+        Seq.empty, 86400000L, calendar = Some("month"))))
+    val got = SavedObjects.run(df, p)
+      .select($"bucket", $"val").as[(String, Long)].collect().toMap
+    assert(got == Map("2024-01-01" -> 2L, "2024-02-01" -> 1L))
+  }
+
+  test("auto interval resolves through the ladder from the filtered span") {
+    // 24 samples 5 minutes apart: span 6900 s -> need 138 -> the 300 s
+    // rung -> one bucket per sample. A fixed-daily import would emit
+    // ONE bucket — the round-6 bug this pins.
+    val df = Seq.tabulate(24)(i =>
+      (1.0, new java.sql.Timestamp(1767225600000L + i * 300000L)))
+      .toDF("v", "t")
+    val p = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "count", "", "n", Seq())),
+      Seq(SavedObjects.BucketAgg("date_histogram", "t", 5, "_count", true,
+        Seq.empty, 86400000L, auto = true)))
+    assert(SavedObjects.run(df, p).count() == 24L)
+  }
+
+  test("bucket-only panels get the implied count metric") {
+    val line =
+      """{"type":"visualization","attributes":{"title":"b","visState":"{\"type\":\"pie\",\"aggs\":[{\"id\":\"2\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"k\",\"size\":5},\"schema\":\"segment\"}]}"}}"""
+    val p = SavedObjects.parseLine(line).get
+    assert(p.metrics ==
+      Seq(SavedObjects.MetricAgg("_implied", "count", "", "Count", Seq.empty)))
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+    val got = SavedObjects.run(df, p)
+      .select($"bucket", $"metric", $"val").as[(String, String, Long)]
+      .collect().toSet
+    assert(got == Set(("a", "Count", 2L), ("b", "Count", 1L)))
+  }
+
+  test("imports with no runnable panel return the empty normalized frame") {
+    val df = Seq(("a", 1.0)).toDF("k", "v")
+    val onlyMeta = Seq("""{"type":"index-pattern","attributes":{"title":"x*"}}""")
+    val out = SavedObjects.runNdjson(df, onlyMeta)
+    assert(out.columns.toSeq == Seq("panel", "bucket", "metric", "val"))
+    assert(out.count() == 0L)
+    val outD = SavedObjects.runDashboards(df, onlyMeta)
+    assert(outD.columns.toSeq == Seq("panel", "bucket", "metric", "val"))
+    assert(outD.count() == 0L)
+  }
+
+  test("ES null semantics: avg divides by the non-null count; all-null leaves don't clamp extrema") {
+    val df = Seq(("a", "s1", Option(10.0)), ("a", "s1", None),
+      ("a", "s1", None), ("b", "s1", Option(20.0)))
+      .toDF("k", "sub", "v")
+    val avgPanel = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "avg", "v", "mean", Seq())),
+      Seq(SavedObjects.BucketAgg("terms", "k", 5, "_count", true,
+        Seq.empty, 86400000L)))
+    val means = SavedObjects.run(df, avgPanel)
+      .select($"bucket", $"val").as[(String, Long)].collect().toMap
+    // sum-over-rowcount would report a=333
+    assert(means == Map("a" -> 1000L, "b" -> 2000L))
+
+    // ordering by a composed max: group a has an ALL-NULL leaf (k=a,
+    // sub=s2) — a 0-coalesced partial would clamp a's max to 0 and
+    // outrank b's -100
+    val df2 = Seq(("a", "s1", Option(-5.0)), ("a", "s2", None),
+      ("b", "s1", Option(-1.0)), ("b", "s2", Option(-3.0)))
+      .toDF("k", "sub", "v")
+    val maxPanel = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "max", "v", "peak", Seq())),
+      Seq(SavedObjects.BucketAgg("terms", "k", 1, "1", orderDesc = true,
+        Seq.empty, 86400000L),
+        SavedObjects.BucketAgg("terms", "sub", 2, "_key", orderDesc = false,
+          Seq.empty, 86400000L)))
+    val got = SavedObjects.run(df2, maxPanel)
+      .select($"bucket", $"val").as[(String, Long)].collect().toMap
+    assert(got.keySet.forall(_.startsWith("b/")),
+      s"max order must pick b (-100) over a (-500), got $got")
+    assert(got == Map("b/s1" -> -100L, "b/s2" -> -300L))
+  }
+
+  test("dashboard lines parse filters, honor disabled, resolve panel refs in order") {
+    val dash =
+      """{"type":"dashboard","attributes":{"title":"d","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"\",\"language\":\"kuery\"},\"filter\":[{\"meta\":{\"negate\":false,\"disabled\":false},\"query\":{\"match_phrase\":{\"k.keyword\":\"x\"}}},{\"meta\":{\"negate\":true,\"disabled\":false},\"query\":{\"match_phrase\":{\"s.keyword\":\"drop\"}}},{\"meta\":{\"disabled\":true},\"query\":{\"match_phrase\":{\"k.keyword\":\"ignored\"}}}]}"}},"references":[{"id":"ip","name":"kibanaSavedObjectMeta.searchSourceJSON.filter[0].meta.index","type":"index-pattern"},{"id":"vB","name":"panel_1","type":"visualization"},{"id":"vA","name":"panel_0","type":"visualization"},{"id":"sX","name":"panel_2","type":"search"}]}"""
+    val d = SavedObjects.parseDashboardLine(dash).get
+    assert(d.title == "d")
+    assert(d.filters == Seq(
+      SavedObjects.PhraseFilter("k.keyword", "x", negate = false),
+      SavedObjects.PhraseFilter("s.keyword", "drop", negate = true)))
+    assert(d.panelIds == Seq("vA", "vB")) // panel_N order, searches skipped
+    assert(SavedObjects.parseDashboardLine(
+      """{"type":"visualization","attributes":{}}""").isEmpty)
+  }
+
+  test("dashboard import scopes member panels; unreferenced panels don't run; negation keeps nulls") {
+    val df = Seq(
+      (Option("x"), "keep", 10.0), (Option("x"), "drop", 99.0),
+      (Option("y"), "keep", 5.0), (None: Option[String], "keep", 7.0))
+      .toDF("k", "s", "v")
+    val lines = Seq(
+      """{"type":"dashboard","attributes":{"title":"d","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"\",\"language\":\"kuery\"},\"filter\":[{\"meta\":{\"negate\":true,\"disabled\":false},\"query\":{\"match_phrase\":{\"s.keyword\":\"drop\"}}}]}"}},"references":[{"id":"v1","name":"panel_0","type":"visualization"}]}""",
+      """{"type":"visualization","id":"v1","attributes":{"title":"sums","visState":"{\"type\":\"table\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"sum\",\"params\":{\"field\":\"v\",\"customLabel\":\"total\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"k\",\"size\":5},\"schema\":\"bucket\"}]}"}}""",
+      """{"type":"visualization","id":"v9","attributes":{"title":"orphan","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{},\"schema\":\"metric\"}]}"}}""")
+    val got = SavedObjects.runDashboards(df, lines)
+      .select($"panel", $"bucket", $"val").as[(String, String, Long)]
+      .collect().toSet
+    // negated phrase drops s=drop but KEEPS the null-k row's group
+    // (terms label null rows are excluded by the bucket, not the filter);
+    // x keeps only v=10, y keeps 5; the orphan never runs
+    assert(got == Set(("d/sums", "x", 1000L), ("d/sums", "y", 500L)))
+  }
+
+  test("managed imports release every cached frame") {
+    assume(Files.exists(Paths.get(refNdjson)), "reference export not present")
+    spark.catalog.clearCache()
+    val lines = Files.readAllLines(Paths.get(refNdjson)).asScala.toSeq
+    val panels = SavedObjects.parseNdjson(lines)
+    val fields = panels.flatMap(p => p.metrics.map(_.field) ++
+      p.buckets.map(_.field)).filter(_.nonEmpty).toSet
+    val numeric = panels.flatMap(p =>
+      p.metrics.filter(m => Set("sum", "max", "min", "avg",
+        "percentiles").contains(m.kind)).map(_.field) ++
+        p.buckets.filter(_.kind == "range").map(_.field)).toSet
+    val times = panels.flatMap(_.buckets
+      .filter(_.kind == "date_histogram").map(_.field)).toSet
+    var df = spark.range(100).toDF("id")
+    fields.foreach { f =>
+      val cname = f.stripSuffix(".keyword")
+      val c =
+        if (times.contains(f)) to_timestamp(lit(1767225600L) + $"id" * 3600)
+        else if (numeric.contains(f)) ($"id" % 37) * 0.7
+        else concat(lit(cname.take(2)), ($"id" % 5).cast("string"))
+      df = df.withColumn(cname, c)
+    }
+    val (out, cleanup) = SavedObjects.runNdjsonManaged(df, lines)
+    assert(out.count() > 0)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "import should have pinned shared frames before cleanup")
+    cleanup()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cleanup must release every frame the import persisted")
+  }
+
+  test("approxCardinalityOrder flag swaps the ORDER key to the HLL sketch") {
+    val df = Seq(("x", 1.0, "u1"), ("x", 1.0, "u1"), ("x", 1.0, "u1"),
+      ("y", 1.0, "u2"), ("y", 1.0, "u3")).toDF("k", "v", "u")
+    val panel = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "cardinality", "u", "m", Seq())),
+      Seq(SavedObjects.BucketAgg("terms", "k", 1, "1", orderDesc = true,
+        Seq.empty, 86400000L)))
+    spark.conf.set("spark.graft.search.approxCardinalityOrder", "true")
+    try {
+      val out = SavedObjects.run(df, panel)
+        .select($"bucket", $"val").as[(String, Long)].collect().toList
+      // output cardinality stays EXACT (2 for y); only the order key is
+      // sketched — at this cardinality HLL agrees with exact
+      assert(out == List(("y", 2L)))
+    } finally spark.conf.unset("spark.graft.search.approxCardinalityOrder")
+  }
+
+  test("the real export runs at dashboard granularity; the phrase filter reaches every scan") {
+    assume(Files.exists(Paths.get(refNdjson)), "reference export not present")
+    val lines = Files.readAllLines(Paths.get(refNdjson)).asScala.toSeq
+    val dashes = lines.flatMap(l =>
+      scala.util.Try(SavedObjects.parseDashboardLine(l)).toOption.flatten)
+    assert(dashes.size == 3, s"expected the export's 3 dashboards: $dashes")
+    // the two filtered dashboards scope to the TPCDS app (ndjson lines
+    // 16/34); panels resolve through references
+    val phrased = dashes.filter(_.filters.nonEmpty)
+    assert(phrased.size == 2)
+    assert(phrased.flatMap(_.filters).toSet == Set(SavedObjects.PhraseFilter(
+      "appName.keyword", "TPCDS SQL Benchmark 3000 GB", negate = false)))
+    assert(dashes.forall(_.panelIds.nonEmpty))
+
+    // synthesize a parquet-backed frame over every referenced field so
+    // pushdown is observable in the physical plan
+    val panels = SavedObjects.parseNdjson(lines)
+    val numeric = panels.flatMap(p =>
+      p.metrics.filter(m => Set("sum", "max", "min", "avg",
+        "percentiles").contains(m.kind)).map(_.field) ++
+        p.buckets.filter(_.kind == "range").map(_.field)).toSet
+    val times = panels.flatMap(_.buckets
+      .filter(_.kind == "date_histogram").map(_.field)).toSet
+    val fields = (panels.flatMap(p => p.metrics.map(_.field) ++
+      p.buckets.map(_.field)).filter(_.nonEmpty) ++
+      dashes.flatMap(_.filters.map(_.field))).toSet
+    var src = spark.range(200).toDF("id")
+    fields.foreach { f =>
+      val cname = f.stripSuffix(".keyword")
+      val c =
+        if (times.contains(f)) to_timestamp(lit(1767225600L) + $"id" * 3600)
+        else if (numeric.contains(f)) ($"id" % 37) * 0.7
+        else if (cname == "appName")
+          when($"id" % 2 === 0, "TPCDS SQL Benchmark 3000 GB")
+            .otherwise("other app")
+        else concat(lit(cname.take(2)), ($"id" % 5).cast("string"))
+      src = src.withColumn(cname, c)
+    }
+    val dir = Files.createTempDirectory("graft-dash-").toString
+    src.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val (out, cleanup) = SavedObjects.runDashboardsManaged(df, lines)
+    try {
+      assert(out.count() > 0)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("EqualTo(appName,TPCDS SQL Benchmark 3000 GB)"),
+        s"dashboard phrase filter must reach the parquet scans:\n${plan.take(4000)}")
+    } finally cleanup()
+  }
+
   test("terms ordering follows the referenced metric id per level") {
     // groups: a(total 60), b(total 100), c(total 10) -> top-2 by sum =
     // b, a; _count order would instead pick a (3 rows) and c (2 rows)

@@ -38,11 +38,17 @@ object LabelProp {
     */
   def propagate(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int,
-      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true),
+      canonical: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val adj = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct()
+    // canonical = caller guarantees DISTINCT a < b edges (what
+    // Edges.coOccurrence emits): the mirrored union is then already the
+    // exact symmetric adjacency, and the dedup pass below would be one
+    // redundant full-edge exchange per call
+    val sym = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+    val adj = (if (canonical) sym
+               else sym.filter(col("u") =!= col("v")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // round 1: identity labels ⇒ all vote counts are 1 ⇒ the
     // (count, −label) argmax is exactly the smallest neighbor id

@@ -46,7 +46,8 @@ object ExtendedQueries {
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
     val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
       .select($"a".as("src"), $"b".as("dst"))
-    val labels = graft.operators.LabelProp.propagate(edges, "src", "dst", rounds = 2)
+    val labels = graft.operators.LabelProp.propagate(edges, "src", "dst",
+      rounds = 2, canonical = true) // coOccurrence emits distinct a<b
     labels.groupBy($"label").agg(count(lit(1)).as("size"))
       .groupBy($"size")
       .agg(count(lit(1)).as("n_communities"), min($"label").as("min_label"))
@@ -650,7 +651,8 @@ object ExtendedQueries {
     // persisted: referenced three times (both e_c endpoint joins + the
     // degree join) — unpersisted, each reference re-runs the 2 LPA rounds
     val labels = graft.operators.LabelProp.propagate(
-      e.select($"a".as("src"), $"b".as("dst")), "src", "dst", rounds = 2)
+      e.select($"a".as("src"), $"b".as("dst")), "src", "dst", rounds = 2,
+      canonical = true) // coOccurrence emits distinct a<b
       .persist()
     val m = e.count() // one driver scalar
     val ec = e

@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   * (data-skew.ndjson lines 3-4, 8-11, 18-20, 24-25) — all normalized
   * to (panel, bucket, n, val) so any panel set unions into one frame:
   *  - date_histogram: fixed interval over a timestamp field
+  *    (`interval_ms`), or `"interval": "auto"` resolved through the
+  *    normalized OpenSearch ladder from the filtered frame's time range
+  *    (calendar rungs label by date_trunc date)
   *  - terms: top-`size` buckets by count (count desc, key asc)
   *  - stats: one "all" bucket
   *  - cardinality: one "all" bucket; val = EXACT distinct count of
@@ -60,7 +63,8 @@ object PanelSpec {
       percents: Seq[Int] = Seq(50, 95, 99),
       ranges: Seq[(Option[Double], Option[Double])] = Seq.empty,
       fields: Seq[String] = Seq.empty,
-      sizes: Seq[Int] = Seq.empty)
+      sizes: Seq[Int] = Seq.empty,
+      auto: Boolean = false)
 
   def parse(json: String): Spec = {
     import org.json4s._
@@ -87,7 +91,8 @@ object PanelSpec {
         case _ => Seq.empty
       },
       (j \ "fields").extractOpt[Seq[String]].getOrElse(Seq.empty),
-      (j \ "sizes").extractOpt[Seq[Int]].getOrElse(Seq.empty))
+      (j \ "sizes").extractOpt[Seq[Int]].getOrElse(Seq.empty),
+      (j \ "interval").extractOpt[String].exists(_.equalsIgnoreCase("auto")))
   }
 
   /** The "*-100" / "100-500" / "500-*" bucket key the reference's range
@@ -125,6 +130,13 @@ object PanelSpec {
     val spec = parse(json)
     val base = spec.kuery.fold(df)(kq =>
       df.filter(Kuery.predicate(df, kq, defaultFields)))
+    // `"interval": "auto"` overrides interval_ms via the normalized
+    // OpenSearch ladder computed from the FILTERED frame's time range
+    // (the SavedObjects importer's rule); calendar rungs label by
+    // date_trunc. Resolved here so the date_histogram branch below
+    // stays a pure fixed-width grouping.
+    lazy val autoSpec: Either[Long, String] =
+      SavedObjects.resolveAuto(base, col(spec.field).cast("timestamp"))
     val centsRow: Column = floor(col(spec.metric) * 100).cast("long")
     // (n, val) per bucket under the spec's metric_agg; "sum" keeps the
     // original coalesce(sum(cents), 0) shape byte-for-byte
@@ -149,9 +161,15 @@ object PanelSpec {
     }
     val out = spec.agg match {
       case "date_histogram" =>
-        val hist = aggNV(base
-          .groupBy(expr(s"unix_millis(${spec.field}) div ${spec.intervalMs}")
-            .as("bucket_ix")))
+        val bucketCol =
+          if (!spec.auto)
+            expr(s"unix_millis(${spec.field}) div ${spec.intervalMs}")
+          else autoSpec match {
+            case Left(ms) => expr(s"unix_millis(${spec.field}) div $ms")
+            case Right(unit) => date_format(
+              date_trunc(unit, col(spec.field).cast("timestamp")), "yyyy-MM-dd")
+          }
+        val hist = aggNV(base.groupBy(bucketCol.as("bucket_ix")))
         // pipeline aggs run over the BUCKET series (time-bounded — the
         // global window never sees raw rows); ES-style semantics with
         // the first derivative bucket pinned to 0 for hashability

@@ -90,11 +90,21 @@ object SavedObjects {
   final case class PhraseFilter(field: String, value: String, negate: Boolean)
 
   /** A `type:"dashboard"` saved object: global filter context plus the
-    * ordered visualization ids its panelsJSON references.
+    * ordered member ids (visualizations AND saved searches) its
+    * panelsJSON references.
     */
   final case class Dashboard(
       title: String, kuery: Option[String], filters: Seq[PhraseFilter],
       panelIds: Seq[String])
+
+  /** A `type:"search"` saved object (a Kibana docs table): its kuery
+    * and selected columns. Under the normalized aggregate output a
+    * search panel projects to its HIT COUNT (metric "hits") — the
+    * row-level surface behind it is the q09/q181 kuery search.
+    */
+  final case class SavedSearch(
+      title: String, kuery: Option[String], columns: Seq[String],
+      id: Option[String] = None)
 
   // ------------------------------------------------------------ parse
 
@@ -261,7 +271,7 @@ object SavedObjects {
           nm <- (r \ "name").extractOpt[String]
           if nm.startsWith("panel_")
           tp <- (r \ "type").extractOpt[String]
-          if tp == "visualization"
+          if tp == "visualization" || tp == "search"
           id <- (r \ "id").extractOpt[String]
         } yield (nm.stripPrefix("panel_").toIntOption
           .getOrElse(Int.MaxValue), id)
@@ -269,6 +279,27 @@ object SavedObjects {
       case _ => Seq.empty[String]
     }
     Some(Dashboard(title, kuery, filters, refs))
+  }
+
+  /** Parse one `type:"search"` line (a saved docs table). */
+  def parseSearchLine(line: String): Option[SavedSearch] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(line)
+    if ((j \ "type").extractOpt[String] != Some("search")) return None
+    val attrs = j \ "attributes"
+    val kuery = for {
+      meta <- (attrs \ "kibanaSavedObjectMeta" \ "searchSourceJSON")
+        .extractOpt[String]
+      q <- (JsonMethods.parse(meta) \ "query" \ "query").extractOpt[String]
+      if q.nonEmpty
+    } yield q
+    Some(SavedSearch(
+      (attrs \ "title").extractOpt[String].getOrElse("search"),
+      kuery,
+      (attrs \ "columns").extractOpt[Seq[String]].getOrElse(Seq.empty),
+      (j \ "id").extractOpt[String]))
   }
 
   /** All importable panels of an ndjson export. Tolerant per line — a
@@ -299,7 +330,7 @@ object SavedObjects {
     * ladder — Left(fixed ms) or Right(calendar unit) exactly like
     * [[graft.operators.DateHistogram.autoInterval]].
     */
-  private def resolveAuto(base: DataFrame, ts: Column): Either[Long, String] = {
+  private[search] def resolveAuto(base: DataFrame, ts: Column): Either[Long, String] = {
     val r = base.agg(min(unix_millis(ts)).as("lo"), max(unix_millis(ts)).as("hi"))
       .head()
     if (r.isNullAt(0)) Left(86400000L)
@@ -553,7 +584,9 @@ object SavedObjects {
           col("val").cast("long").as("val"))
     }
 
-    ((plainOut ++ pctOut).reduce(_.unionAll(_)), cached)
+    val branches = plainOut ++ pctOut
+    if (branches.isEmpty) (emptyResult(df.sparkSession), cached)
+    else (branches.reduce(_.unionAll(_)), cached)
   }
 
   /** Run every importable panel of an ndjson export, union-normalized;
@@ -586,8 +619,12 @@ object SavedObjects {
     * visualization referenced by two dashboards runs once per context).
     * Positive phrase filters compile to pushdown-eligible equality
     * (null-excluding, like ES); negated ones keep null/missing rows
-    * (ES must_not). An export with no dashboards or no resolvable
-    * member panels returns an EMPTY normalized frame.
+    * (ES must_not). Referenced `type:"search"` members (Kibana docs
+    * tables, e.g. the export's "Spark Logs" panel) project to their
+    * HIT COUNT under the composed filters (metric "hits") — the
+    * row-level surface is the q09/q181 kuery search. An export with no
+    * dashboards or no resolvable member panels returns an EMPTY
+    * normalized frame.
     */
   def runDashboards(df: DataFrame, lines: Iterable[String],
       fieldAliases: Map[String, String] = Map.empty,
@@ -604,12 +641,15 @@ object SavedObjects {
     val visById = present
       .flatMap(l => scala.util.Try(parseLine(l)).toOption.flatten)
       .flatMap(p => p.id.map(_ -> p)).toMap
+    val searchById = present
+      .flatMap(l => scala.util.Try(parseSearchLine(l)).toOption.flatten)
+      .flatMap(s => s.id.map(_ -> s)).toMap
     val dashes = present
       .flatMap(l => scala.util.Try(parseDashboardLine(l)).toOption.flatten)
     val runs = for {
       d <- dashes
       pid <- d.panelIds
-      p <- visById.get(pid)
+      if visById.contains(pid) || searchById.contains(pid)
     } yield {
       val phrased = d.filters.foldLeft(df) { (acc, f) =>
         val c = col(fieldAliases.getOrElse(f.field,
@@ -618,8 +658,20 @@ object SavedObjects {
       }
       val scoped = d.kuery.fold(phrased)(kq =>
         phrased.filter(Kuery.predicate(phrased, kq, defaultFields)))
-      runInternal(scoped, p.copy(title = s"${d.title}/${p.title}"),
-        fieldAliases, defaultFields)
+      visById.get(pid) match {
+        case Some(p) =>
+          runInternal(scoped, p.copy(title = s"${d.title}/${p.title}"),
+            fieldAliases, defaultFields)
+        case None => // saved search: hit count under its kuery
+          val srch = searchById(pid)
+          val hits = srch.kuery.fold(scoped)(kq =>
+            scoped.filter(Kuery.predicate(scoped, kq, defaultFields)))
+          (hits.agg(count(lit(1)).as("val"))
+            .select(lit(s"${d.title}/${srch.title}").as("panel"),
+              lit("all").as("bucket"), lit("hits").as("metric"),
+              col("val").cast("long").as("val")),
+            Seq.empty[DataFrame])
+      }
     }
     if (runs.isEmpty) (emptyResult(df.sparkSession), () => ())
     else (runs.map(_._1).reduce(_.unionAll(_)),

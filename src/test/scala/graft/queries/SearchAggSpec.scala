@@ -107,6 +107,21 @@ class SearchAggSpec extends SparkTestBase {
     assert(sd == List(0L, 0L, 0L, 3L, 3L, 3L, 3L, 3L, 3L, 3L))
   }
 
+  test("PanelSpec interval:auto resolves through the normalized ladder") {
+    import graft.search.PanelSpec
+    // 24 samples 5 minutes apart: span 6900 s -> the 300 s rung, one
+    // bucket each; a fixed-daily default would collapse to ONE bucket
+    val ts = (0 until 24).map(i =>
+      (new java.sql.Timestamp(1767225600000L + i * 300000L), 1.0))
+      .toDF("ts", "value")
+    val out = PanelSpec.run(ts,
+      """{"panel":"a","agg":"date_histogram","field":"ts","interval":"auto"}""")
+    assert(out.count() == 24L)
+    // interval_ms alone keeps the fixed default
+    assert(PanelSpec.run(ts,
+      """{"panel":"a","agg":"date_histogram","field":"ts"}""").count() == 1L)
+  }
+
   test("PanelSpec full panel vocabulary on a hand-computable frame") {
     import graft.search.PanelSpec
     // 7 rows; cents domain {100, 200, 500, 1000}

@@ -163,7 +163,7 @@ class SavedObjectsSpec extends SparkTestBase {
     assert(d.filters == Seq(
       SavedObjects.PhraseFilter("k.keyword", "x", negate = false),
       SavedObjects.PhraseFilter("s.keyword", "drop", negate = true)))
-    assert(d.panelIds == Seq("vA", "vB")) // panel_N order, searches skipped
+    assert(d.panelIds == Seq("vA", "vB", "sX")) // panel_N order incl. searches
     assert(SavedObjects.parseDashboardLine(
       """{"type":"visualization","attributes":{}}""").isEmpty)
   }
@@ -184,6 +184,19 @@ class SavedObjectsSpec extends SparkTestBase {
     // (terms label null rows are excluded by the bucket, not the filter);
     // x keeps only v=10, y keeps 5; the orphan never runs
     assert(got == Set(("d/sums", "x", 1000L), ("d/sums", "y", 500L)))
+  }
+
+  test("referenced saved searches run as hit counts under the composed filters") {
+    val df = Seq(("x", "alpha beta"), ("x", "gamma"), ("y", "alpha"))
+      .toDF("k", "text")
+    val lines = Seq(
+      """{"type":"dashboard","attributes":{"title":"d","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"\",\"language\":\"kuery\"},\"filter\":[{\"meta\":{\"negate\":false,\"disabled\":false},\"query\":{\"match_phrase\":{\"k.keyword\":\"x\"}}}]}"}},"references":[{"id":"s1","name":"panel_0","type":"search"}]}""",
+      """{"type":"search","id":"s1","attributes":{"title":"logs","columns":["k","text"],"kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"text: alpha\",\"language\":\"kuery\"},\"filter\":[]}"}}}""")
+    val got = SavedObjects.runDashboards(df, lines)
+      .select($"panel", $"bucket", $"metric", $"val")
+      .as[(String, String, String, Long)].collect().toList
+    // k=x AND text contains alpha -> exactly one row
+    assert(got == List(("d/logs", "all", "hits", 1L)))
   }
 
   test("managed imports release every cached frame") {

@@ -35,19 +35,27 @@ object LabelProp {
     * after the last (bounded rounds keep the DAG shallow; the eager
     * per-round checkpoints were pure constant-factor cost — measured
     * 2× on the sf0.1 co-purchase graph).
+    *
+    * `distinctCanonicalEdges = true` is a caller PROMISE that `edges`
+    * is already distinct with src < dst (what `Edges.coOccurrence`
+    * emits) — it skips the symmetrize dedup, saving one full-edge
+    * exchange per call. Passing it for a frame with duplicate edges or
+    * self-loops silently inflates vote counts; leave it false unless
+    * the producer guarantees the shape.
     */
   def propagate(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int,
       truncate: DataFrame => DataFrame = _.localCheckpoint(true),
-      canonical: Boolean = false): DataFrame = {
+      distinctCanonicalEdges: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    // canonical = caller guarantees DISTINCT a < b edges (what
+    // distinctCanonicalEdges = caller PROMISES the input is already
+    // DISTINCT a < b edges (what
     // Edges.coOccurrence emits): the mirrored union is then already the
     // exact symmetric adjacency, and the dedup pass below would be one
     // redundant full-edge exchange per call
     val sym = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-    val adj = (if (canonical) sym
+    val adj = (if (distinctCanonicalEdges) sym
                else sym.filter(col("u") =!= col("v")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // round 1: identity labels ⇒ all vote counts are 1 ⇒ the

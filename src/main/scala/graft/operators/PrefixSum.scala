@@ -46,44 +46,61 @@ object PrefixSum {
   }
 
   /** Inclusive running sum over a VALUE-DOMAIN frame (one row per
-    * DISTINCT integral `valueCol`, weights in `weightCol`) — the shape
-    * percentile extraction needs ("min v whose cumulative weight
-    * reaches the rank threshold"). Unlike [[runningSum]] this variant
-    * needs NO persist to stay correct: rows are coarse-bucketed by a
-    * DETERMINISTIC pure function of the value (adaptive width from a
-    * 1-row min/max broadcast), so the two consumers of the bucketing
-    * agree without freezing sampled range boundaries. Per-bucket totals
-    * are one tiny row each (≤ `buckets`+1 — the only unpartitioned
-    * window runs at metadata scale), offsets broadcast back, and the
-    * intra-bucket running sum partitions by bucket id. `totalCol`
-    * carries the grand total on every row (saves callers a separate
-    * 1-row aggregate of the same input).
+    * DISTINCT integral `valueCol` — per key group when `keyCols` is
+    * non-empty — weights in `weightCol`): the shape percentile
+    * extraction needs ("min v whose cumulative weight reaches the rank
+    * threshold"). Unlike [[runningSum]] this variant needs NO persist
+    * to stay correct: rows are coarse-bucketed by a DETERMINISTIC pure
+    * function of the value (adaptive width from a 1-row GLOBAL min/max
+    * broadcast), so the two consumers of the bucketing agree without
+    * freezing sampled range boundaries. Per-(key, bucket) totals are
+    * one tiny row each (≤ `buckets`+1 per key — the offsets window
+    * partitions by the keys and runs at metadata scale), offsets
+    * broadcast back, and the intra-bucket running sum partitions by
+    * (keys, bucket id) — a single hot key's value domain never funnels
+    * through one task. `totalCol` carries the per-key grand total on
+    * every row (saves callers a separate aggregate + join of the same
+    * input).
     *
-    * Input rows must be distinct on `valueCol` (a value-domain counts
-    * frame is, by construction); `valueCol` must be integral.
+    * Input rows must be distinct on (`keyCols`, `valueCol`) (a
+    * value-domain counts frame is, by construction); `valueCol` must be
+    * integral. Only `keyCols`, `valueCol`, and `weightCol` survive to
+    * the output (plus `outCol`/`totalCol`) — other input columns are
+    * dropped up front, so the internal temp names can never collide
+    * with caller columns.
     */
   def valueDomainCumsum(counts: DataFrame, valueCol: String, weightCol: String,
-      outCol: String, totalCol: String, buckets: Int = 1024): DataFrame = {
+      outCol: String, totalCol: String, buckets: Int = 1024,
+      keyCols: Seq[String] = Seq.empty): DataFrame = {
+    val keep = keyCols ++ Seq(valueCol, weightCol)
+    val reserved = Set("__lo", "__hi", "__bk", "__off", "__bt")
+    require(keep.toSet.intersect(reserved).isEmpty &&
+      !reserved(outCol) && !reserved(totalCol),
+      s"valueDomainCumsum reserves ${reserved.mkString(", ")} internally")
+    val in = counts.select(keep.map(col): _*)
     val v = col(valueCol)
     val w = col(weightCol)
-    val bounds = counts.agg(min(v).cast("long").as("__lo"),
+    val keys = keyCols.map(col)
+    val bounds = in.agg(min(v).cast("long").as("__lo"),
       max(v).cast("long").as("__hi"))
     // width = (hi-lo) div buckets + 1 keeps __bk in [0, buckets] with no
     // multiplication (no int64 wrap for any value range)
-    val bucketed = counts.crossJoin(broadcast(bounds))
+    val bucketed = in.crossJoin(broadcast(bounds))
       .withColumn("__bk",
         expr(s"(`$valueCol` - __lo) div ((__hi - __lo) div $buckets + 1)"))
       .drop("__lo", "__hi")
-    val btot = bucketed.groupBy(col("__bk")).agg(sum(w).as("__bt"))
-    val off = btot.select(col("__bk"),
-      coalesce(sum(col("__bt")).over(Window.orderBy(col("__bk"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"),
-      sum(col("__bt")).over(Window.orderBy(col("__bk"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .as(totalCol))
-    bucketed.join(broadcast(off), "__bk")
+    val joinKeys = keyCols :+ "__bk"
+    val btot = bucketed.groupBy(joinKeys.map(col): _*).agg(sum(w).as("__bt"))
+    val woff = Window.partitionBy(keys: _*).orderBy(col("__bk"))
+    val off = btot.select(joinKeys.map(col) ++ Seq(
+      coalesce(sum(col("__bt")).over(
+        woff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"),
+      sum(col("__bt")).over(
+        woff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .as(totalCol)): _*)
+    bucketed.join(broadcast(off), joinKeys)
       .withColumn(outCol, (col("__off") + sum(w).over(
-        Window.partitionBy(col("__bk")).orderBy(v)
+        Window.partitionBy(joinKeys.map(col): _*).orderBy(v)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .cast("long"))
       .drop("__bk", "__off")

@@ -47,7 +47,7 @@ object ExtendedQueries {
     val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
       .select($"a".as("src"), $"b".as("dst"))
     val labels = graft.operators.LabelProp.propagate(edges, "src", "dst",
-      rounds = 2, canonical = true) // coOccurrence emits distinct a<b
+      rounds = 2, distinctCanonicalEdges = true) // coOccurrence emits distinct a<b
     labels.groupBy($"label").agg(count(lit(1)).as("size"))
       .groupBy($"size")
       .agg(count(lit(1)).as("n_communities"), min($"label").as("min_label"))
@@ -652,7 +652,7 @@ object ExtendedQueries {
     // degree join) — unpersisted, each reference re-runs the 2 LPA rounds
     val labels = graft.operators.LabelProp.propagate(
       e.select($"a".as("src"), $"b".as("dst")), "src", "dst", rounds = 2,
-      canonical = true) // coOccurrence emits distinct a<b
+      distinctCanonicalEdges = true) // coOccurrence emits distinct a<b
       .persist()
     val m = e.count() // one driver scalar
     val ec = e

@@ -597,8 +597,10 @@ object SearchAggQueries {
   // vocabulary: metric-only cardinality, cardinality-over-range (pie),
   // sum+max+avg+percentiles under 2-level metric-ordered terms (table),
   // and cardinality over an auto-interval date_histogram (line — the
-  // 30-day span resolves to the ladder's daily rung, scale-stable
-  // because every SF covers the same period).
+  // 30-day span resolves to the ladder's daily rung; the oracle
+  // REPLAYS the ladder selection from the data span — both the fixed
+  // rungs and the month/quarter/year calendar fallback — so a
+  // dataset-generation change can't silently break the gate).
   def q276SavedObjects(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -644,9 +646,59 @@ object SearchAggQueries {
       .orderBy($"panel", $"bucket", $"metric")
   }
 
+  // ---------------------------------------------------------------- q278
+
+  // Saved panel-level timeRange import: the reference's four
+  // time-series panels embed a RELATIVE window inside the
+  // date_histogram agg params (`"timeRange":{"from":"now-6M","to":
+  // "now"}` — data-skew.ndjson lines 19/20/24/25) that must cut the
+  // data to [now − interval, now] AND drive the auto-interval rung
+  // from the RANGE's span (pure arithmetic — no min/max scan), not the
+  // full data span. Two panels against an injected now (2024-01-10
+  // over the 30-day events period, so the window cuts on both sides):
+  // "recent" (now-7d, sum metric) — 7 d span → need 12096 s → the
+  // 12 h rung, where the data-span resolution would pick daily; and
+  // "longview" (now-1y, implied count) — 365 d span → need 630720 s
+  // overflows the fixed ladder → the calendar month rung. The oracle
+  // replays the window cut (same INTERVAL arithmetic) and the ladder
+  // selection from the range literals.
+  def q278PanelTimerange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val now = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    val lines = Seq(
+      """{"type":"visualization","attributes":{"title":"recent","visState":"{\"type\":\"histogram\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"sum\",\"params\":{\"field\":\"value\",\"customLabel\":\"total\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"date_histogram\",\"params\":{\"field\":\"@timestamp\",\"interval\":\"auto\",\"timeRange\":{\"from\":\"now-7d\",\"to\":\"now\"},\"useNormalizedOpenSearchInterval\":true,\"drop_partials\":false},\"schema\":\"segment\"}]}"}}""",
+      """{"type":"visualization","attributes":{"title":"longview","visState":"{\"type\":\"line\",\"aggs\":[{\"id\":\"2\",\"enabled\":true,\"type\":\"date_histogram\",\"params\":{\"field\":\"@timestamp\",\"interval\":\"auto\",\"timeRange\":{\"from\":\"now-1y\",\"to\":\"now\"}},\"schema\":\"segment\"}]}"}}""")
+    graft.search.SavedObjects.runNdjson(ev, lines,
+        fieldAliases = Map("@timestamp" -> "ts"), now = Some(now))
+      .orderBy($"panel", $"bucket", $"metric")
+  }
+
+  // ---------------------------------------------------------------- q279
+
+  // Saved-search DOCS TABLE: a `type:"search"` line in the exported
+  // format (the reference's "Spark Logs" object, data-skew.ndjson line
+  // 14, is a Kibana docs table — columns + sort + kuery, NOT a count)
+  // imported by SavedObjects.parseSearchLine and executed by runSearch:
+  // kuery filter + saved column projection ("sort":[] exactly like the
+  // export — sort semantics are spec-gated; a sortless search is one
+  // pushdown-filtered scan with zero exchanges). The oracle is the
+  // same SELECT in SQL; the driver's row sort makes the comparison
+  // order-insensitive, so the gate pins filter + projection fidelity.
+  def q279SavedSearch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val line =
+      """{"type":"search","id":"s1","attributes":{"title":"big purchases","columns":["event_id","event_type","value"],"sort":[],"kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"event_type.keyword: purchase and value >= 200\",\"language\":\"kuery\"},\"filter\":[]}"}}}"""
+    val srch = graft.search.SavedObjects.parseSearchLine(line).get
+    graft.search.SavedObjects.runSearch(ev, srch)
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_saved_search" -> q279SavedSearch _,
+    "q278_panel_timerange" -> q278PanelTimerange _,
     "q277_dashboard_import" -> q277DashboardImport _,
     "q276_saved_objects" -> q276SavedObjects _,
     "q275_panel_full" -> q275PanelFull _,
@@ -673,6 +725,33 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q279_saved_search" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type = 'purchase' AND value >= 200""".stripMargin,
+    "q278_panel_timerange" ->
+      """WITH w7 AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+        |        epoch_ms(ts) AS ms FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' - INTERVAL 7 DAY
+        |         AND ts <= TIMESTAMP '2024-01-10 00:00:00'),
+        |sp AS (SELECT greatest((epoch_ms(TIMESTAMP '2024-01-10 00:00:00')
+        |        - epoch_ms(TIMESTAMP '2024-01-10 00:00:00' - INTERVAL 7 DAY))
+        |        // 1000 // 50, 1) AS need),
+        |st AS (SELECT CAST(min(r) AS BIGINT) * 1000 AS step
+        |       FROM (VALUES (1),(5),(30),(60),(300),(1800),(3600),(10800),
+        |             (43200),(86400),(604800)) t(r), sp
+        |       WHERE r >= need),
+        |hist AS (SELECT ms // step AS bix, coalesce(sum(cents), 0) AS s
+        |        FROM w7, st GROUP BY 1),
+        |wy AS (SELECT ts FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' - INTERVAL 1 YEAR
+        |         AND ts <= TIMESTAMP '2024-01-10 00:00:00')
+        |SELECT * FROM (
+        | SELECT 'recent' AS panel, CAST(bix AS VARCHAR) AS bucket,
+        |  'total' AS metric, CAST(s AS BIGINT) AS val FROM hist
+        |UNION ALL
+        | SELECT 'longview', strftime(date_trunc('month', ts), '%Y-%m-%d'),
+        |  'Count', CAST(count(*) AS BIGINT) FROM wy GROUP BY 2
+        |) u ORDER BY panel, bucket, metric""".stripMargin,
     "q277_dashboard_import" ->
       """WITH ec AS (SELECT user_id, value,
         |        CAST(floor(value * 100) AS BIGINT) AS cents,
@@ -706,7 +785,26 @@ object SearchAggQueries {
     "q276_saved_objects" ->
       """WITH ec AS (SELECT event_type, user_id, value,
         |        CAST(floor(value * 100) AS BIGINT) AS cents,
-        |        epoch_ms(ts) // 86400000 AS day FROM events),
+        |        epoch_ms(ts) AS ms, ts FROM events),
+        |sp AS (SELECT greatest(((max(ms) - min(ms)) // 1000) // 50, 1)
+        |        AS need FROM ec),
+        |st AS (SELECT CAST(min(r) AS BIGINT) * 1000 AS step
+        |       FROM (VALUES (1),(5),(30),(60),(300),(1800),(3600),(10800),
+        |             (43200),(86400),(604800)) t(r), sp
+        |       WHERE r >= need),
+        |cal AS (SELECT CASE WHEN need <= 2592000 THEN 'month'
+        |         WHEN need <= 7862400 THEN 'quarter'
+        |         ELSE 'year' END AS unit FROM sp),
+        |n4 AS (SELECT CAST(ms // (SELECT step FROM st) AS VARCHAR) AS b,
+        |        count(DISTINCT user_id) AS nv
+        |       FROM ec WHERE (SELECT step FROM st) IS NOT NULL GROUP BY 1
+        |       UNION ALL
+        |       SELECT CASE (SELECT unit FROM cal)
+        |          WHEN 'month' THEN strftime(date_trunc('month', ts), '%Y-%m-%d')
+        |          WHEN 'quarter' THEN strftime(date_trunc('quarter', ts), '%Y-%m-%d')
+        |          ELSE strftime(date_trunc('year', ts), '%Y-%m-%d') END,
+        |        count(DISTINCT user_id)
+        |       FROM ec WHERE (SELECT step FROM st) IS NULL GROUP BY 1),
         |lf AS (SELECT event_type AS b0, CAST(user_id AS VARCHAR) AS b1,
         |        sum(cents) AS s, max(cents) AS mx, count(value) AS cv
         |       FROM ec GROUP BY 1, 2),
@@ -750,8 +848,8 @@ object SearchAggQueries {
         | SELECT 'n3_breakdown', b0 || '/' || b1, 'pct p' || CAST(p AS VARCHAR),
         |  CAST(val AS BIGINT) FROM pc
         |UNION ALL
-        | SELECT 'n4_daily_users', CAST(day AS VARCHAR), 'cardinality(user_id)',
-        |  CAST(count(DISTINCT user_id) AS BIGINT) FROM ec GROUP BY day
+        | SELECT 'n4_daily_users', b, 'cardinality(user_id)',
+        |  CAST(nv AS BIGINT) FROM n4
         |) u ORDER BY panel, bucket, metric""".stripMargin,
     "q275_panel_full" ->
       """WITH ec AS (SELECT event_type, user_id, event_id, value,

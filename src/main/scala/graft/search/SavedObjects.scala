@@ -25,10 +25,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * from the FILTERED frame's time range — the reference's four
   * `useNormalizedOpenSearchInterval` panels, data-skew.ndjson lines
   * 19/20/24/25)`. A bucket-bearing panel with no metric agg gets the
-  * implied doc-count metric (what Kibana renders). `index-pattern` /
-  * `search` / `input_control_vis` lines parse to no panel (controls are
-  * the q10 filter-control surface; searches are the q09/q181 kuery
-  * surface).
+  * implied doc-count metric (what Kibana renders). A date_histogram's
+  * saved `params.timeRange` (`{from: "now-6M", to: "now"}` on those
+  * same four panels) imports as a relative window composed onto the
+  * panel kuery, anchored to an injectable `now`; an auto interval then
+  * derives its rung from the RANGE span with no data scan.
+  * `index-pattern` lines parse to no panel; `search` lines run as docs
+  * tables through [[runSearch]] (hit counts under [[runDashboards]]);
+  * `input_control_vis` lines parse through [[parseControlsLine]] into
+  * their declared filter controls ([[controlOptions]] materializes
+  * each dropdown's candidates).
   *
   * `type:"dashboard"` lines ARE traversed ([[runDashboards]]): the
   * dashboard's appState `filter` array (match_phrase entries, honoring
@@ -74,13 +80,19 @@ object SavedObjects {
 
   /** `auto=true` wins over `intervalMs`; `calendar` (date_trunc unit)
     * wins over both. Appended with defaults so positional construction
-    * of the original 7 fields stays source-compatible.
+    * of the original 7 fields stays source-compatible. `timeRange` is
+    * the saved RELATIVE window some exports embed in the agg params
+    * (`params.timeRange {from: "now-6M", to: "now"}` on the reference's
+    * four `useNormalizedOpenSearchInterval` panels, data-skew.ndjson
+    * lines 19/20/24/25) — kept as the raw (from, to) strings; parsing
+    * happens at run time so an unsupported shape skips tolerantly.
     */
   final case class BucketAgg(
       kind: String, field: String, size: Int, orderBy: String,
       orderDesc: Boolean, ranges: Seq[(Option[Double], Option[Double])],
       intervalMs: Long, auto: Boolean = false,
-      calendar: Option[String] = None)
+      calendar: Option[String] = None,
+      timeRange: Option[(String, String)] = None)
 
   final case class Panel(
       title: String, kuery: Option[String], metrics: Seq[MetricAgg],
@@ -97,14 +109,26 @@ object SavedObjects {
       title: String, kuery: Option[String], filters: Seq[PhraseFilter],
       panelIds: Seq[String])
 
-  /** A `type:"search"` saved object (a Kibana docs table): its kuery
-    * and selected columns. Under the normalized aggregate output a
-    * search panel projects to its HIT COUNT (metric "hits") — the
-    * row-level surface behind it is the q09/q181 kuery search.
+  /** A `type:"search"` saved object (a Kibana docs table): its kuery,
+    * selected columns, and sort spec. Under the normalized aggregate
+    * output of [[runDashboards]] a search panel projects to its HIT
+    * COUNT (metric "hits"); the actual docs-table surface — what the
+    * reference's "Spark Logs" panel renders — is [[runSearch]].
     */
   final case class SavedSearch(
       title: String, kuery: Option[String], columns: Seq[String],
-      id: Option[String] = None)
+      id: Option[String] = None, sorts: Seq[(String, Boolean)] = Seq.empty)
+
+  /** One control of an `input_control_vis` panel (the export's
+    * dashboard filter dropdowns, data-skew.ndjson line 2): the field it
+    * filters, its display label, list/range type, and the terms-options
+    * settings ([[controlOptions]] materializes the candidate values).
+    * `parent` chains dependent controls (the export's "Application Run"
+    * control lists runs of the selected "Application name").
+    */
+  final case class Control(
+      id: String, field: String, label: String, controlType: String,
+      multiselect: Boolean, size: Int, parent: Option[String])
 
   // ------------------------------------------------------------ parse
 
@@ -152,6 +176,53 @@ object SavedObjects {
           FixedMs(m.group(1).toLong * ms)
       }
     }
+  }
+
+  /** The supported saved relative range: `{from: "now-Nu", to: "now"}`
+    * (the only shape the reference's exports carry). Units share the
+    * interval vocabulary, case-sensitively — s/m/h/d/w fixed,
+    * M(onth)/y(ear) calendar — mapped to Spark INTERVAL unit names so
+    * the filter and the span arithmetic agree. Anything else → None
+    * (the timeRange is ignored, tolerant import).
+    */
+  private[search] final case class RelRange(n: Long, unit: String) {
+    def interval: String = s"$n $unit"
+  }
+
+  private[search] def parseTimeRange(from: String, to: String): Option[RelRange] =
+    if (to.trim != "now") None
+    else "^now-(\\d+)([smhdwMy])$".r.findFirstMatchIn(from.trim).map { m =>
+      RelRange(m.group(1).toLong, m.group(2) match {
+        case "s" => "second"
+        case "m" => "minute"
+        case "h" => "hour"
+        case "d" => "day"
+        case "w" => "week"
+        case "M" => "month"
+        case "y" => "year"
+      })
+    }
+
+  /** The range's span in milliseconds — `now − (now − interval)` with
+    * calendar-aware month/year subtraction at UTC, matching what
+    * Spark's `timestamp − INTERVAL` computes under the UTC session
+    * timezone (both clamp to the last day of a short month). This is
+    * what lets an auto panel with a saved timeRange pick its ladder
+    * rung by PURE ARITHMETIC instead of a min/max data scan.
+    */
+  private[search] def rangeSpanMs(now: java.sql.Timestamp, r: RelRange): Long = {
+    val to = now.toInstant
+    val z = java.time.ZonedDateTime.ofInstant(to, java.time.ZoneOffset.UTC)
+    val from = (r.unit match {
+      case "second" => z.minusSeconds(r.n)
+      case "minute" => z.minusMinutes(r.n)
+      case "hour" => z.minusHours(r.n)
+      case "day" => z.minusDays(r.n)
+      case "week" => z.minusWeeks(r.n)
+      case "month" => z.minusMonths(r.n)
+      case "year" => z.minusYears(r.n)
+    }).toInstant
+    to.toEpochMilli - from.toEpochMilli
   }
 
   /** Parse one saved-object line; Some(panel) only for visualizations
@@ -209,7 +280,11 @@ object SavedObjects {
               auto = ispec == AutoInterval,
               calendar = ispec match {
                 case Calendar(u) => Some(u); case _ => None
-              })
+              },
+              timeRange = for {
+                f <- (p \ "timeRange" \ "from").extractOpt[String]
+                t <- (p \ "timeRange" \ "to").extractOpt[String]
+              } yield (f, t))
         }
       }
     }
@@ -295,11 +370,58 @@ object SavedObjects {
       q <- (JsonMethods.parse(meta) \ "query" \ "query").extractOpt[String]
       if q.nonEmpty
     } yield q
+    // sort arrives flat (["ts","desc"]) or nested ([["ts","desc"],...])
+    val sorts = (attrs \ "sort") match {
+      case JArray(List(JString(f), JString(d))) =>
+        Seq((f, d.equalsIgnoreCase("desc")))
+      case JArray(items) => items.collect {
+        case JArray(List(JString(f), JString(d))) =>
+          (f, d.equalsIgnoreCase("desc"))
+      }
+      case _ => Seq.empty
+    }
     Some(SavedSearch(
       (attrs \ "title").extractOpt[String].getOrElse("search"),
       kuery,
       (attrs \ "columns").extractOpt[Seq[String]].getOrElse(Seq.empty),
-      (j \ "id").extractOpt[String]))
+      (j \ "id").extractOpt[String],
+      sorts))
+  }
+
+  /** Parse an `input_control_vis` visualization line ([[parseLine]]
+    * skips them — controls are filter UI, not an aggregation) into its
+    * declared control specs: (panel title, controls). None for
+    * non-control lines.
+    */
+  def parseControlsLine(line: String): Option[(String, Seq[Control])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(line)
+    if ((j \ "type").extractOpt[String] != Some("visualization")) return None
+    val attrs = j \ "attributes"
+    val visState = (attrs \ "visState").extractOpt[String].getOrElse(return None)
+    val v = JsonMethods.parse(visState)
+    if ((v \ "type").extractOpt[String] != Some("input_control_vis")) return None
+    val controls = (v \ "params" \ "controls") match {
+      case JArray(cs) => cs.flatMap { c =>
+        (c \ "fieldName").extractOpt[String].map { field =>
+          Control(
+            (c \ "id").extractOpt[String].getOrElse(""),
+            field,
+            (c \ "label").extractOpt[String].filter(_.nonEmpty)
+              .getOrElse(field.stripSuffix(".keyword")),
+            (c \ "type").extractOpt[String].getOrElse("list"),
+            (c \ "options" \ "multiselect").extractOpt[Boolean]
+              .getOrElse(false),
+            (c \ "options" \ "size").extractOpt[Int].getOrElse(5),
+            (c \ "parent").extractOpt[String].filter(_.nonEmpty))
+        }
+      }
+      case _ => Seq.empty
+    }
+    Some(((attrs \ "title").extractOpt[String].getOrElse("controls"),
+      controls))
   }
 
   /** All importable panels of an ndjson export. Tolerant per line — a
@@ -349,28 +471,39 @@ object SavedObjects {
     * `df.withColumnRenamed("ts", "timestamp")`) if a saved query
     * references index names the frame doesn't carry.
     *
+    * `now` anchors any saved relative `params.timeRange` the panel
+    * carries (and nothing else): the window `[now − interval, now]`
+    * composes onto the panel's kuery, and an auto date_histogram
+    * derives its ladder rung from the RANGE's span (pure arithmetic —
+    * no extra scan). Defaults to wall-clock, matching what a live
+    * dashboard does; pass a fixed instant for reproducible results
+    * over fixed-timestamp data.
+    *
     * Persists shared intermediates without releasing them — long-lived
     * sessions should prefer [[runManaged]] (or clear the session cache
     * between imports).
     */
   def run(df: DataFrame, panel: Panel,
       fieldAliases: Map[String, String] = Map.empty,
-      defaultFields: Seq[String] = Seq.empty): DataFrame =
-    runInternal(df, panel, fieldAliases, defaultFields)._1
+      defaultFields: Seq[String] = Seq.empty,
+      now: Option[java.sql.Timestamp] = None): DataFrame =
+    runInternal(df, panel, fieldAliases, defaultFields, now)._1
 
   /** [[run]] plus a cleanup thunk: invoke it AFTER materializing the
     * result to unpersist every frame the plan pinned.
     */
   def runManaged(df: DataFrame, panel: Panel,
       fieldAliases: Map[String, String] = Map.empty,
-      defaultFields: Seq[String] = Seq.empty): (DataFrame, () => Unit) = {
-    val (out, cached) = runInternal(df, panel, fieldAliases, defaultFields)
+      defaultFields: Seq[String] = Seq.empty,
+      now: Option[java.sql.Timestamp] = None): (DataFrame, () => Unit) = {
+    val (out, cached) = runInternal(df, panel, fieldAliases, defaultFields, now)
     (out, () => cached.foreach(_.unpersist()))
   }
 
   private def runInternal(df: DataFrame, panel: Panel,
       fieldAliases: Map[String, String],
-      defaultFields: Seq[String]): (DataFrame, Seq[DataFrame]) = {
+      defaultFields: Seq[String],
+      now: Option[java.sql.Timestamp] = None): (DataFrame, Seq[DataFrame]) = {
     var cached = Vector.empty[DataFrame]
     def resolve(f: String): Column =
       col(fieldAliases.getOrElse(f, f.stripSuffix(".keyword")))
@@ -383,8 +516,20 @@ object SavedObjects {
       .getOption("spark.graft.search.approxCardinalityOrder")
       .exists(_.toBoolean)
 
-    val base = panel.kuery.fold(df)(kq =>
+    val kqBase = panel.kuery.fold(df)(kq =>
       df.filter(Kuery.predicate(df, kq, defaultFields)))
+    // saved panel-level relative windows (params.timeRange) compose
+    // onto the kuery: [now − interval, now] via relativeTimeFilter —
+    // range bounds are literals, so the cut reaches the parquet scan
+    val relRanges = panel.buckets.flatMap(b =>
+      b.timeRange.flatMap { case (f, t) => parseTimeRange(f, t) }
+        .map(b -> _))
+    lazy val nowTs = now.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    val base = relRanges.foldLeft(kqBase) { case (acc, (b, r)) =>
+      acc.filter(graft.queries.Dashboards.relativeTimeFilter(
+        resolve(b.field).cast("timestamp"), nowTs, r.interval))
+    }
 
     // bucket label expression per level
     val levels = panel.buckets.zipWithIndex.map { case (b, i) =>
@@ -394,7 +539,19 @@ object SavedObjects {
           val ts = resolve(b.field).cast("timestamp")
           val spec: Either[Long, String] =
             if (b.calendar.isDefined) Right(b.calendar.get)
-            else if (b.auto) resolveAuto(base, ts)
+            else if (b.auto)
+              b.timeRange.flatMap { case (f, t) => parseTimeRange(f, t) } match {
+                case Some(r) =>
+                  // the saved window's span picks the rung by pure
+                  // arithmetic — zero scans (the min/max scan stays
+                  // only as the no-timeRange fallback)
+                  graft.operators.DateHistogram.autoInterval(
+                    java.time.Duration.ofMillis(rangeSpanMs(nowTs, r))) match {
+                    case Left(sec) => Left(sec * 1000L)
+                    case Right(unit) => Right(unit)
+                  }
+                case None => resolveAuto(base, ts)
+              }
             else Left(b.intervalMs)
           spec match {
             case Left(ms) =>
@@ -549,10 +706,10 @@ object SavedObjects {
     }
 
     // percentile metrics over surviving leaves only: broadcast semi-join
-    // then the q172 value-domain rank per leaf path. With bucket levels
-    // the window partitions by the path; bucket-less panels use the
-    // deterministic two-phase cumsum so the distinct-value domain never
-    // funnels through one task.
+    // then the q172 value-domain rank per leaf path, via the
+    // deterministic two-phase cumsum KEYED by the path (bucket-less
+    // panels pass no keys) — neither the global value domain nor a
+    // single hot path's domain ever funnels through one task.
     val pctOut = panel.metrics.filter(_.kind == "percentiles").map { m =>
       val rows0 = withLabels.filter(resolve(m.field).isNotNull)
         .select(labelCols.map(col) :+ cents(m.field).as("__v"): _*)
@@ -561,18 +718,8 @@ object SavedObjects {
       val counts = rows.groupBy((labelCols :+ "__v").map(col): _*)
         .agg(count(lit(1)).as("__c")).persist()
       cached :+= counts
-      val cumTot =
-        if (labelCols.nonEmpty) {
-          val w = Window.partitionBy(labelCols.map(col): _*).orderBy(col("__v"))
-            .rowsBetween(Long.MinValue, 0)
-          val cum = counts.withColumn("__cumw", sum(col("__c")).over(w))
-          val tot = counts.groupBy(labelCols.map(col): _*)
-            .agg(sum(col("__c")).as("__t"))
-          cum.join(tot, labelCols)
-        } else {
-          graft.operators.PrefixSum.valueDomainCumsum(
-            counts, "__v", "__c", "__cumw", "__t")
-        }
+      val cumTot = graft.operators.PrefixSum.valueDomainCumsum(
+        counts, "__v", "__c", "__cumw", "__t", keyCols = labelCols)
       cumTot
         .select(labelCols.map(col) ++ Seq(col("__v"), col("__cumw"),
           col("__t"), explode(typedLit(m.percents.map(_.toLong))).as("__p")): _*)
@@ -589,23 +736,77 @@ object SavedObjects {
     else (branches.reduce(_.unionAll(_)), cached)
   }
 
+  /** The DOCS-TABLE surface of a saved search — the rows Kibana renders
+    * for a `type:"search"` object (the reference export's "Spark Logs"
+    * panel, data-skew.ndjson line 14), not the hit count
+    * [[runDashboards]] normalizes it to: kuery-filter, sort by the
+    * saved sort spec, project the saved column list (empty → all
+    * columns, Kibana's _source default). Output columns are named by
+    * the export's column names with ".keyword" stripped. Sorting
+    * happens BEFORE projection so a sort field outside the column list
+    * (Kibana's @timestamp default) still orders the result; with
+    * `limit` set, sort+limit plans as a distributed TakeOrdered — never
+    * a global sort of the full table. `extraFilter` lets a caller
+    * compose a dashboard's filter context on top (what
+    * [[runDashboards]] does for its hit counts).
+    */
+  def runSearch(df: DataFrame, srch: SavedSearch,
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty,
+      limit: Option[Int] = None,
+      extraFilter: Option[Column] = None): DataFrame = {
+    def resolve(f: String): Column =
+      col(fieldAliases.getOrElse(f, f.stripSuffix(".keyword")))
+    val scoped = extraFilter.fold(df)(df.filter)
+    val base = srch.kuery.fold(scoped)(kq =>
+      scoped.filter(Kuery.predicate(scoped, kq, defaultFields)))
+    val sorted =
+      if (srch.sorts.isEmpty) base
+      else base.orderBy(srch.sorts.map { case (f, desc) =>
+        if (desc) resolve(f).desc else resolve(f).asc
+      }: _*)
+    val limited = limit.fold(sorted)(sorted.limit)
+    if (srch.columns.isEmpty) limited
+    else limited.select(srch.columns.map(c =>
+      resolve(c).as(c.stripSuffix(".keyword"))): _*)
+  }
+
+  /** Candidate values for one list [[Control]]: distinct field values
+    * with doc counts, terms-ordered (count desc, value asc tiebreak),
+    * bounded by the control's size — the `dynamicOptions` terms query a
+    * live dashboard issues per dropdown. One hash aggregation + a
+    * TakeOrdered; never a full sort.
+    */
+  def controlOptions(df: DataFrame, control: Control,
+      fieldAliases: Map[String, String] = Map.empty): DataFrame = {
+    val f = col(fieldAliases.getOrElse(control.field,
+      control.field.stripSuffix(".keyword")))
+    df.filter(f.isNotNull)
+      .groupBy(f.as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(control.size)
+  }
+
   /** Run every importable panel of an ndjson export, union-normalized;
     * an export with no importable panel returns an EMPTY normalized
     * frame (tolerant import). Persists shared intermediates — prefer
     * [[runNdjsonManaged]] in long-lived sessions.
     */
   def runNdjson(df: DataFrame, lines: Iterable[String],
-      fieldAliases: Map[String, String] = Map.empty): DataFrame =
-    runNdjsonManaged(df, lines, fieldAliases)._1
+      fieldAliases: Map[String, String] = Map.empty,
+      now: Option[java.sql.Timestamp] = None): DataFrame =
+    runNdjsonManaged(df, lines, fieldAliases, now = now)._1
 
   /** [[runNdjson]] plus a cleanup thunk that unpersists every frame the
     * import pinned — invoke after materializing.
     */
   def runNdjsonManaged(df: DataFrame, lines: Iterable[String],
       fieldAliases: Map[String, String] = Map.empty,
-      defaultFields: Seq[String] = Seq.empty): (DataFrame, () => Unit) = {
+      defaultFields: Seq[String] = Seq.empty,
+      now: Option[java.sql.Timestamp] = None): (DataFrame, () => Unit) = {
     val runs = parseNdjson(lines)
-      .map(runInternal(df, _, fieldAliases, defaultFields))
+      .map(runInternal(df, _, fieldAliases, defaultFields, now))
     if (runs.isEmpty) (emptyResult(df.sparkSession), () => ())
     else (runs.map(_._1).reduce(_.unionAll(_)),
       () => runs.foreach(_._2.foreach(_.unpersist())))
@@ -628,15 +829,17 @@ object SavedObjects {
     */
   def runDashboards(df: DataFrame, lines: Iterable[String],
       fieldAliases: Map[String, String] = Map.empty,
-      defaultFields: Seq[String] = Seq.empty): DataFrame =
-    runDashboardsManaged(df, lines, fieldAliases, defaultFields)._1
+      defaultFields: Seq[String] = Seq.empty,
+      now: Option[java.sql.Timestamp] = None): DataFrame =
+    runDashboardsManaged(df, lines, fieldAliases, defaultFields, now)._1
 
   /** [[runDashboards]] plus a cleanup thunk — invoke after
     * materializing.
     */
   def runDashboardsManaged(df: DataFrame, lines: Iterable[String],
       fieldAliases: Map[String, String] = Map.empty,
-      defaultFields: Seq[String] = Seq.empty): (DataFrame, () => Unit) = {
+      defaultFields: Seq[String] = Seq.empty,
+      now: Option[java.sql.Timestamp] = None): (DataFrame, () => Unit) = {
     val present = lines.filter(_.trim.nonEmpty).toSeq
     val visById = present
       .flatMap(l => scala.util.Try(parseLine(l)).toOption.flatten)
@@ -661,7 +864,7 @@ object SavedObjects {
       visById.get(pid) match {
         case Some(p) =>
           runInternal(scoped, p.copy(title = s"${d.title}/${p.title}"),
-            fieldAliases, defaultFields)
+            fieldAliases, defaultFields, now)
         case None => // saved search: hit count under its kuery
           val srch = searchById(pid)
           val hits = srch.kuery.fold(scoped)(kq =>

@@ -257,6 +257,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"distinct-cents frame must not funnel through one task:\n$p")
   }
 
+  test("q276: per-path percentile cumsum partitions by (path, value bucket)") {
+    val p = plan("q276_saved_objects")
+    // keyed valueDomainCumsum: the intra running sum partitions by the
+    // full label path PLUS the coarse value bucket — a single hot
+    // path's distinct-value domain never funnels through one task
+    assert("windowspecdefinition\\(__b0#\\d+, __b1#\\d+, __bk#\\d+L?, __v#"
+      .r.findFirstIn(p).isDefined,
+      s"expected the keyed valueDomainCumsum intra window:\n$p")
+    assert("windowspecdefinition\\(__b0#\\d+, __b1#\\d+, __v#"
+      .r.findFirstIn(p).isEmpty,
+      s"per-path window over the raw value domain is the hot-path trap:\n$p")
+  }
+
+  test("q278: timeRange panels stay broadcast-only; no sort-merge, no cartesian") {
+    val p = plan("q278_panel_timerange")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q279: the saved-search docs table is a single filtered scan") {
+    val p = plan("q279_saved_search")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("EqualTo(event_type,purchase)"),
+      s"saved-search kuery must reach the parquet scan:\n$p")
+    assert(!p.contains("Exchange"), s"a docs-table projection needs no shuffle:\n$p")
+  }
+
   test("q277: the dashboard phrase filter is pushed into every member panel's scan") {
     val p = plan("q277_dashboard_import")
     assert(p.contains("PushedFilters:") &&

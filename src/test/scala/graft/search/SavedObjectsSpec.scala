@@ -99,6 +99,186 @@ class SavedObjectsSpec extends SparkTestBase {
     assert(SavedObjects.run(df, p).count() == 24L)
   }
 
+  test("saved timeRange parses from the export; a now-30d panel buckets only the window") {
+    assume(Files.exists(Paths.get(refNdjson)), "reference export not present")
+    // the export's four time-series panels carry relative windows
+    // inside the date_histogram agg params (lines 19/20/24/25)
+    val lines = Files.readAllLines(Paths.get(refNdjson)).asScala.toSeq
+    val trs = SavedObjects.parseNdjson(lines)
+      .flatMap(_.buckets.flatMap(_.timeRange.map(_._1)))
+    assert(trs.sorted == Seq("now-1y", "now-30d", "now-6M", "now-6M").sorted,
+      s"saved timeRanges seen: $trs")
+
+    // 90 days of hourly data, now at the end: a now-30d auto panel must
+    // cut to the last 30 days AND pick the daily rung from the RANGE
+    // span (30 d → need 51840 s → 1d), not the 90-day data span
+    val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+    val df = Seq.tabulate(90 * 24)(i =>
+      (1.0, new java.sql.Timestamp(t0 + i * 3600000L))).toDF("v", "t")
+    val now = new java.sql.Timestamp(t0 + 90L * 86400000L) // 2024-03-31
+    val p = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "count", "", "n", Seq())),
+      Seq(SavedObjects.BucketAgg("date_histogram", "t", 5, "_count", true,
+        Seq.empty, 86400000L, auto = true,
+        timeRange = Some(("now-30d", "now")))))
+    val got = SavedObjects.run(df, p, now = Some(now))
+      .select($"bucket", $"val").as[(String, Long)].collect()
+    assert(got.length == 30, s"expected the window's 30 daily buckets: ${got.toList}")
+    val minDay = (now.getTime - 30L * 86400000L) / 86400000L
+    assert(got.map(_._1.toLong).min >= minDay, s"bucket before the window: ${got.toList}")
+    assert(got.map(_._2).sum == 30L * 24, "every hour inside the window, none outside")
+
+    // unsupported shapes are ignored tolerantly (absolute dates, junk
+    // units, a non-now upper bound)
+    assert(SavedObjects.parseTimeRange("2024-01-01", "now").isEmpty)
+    assert(SavedObjects.parseTimeRange("now-5x", "now").isEmpty)
+    assert(SavedObjects.parseTimeRange("now-5d", "now-1d").isEmpty)
+  }
+
+  test("calendar-unit timeRange subtraction is calendar-aware on both sides") {
+    // now = 2024-03-31: now-1M clamps to Feb 29 (leap), now-6M to Sep 30
+    val now = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-31T00:00:00Z"))
+    val r1 = SavedObjects.parseTimeRange("now-1M", "now").get
+    assert(SavedObjects.rangeSpanMs(now, r1) == 31L * 86400000L)
+    val r6 = SavedObjects.parseTimeRange("now-6M", "now").get
+    assert(SavedObjects.rangeSpanMs(now, r6) == 183L * 86400000L)
+    // the Spark filter applies the SAME clamped boundary: 2024-02-28
+    // 23:00 is outside [now-1M, now], 2024-02-29 00:30 inside
+    val df = Seq(
+      ("out", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-02-28T23:00:00Z"))),
+      ("in", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-02-29T00:30:00Z"))))
+      .toDF("k", "t")
+    val p = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "count", "", "n", Seq())),
+      Seq(SavedObjects.BucketAgg("terms", "k", 5, "_count", true, Seq.empty,
+        86400000L),
+        SavedObjects.BucketAgg("date_histogram", "t", 5, "_count", true,
+          Seq.empty, 86400000L, timeRange = Some(("now-1M", "now")))))
+    val got = SavedObjects.run(df, p, now = Some(now))
+      .select($"bucket").as[String].collect()
+    assert(got.length == 1 && got.head.startsWith("in/"), got.toList)
+  }
+
+  test("rung-from-range: an auto panel with a timeRange plans with zero driver scans") {
+    val t0 = 1704067200000L
+    val df = Seq.tabulate(48)(i =>
+      (1.0, new java.sql.Timestamp(t0 + i * 3600000L))).toDF("v", "t")
+    val now = new java.sql.Timestamp(t0 + 2L * 86400000L)
+    def panel(tr: Option[(String, String)]) = SavedObjects.Panel("p", None,
+      Seq(SavedObjects.MetricAgg("1", "count", "", "n", Seq())),
+      Seq(SavedObjects.BucketAgg("date_histogram", "t", 5, "_count", true,
+        Seq.empty, 86400000L, auto = true, timeRange = tr)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // with a saved range the rung is pure arithmetic — building the
+      // plan launches NO job (the listener bus is async; give it a beat)
+      SavedObjects.run(df, panel(Some(("now-2d", "now"))), now = Some(now))
+      Thread.sleep(500)
+      assert(jobs.get == 0,
+        s"plan construction with a timeRange should launch no job, saw ${jobs.get}")
+      // the no-timeRange fallback still runs its bounded min/max scan
+      SavedObjects.run(df, panel(None))
+      var waited = 0
+      while (jobs.get == 0 && waited < 5000) { Thread.sleep(100); waited += 100 }
+      assert(jobs.get > 0, "the no-timeRange fallback min/max scan should run")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("saved searches run as docs tables: kuery, sort, projection") {
+    val df = Seq(
+      (1L, "purchase", 250.0), (2L, "purchase", 100.0),
+      (3L, "click", 300.0), (4L, "purchase", 220.0))
+      .toDF("event_id", "event_type", "value")
+    val line =
+      """{"type":"search","id":"s1","attributes":{"title":"big","columns":["event_id","value"],"sort":[["value","desc"]],"kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"event_type.keyword: purchase and value >= 200\",\"language\":\"kuery\"},\"filter\":[]}"}}}"""
+    val srch = SavedObjects.parseSearchLine(line).get
+    assert(srch.sorts == Seq(("value", true)))
+    val out = SavedObjects.runSearch(df, srch)
+    assert(out.columns.toSeq == Seq("event_id", "value"))
+    assert(out.as[(Long, Double)].collect().toList ==
+      List((1L, 250.0), (4L, 220.0)))
+    // a sort field OUTSIDE the projected columns still orders the docs
+    // (sort happens before projection — Kibana's @timestamp default)
+    val byId = srch.copy(sorts = Seq(("event_id", true)), columns = Seq("value"))
+    assert(SavedObjects.runSearch(df, byId).as[Double].collect().toList ==
+      List(220.0, 250.0))
+    // the flat single-sort export shape parses too
+    val flat =
+      """{"type":"search","attributes":{"title":"f","columns":[],"sort":["event_id","asc"]}}"""
+    assert(SavedObjects.parseSearchLine(flat).get.sorts ==
+      Seq(("event_id", false)))
+    // empty column list = all columns; limit plans TakeOrdered
+    val all = SavedObjects.runSearch(df, srch.copy(columns = Seq.empty),
+      limit = Some(1))
+    assert(all.columns.toSeq == df.columns.toSeq)
+    assert(all.count() == 1L)
+  }
+
+  test("the real export's Spark Logs search imports with its column list and runs") {
+    assume(Files.exists(Paths.get(refNdjson)), "reference export not present")
+    val lines = Files.readAllLines(Paths.get(refNdjson)).asScala.toSeq
+    val searches = lines.flatMap(l =>
+      scala.util.Try(SavedObjects.parseSearchLine(l)).toOption.flatten)
+    assert(searches.size == 1)
+    val srch = searches.head
+    assert(srch.title == "Spark Logs")
+    assert(srch.columns == Seq("appName", "appId", "executorId", "taskId",
+      "stageId", "level.name", "message.message"))
+    assert(srch.kuery.isEmpty && srch.sorts.isEmpty)
+    // a logs-shaped frame with the nested level/message structs those
+    // columns address — the same fields Dashboards.searchLogs projects
+    val logs = Seq(
+      ("app", "id1", "e1", 1L, 2L, "ERROR", "boom"),
+      ("app", "id1", "e2", 3L, 4L, "INFO", "fine"))
+      .toDF("appName", "appId", "executorId", "taskId", "stageId", "lvl", "msg")
+      .withColumn("level", struct($"lvl".as("name")))
+      .withColumn("message", struct($"msg".as("message")))
+      .drop("lvl", "msg")
+    val out = SavedObjects.runSearch(logs, srch)
+    assert(out.columns.toSeq == srch.columns)
+    val manual = logs.select($"appName", $"appId", $"executorId", $"taskId",
+      $"stageId", col("level.name").as("level.name"),
+      col("message.message").as("message.message"))
+    assert(out.collect().toSet == manual.collect().toSet)
+  }
+
+  test("input_control_vis lines parse into control specs; controlOptions bounds the dropdown") {
+    assume(Files.exists(Paths.get(refNdjson)), "reference export not present")
+    val lines = Files.readAllLines(Paths.get(refNdjson)).asScala.toSeq
+    val controls = lines.flatMap(l =>
+      scala.util.Try(SavedObjects.parseControlsLine(l)).toOption.flatten)
+    assert(controls.size == 1, s"expected the export's one control panel: $controls")
+    val (title, cs) = controls.head
+    assert(title == "Data Skew - Dashboard controls")
+    assert(cs.map(_.field) == Seq("appName.keyword", "appId"))
+    assert(cs.map(_.label) == Seq("Application name", "Application Run"))
+    assert(cs.forall(_.controlType == "list") && cs.forall(_.size == 5))
+    assert(cs.map(_.multiselect) == Seq(false, true))
+    // the Application Run control chains off the Application name one
+    assert(cs(1).parent == Some(cs(0).id))
+    assert(SavedObjects.parseControlsLine(
+      """{"type":"index-pattern","attributes":{}}""").isEmpty)
+    assert(SavedObjects.parseControlsLine(
+      """{"type":"visualization","attributes":{"title":"m","visState":"{\"type\":\"metric\",\"aggs\":[]}"}}""").isEmpty)
+
+    // dynamicOptions terms query: count desc, value asc tiebreak, size-bounded
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d", "e", "f", "g")).toDF("appName")
+    val opts = SavedObjects.controlOptions(df, cs.head)
+      .as[(String, Long)].collect().toList
+    assert(opts.length == 5)
+    assert(opts.take(3) == List(("a", 5L), ("b", 3L), ("c", 3L)))
+  }
+
   test("bucket-only panels get the implied count metric") {
     val line =
       """{"type":"visualization","attributes":{"title":"b","visState":"{\"type\":\"pie\",\"aggs\":[{\"id\":\"2\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"k\",\"size\":5},\"schema\":\"segment\"}]}"}}"""
@@ -221,7 +401,11 @@ class SavedObjectsSpec extends SparkTestBase {
         else concat(lit(cname.take(2)), ($"id" % 5).cast("string"))
       df = df.withColumn(cname, c)
     }
-    val (out, cleanup) = SavedObjects.runNdjsonManaged(df, lines)
+    // anchor the saved relative windows (now-6M/now-30d/now-1y on four
+    // panels) just past the synthetic data so every window covers it —
+    // the wall-clock default would cut 2026-01-01 data on a later date
+    val synthNow = Some(new java.sql.Timestamp(1767225600000L + 200L * 3600000L))
+    val (out, cleanup) = SavedObjects.runNdjsonManaged(df, lines, now = synthNow)
     assert(out.count() > 0)
     assert(!spark.sharedState.cacheManager.isEmpty,
       "import should have pinned shared frames before cleanup")
@@ -288,7 +472,11 @@ class SavedObjectsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-dash-").toString
     src.write.mode("overwrite").parquet(dir)
     val df = spark.read.parquet(dir)
-    val (out, cleanup) = SavedObjects.runDashboardsManaged(df, lines)
+    // anchor the saved relative windows (now-6M/now-30d/now-1y on four
+    // panels) just past the synthetic data so every window covers it —
+    // the wall-clock default would cut 2026-01-01 data on a later date
+    val synthNow = Some(new java.sql.Timestamp(1767225600000L + 200L * 3600000L))
+    val (out, cleanup) = SavedObjects.runDashboardsManaged(df, lines, now = synthNow)
     try {
       assert(out.count() > 0)
       val plan = out.queryExecution.executedPlan.toString
@@ -522,8 +710,12 @@ class SavedObjectsSpec extends SparkTestBase {
         else concat(lit(cname.take(2)), ($"id" % 5).cast("string"))
       df = df.withColumn(cname, c)
     }
+    // anchor the saved relative windows (now-6M/now-30d/now-1y on four
+    // panels) just past the synthetic data so every window covers it —
+    // the wall-clock default would cut 2026-01-01 data on a later date
+    val synthNow = Some(new java.sql.Timestamp(1767225600000L + 200L * 3600000L))
     panels.foreach { p =>
-      val out = SavedObjects.run(df, p)
+      val out = SavedObjects.run(df, p, now = synthNow)
       assert(out.columns.toSeq == Seq("panel", "bucket", "metric", "val"),
         s"${p.title}: ${out.columns.toSeq}")
       assert(out.count() > 0, s"${p.title} returned no rows")

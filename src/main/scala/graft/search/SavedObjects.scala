@@ -827,6 +827,49 @@ object SavedObjects {
     * dashboards or no resolvable member panels returns an EMPTY
     * normalized frame.
     */
+  /** A dashboard's composed filter context as ONE predicate: the
+    * appState match_phrase array (negation keeps null/missing rows like
+    * ES must_not; positive equality is pushdown-eligible) AND the
+    * dashboard's own kuery.
+    */
+  private def dashboardContext(df: DataFrame, d: Dashboard,
+      fieldAliases: Map[String, String],
+      defaultFields: Seq[String]): Column = {
+    val phrase = d.filters.foldLeft(lit(true)) { (acc, f) =>
+      val c = col(fieldAliases.getOrElse(f.field,
+        f.field.stripSuffix(".keyword")))
+      acc && (if (f.negate) !(c <=> lit(f.value)) else c === lit(f.value))
+    }
+    d.kuery.fold(phrase)(kq =>
+      phrase && Kuery.predicate(df, kq, defaultFields))
+  }
+
+  /** The DOCS-TABLE surfaces of a dashboard's `type:"search"` members:
+    * each referenced saved search run through [[runSearch]] under the
+    * dashboard's composed filter context, keyed
+    * "dashboardTitle/searchTitle" in panel_N order. The
+    * aggregate-normalized [[runDashboards]] output can only carry these
+    * panels' hit counts — this is the row-level companion (the count of
+    * each frame here equals the corresponding "hits" metric there).
+    */
+  def runDashboardSearches(df: DataFrame, lines: Iterable[String],
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty,
+      limit: Option[Int] = None): Seq[(String, DataFrame)] = {
+    val present = lines.filter(_.trim.nonEmpty).toSeq
+    val searchById = present
+      .flatMap(l => scala.util.Try(parseSearchLine(l)).toOption.flatten)
+      .flatMap(s => s.id.map(_ -> s)).toMap
+    for {
+      d <- present
+        .flatMap(l => scala.util.Try(parseDashboardLine(l)).toOption.flatten)
+      pid <- d.panelIds
+      srch <- searchById.get(pid)
+    } yield (s"${d.title}/${srch.title}",
+      runSearch(df, srch, fieldAliases, defaultFields, limit,
+        Some(dashboardContext(df, d, fieldAliases, defaultFields))))
+  }
+
   def runDashboards(df: DataFrame, lines: Iterable[String],
       fieldAliases: Map[String, String] = Map.empty,
       defaultFields: Seq[String] = Seq.empty,
@@ -854,13 +897,8 @@ object SavedObjects {
       pid <- d.panelIds
       if visById.contains(pid) || searchById.contains(pid)
     } yield {
-      val phrased = d.filters.foldLeft(df) { (acc, f) =>
-        val c = col(fieldAliases.getOrElse(f.field,
-          f.field.stripSuffix(".keyword")))
-        acc.filter(if (f.negate) !(c <=> lit(f.value)) else c === lit(f.value))
-      }
-      val scoped = d.kuery.fold(phrased)(kq =>
-        phrased.filter(Kuery.predicate(phrased, kq, defaultFields)))
+      val scoped = df.filter(
+        dashboardContext(df, d, fieldAliases, defaultFields))
       visById.get(pid) match {
         case Some(p) =>
           runInternal(scoped, p.copy(title = s"${d.title}/${p.title}"),

@@ -377,6 +377,16 @@ class SavedObjectsSpec extends SparkTestBase {
       .as[(String, String, String, Long)].collect().toList
     // k=x AND text contains alpha -> exactly one row
     assert(got == List(("d/logs", "all", "hits", 1L)))
+
+    // the row-level companion: runDashboardSearches returns the docs
+    // frame under the SAME composed context — its count equals the
+    // hits metric and its rows honor the saved column list
+    val tables = SavedObjects.runDashboardSearches(df, lines)
+    assert(tables.map(_._1) == Seq("d/logs"))
+    val rows = tables.head._2
+    assert(rows.columns.toSeq == Seq("k", "text"))
+    assert(rows.as[(String, String)].collect().toList ==
+      List(("x", "alpha beta")))
   }
 
   test("managed imports release every cached frame") {

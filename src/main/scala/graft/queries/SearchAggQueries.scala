@@ -694,9 +694,49 @@ object SearchAggQueries {
     graft.search.SavedObjects.runSearch(ev, srch)
   }
 
+  // ---------------------------------------------------------------- q280
+
+  // MULTI-INDEX export routing: the reference's export declares THREE
+  // index-patterns (spark-stage-agg-metrics* / spark-task-metrics* /
+  // spark-logs*) and every panel references exactly one — running a
+  // task-metrics panel against the stage-agg table is the wrong answer
+  // even when both frames carry the field. SavedObjects.runExport
+  // resolves each panel's referenced pattern id to its title GLOB and
+  // matches that against the caller's table names: here "event*" routes
+  // to the events table, "doc*" to documents, a reference-less panel
+  // falls back to the default frame, and a panel referencing an
+  // unknown pattern id skips tolerantly (the oracle has no rows for
+  // it). Three panels exercise three metric kinds across the two
+  // routed tables: metric-ordered terms (sum), count-ordered terms
+  // with an exact-cardinality metric, and a kuery-filtered count.
+  def q280ExportRouting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val docs = Tables.documents(s, dir)
+    val lines = Seq(
+      """{"type":"index-pattern","id":"ip-ev","attributes":{"title":"event*","timeFieldName":"ts"}}""",
+      """{"type":"index-pattern","id":"ip-doc","attributes":{"title":"doc*"}}""",
+      """{"type":"visualization","attributes":{"title":"ev_by_type","visState":"{\"type\":\"table\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"sum\",\"params\":{\"field\":\"value\",\"customLabel\":\"total\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"event_type\",\"orderBy\":\"1\",\"order\":\"desc\",\"size\":3},\"schema\":\"bucket\"}]}"},"references":[{"id":"ip-ev","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""",
+      """{"type":"visualization","attributes":{"title":"doc_langs","visState":"{\"type\":\"pie\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"cardinality\",\"params\":{\"field\":\"source\",\"customLabel\":\"sources\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"terms\",\"params\":{\"field\":\"lang\",\"orderBy\":\"_count\",\"order\":\"desc\",\"size\":3},\"schema\":\"segment\"}]}"},"references":[{"id":"ip-doc","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""",
+      """{"type":"visualization","attributes":{"title":"all_clicks","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{\"customLabel\":\"Count\"},\"schema\":\"metric\"}]}","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"event_type.keyword: click\",\"language\":\"kuery\"},\"filter\":[]}"}}}""",
+      """{"type":"visualization","attributes":{"title":"orphaned_index","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{},\"schema\":\"metric\"}]}"},"references":[{"id":"ip-gone","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""")
+    // first import: NO default — the two routed panels run on their own
+    // tables; reference-less all_clicks and unresolvable orphaned_index
+    // both skip (the oracle carries no orphaned_index rows). Second
+    // import re-runs just the all_clicks line WITH a default frame to
+    // pin the fallback contract.
+    graft.search.SavedObjects.runExport(
+        Map("events" -> ev, "docs" -> docs), lines)
+      .unionAll(graft.search.SavedObjects.runExport(
+        Map("events" -> ev, "docs" -> docs),
+        lines.filter(_.contains("all_clicks")), default = Some(ev)))
+      .orderBy($"panel", $"bucket", $"metric")
+  }
+
   // -------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_export_routing" -> q280ExportRouting _,
     "q279_saved_search" -> q279SavedSearch _,
     "q278_panel_timerange" -> q278PanelTimerange _,
     "q277_dashboard_import" -> q277DashboardImport _,
@@ -725,6 +765,27 @@ object SearchAggQueries {
     "q212_composite_pages" -> q212CompositePages _)
 
   val oracle: Map[String, String] = Map(
+    "q280_export_routing" ->
+      """WITH et AS (SELECT event_type AS b,
+        |        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |       FROM events GROUP BY 1),
+        |t3 AS (SELECT b, s FROM (SELECT b, s,
+        |         row_number() OVER (ORDER BY s DESC, b) AS rk FROM et)
+        |       WHERE rk <= 3),
+        |dl AS (SELECT lang AS b, count(*) AS n,
+        |        count(DISTINCT source) AS c FROM documents GROUP BY 1),
+        |d3 AS (SELECT b, c FROM (SELECT b, c,
+        |         row_number() OVER (ORDER BY n DESC, b) AS rk FROM dl)
+        |       WHERE rk <= 3)
+        |SELECT * FROM (
+        | SELECT 'ev_by_type' AS panel, b AS bucket, 'total' AS metric,
+        |  CAST(s AS BIGINT) AS val FROM t3
+        |UNION ALL
+        | SELECT 'doc_langs', b, 'sources', CAST(c AS BIGINT) FROM d3
+        |UNION ALL
+        | SELECT 'all_clicks', 'all', 'Count', CAST(count(*) AS BIGINT)
+        | FROM events WHERE event_type = 'click'
+        |) u ORDER BY panel, bucket, metric""".stripMargin,
     "q279_saved_search" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_type = 'purchase' AND value >= 200""".stripMargin,

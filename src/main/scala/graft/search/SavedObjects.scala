@@ -30,7 +30,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * same four panels) imports as a relative window composed onto the
   * panel kuery, anchored to an injectable `now`; an auto interval then
   * derives its rung from the RANGE span with no data scan.
-  * `index-pattern` lines parse to no panel; `search` lines run as docs
+  * `index-pattern` lines parse to no panel (but [[parseIndexPatternLine]]
+  * reads their id/title-glob/time-field/field-list, and the
+  * [[runExport]] family routes each panel to the table its referenced
+  * pattern matches — the export declares THREE patterns, and a
+  * task-metrics panel must not aggregate the stage-agg table);
+  * `search` lines run as docs
   * tables through [[runSearch]] (hit counts under [[runDashboards]]);
   * `input_control_vis` lines parse through [[parseControlsLine]] into
   * their declared filter controls ([[controlOptions]] materializes
@@ -94,9 +99,16 @@ object SavedObjects {
       calendar: Option[String] = None,
       timeRange: Option[(String, String)] = None)
 
+  /** `indexRef` is the saved object's referenced index-pattern id (the
+    * export's `references` entry named
+    * `kibanaSavedObjectMeta.searchSourceJSON.index`) — what the
+    * [[runExport]] family routes on; None for panels with no reference
+    * (they fall back to the caller's default frame).
+    */
   final case class Panel(
       title: String, kuery: Option[String], metrics: Seq[MetricAgg],
-      buckets: Seq[BucketAgg], id: Option[String] = None)
+      buckets: Seq[BucketAgg], id: Option[String] = None,
+      indexRef: Option[String] = None)
 
   /** One match_phrase entry of a dashboard's appState filter array. */
   final case class PhraseFilter(field: String, value: String, negate: Boolean)
@@ -117,7 +129,21 @@ object SavedObjects {
     */
   final case class SavedSearch(
       title: String, kuery: Option[String], columns: Seq[String],
-      id: Option[String] = None, sorts: Seq[(String, Boolean)] = Seq.empty)
+      id: Option[String] = None, sorts: Seq[(String, Boolean)] = Seq.empty,
+      indexRef: Option[String] = None)
+
+  /** A `type:"index-pattern"` saved object — the export's declaration
+    * of which indices a panel reads and what its fields are. `title` is
+    * the ES index glob (`"spark-task-metrics*"`); `timeField` the
+    * declared default time field; `fields` the (name, type) list the
+    * pattern advertises (parsed tolerantly from the `fields`
+    * JSON-string attribute — empty when absent). The [[runExport]]
+    * family resolves each panel's referenced pattern id to a caller
+    * table whose NAME the title glob matches.
+    */
+  final case class IndexPattern(
+      id: String, title: String, timeField: Option[String] = None,
+      fields: Seq[(String, String)] = Seq.empty)
 
   /** One control of an `input_control_vis` panel (the export's
     * dashboard filter dropdowns, data-skew.ndjson line 2): the field it
@@ -225,6 +251,67 @@ object SavedObjects {
     to.toEpochMilli - from.toEpochMilli
   }
 
+  /** The referenced index-pattern id of a saved-object line — the
+    * `references` entry Kibana names
+    * `kibanaSavedObjectMeta.searchSourceJSON.index` (every
+    * visualization and search of the reference export carries exactly
+    * one; markdown panels carry none).
+    */
+  private def indexRefOf(j: org.json4s.JValue): Option[String] = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    (j \ "references") match {
+      case JArray(rs) => rs.flatMap { r =>
+        for {
+          nm <- (r \ "name").extractOpt[String]
+          if nm == "kibanaSavedObjectMeta.searchSourceJSON.index"
+          tp <- (r \ "type").extractOpt[String]
+          if tp == "index-pattern"
+          id <- (r \ "id").extractOpt[String]
+        } yield id
+      }.headOption
+      case _ => None
+    }
+  }
+
+  /** Parse one `type:"index-pattern"` line: the id panels reference,
+    * the index-name glob it stands for, the declared time field, and
+    * the advertised (name, type) field list (a JSON string in the
+    * export — parsed tolerantly, empty on any malformed shape). None
+    * for other object types or a missing title.
+    */
+  def parseIndexPatternLine(line: String): Option[IndexPattern] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(line)
+    if ((j \ "type").extractOpt[String] != Some("index-pattern")) return None
+    val attrs = j \ "attributes"
+    for {
+      id <- (j \ "id").extractOpt[String].orElse(Some(""))
+      title <- (attrs \ "title").extractOpt[String]
+    } yield IndexPattern(
+      id, title,
+      (attrs \ "timeFieldName").extractOpt[String].filter(_.nonEmpty),
+      (attrs \ "fields").extractOpt[String].flatMap { fs =>
+        scala.util.Try {
+          JsonMethods.parse(fs) match {
+            case JArray(arr) => arr.flatMap { f =>
+              (f \ "name").extractOpt[String].map(n =>
+                n -> (f \ "type").extractOpt[String].getOrElse(""))
+            }
+            case _ => Seq.empty[(String, String)]
+          }
+        }.toOption
+      }.getOrElse(Seq.empty))
+  }
+
+  /** Every index-pattern of an export, by id (tolerant per line). */
+  def parseIndexPatterns(lines: Iterable[String]): Map[String, IndexPattern] =
+    lines.filter(_.trim.nonEmpty)
+      .flatMap(l => scala.util.Try(parseIndexPatternLine(l)).toOption.flatten)
+      .map(ip => ip.id -> ip).toMap
+
   /** Parse one saved-object line; Some(panel) only for visualizations
     * with a supported agg tree. A panel with buckets but no metric agg
     * gets the implied doc-count metric (Kibana's default table column).
@@ -293,7 +380,8 @@ object SavedObjects {
       if (metrics.nonEmpty) metrics
       else Vector(MetricAgg("_implied", "count", "", "Count", Seq.empty))
     Some(Panel((attrs \ "title").extractOpt[String].getOrElse("panel"),
-      kuery, withCount, buckets, (j \ "id").extractOpt[String]))
+      kuery, withCount, buckets, (j \ "id").extractOpt[String],
+      indexRefOf(j)))
   }
 
   /** Parse one `type:"dashboard"` line: title, its searchSourceJSON
@@ -385,7 +473,8 @@ object SavedObjects {
       kuery,
       (attrs \ "columns").extractOpt[Seq[String]].getOrElse(Seq.empty),
       (j \ "id").extractOpt[String],
-      sorts))
+      sorts,
+      indexRefOf(j)))
   }
 
   /** Parse an `input_control_vis` visualization line ([[parseLine]]
@@ -835,10 +924,21 @@ object SavedObjects {
   private def dashboardContext(df: DataFrame, d: Dashboard,
       fieldAliases: Map[String, String],
       defaultFields: Seq[String]): Column = {
+    val cols = df.columns.toSet
     val phrase = d.filters.foldLeft(lit(true)) { (acc, f) =>
-      val c = col(fieldAliases.getOrElse(f.field,
-        f.field.stripSuffix(".keyword")))
-      acc && (if (f.negate) !(c <=> lit(f.value)) else c === lit(f.value))
+      val name = fieldAliases.getOrElse(f.field,
+        f.field.stripSuffix(".keyword"))
+      // ES semantics for a match_phrase on a field the member's index
+      // does not carry: no doc matches (positive ⇒ empty panel), every
+      // doc survives a must_not — what a multi-index dashboard filter
+      // does to members whose index lacks the field
+      val term =
+        if (!cols.contains(name)) lit(f.negate)
+        else {
+          val c = col(name)
+          if (f.negate) !(c <=> lit(f.value)) else c === lit(f.value)
+        }
+      acc && term
     }
     d.kuery.fold(phrase)(kq =>
       phrase && Kuery.predicate(df, kq, defaultFields))
@@ -915,6 +1015,147 @@ object SavedObjects {
       }
     }
     if (runs.isEmpty) (emptyResult(df.sparkSession), () => ())
+    else (runs.map(_._1).reduce(_.unionAll(_)),
+      () => runs.foreach(_._2.foreach(_.unpersist())))
+  }
+
+  // ---------------------------------------------- multi-index routing
+
+  /** Does the ES index glob `patternTitle` (`*` = any run of
+    * characters, e.g. "spark-task-metrics*") match `name`? Exact match
+    * when the title carries no wildcard.
+    */
+  private[search] def indexTitleMatches(patternTitle: String,
+      name: String): Boolean = {
+    val rx = patternTitle.split("\\*", -1)
+      .map(java.util.regex.Pattern.quote).mkString(".*")
+    name.matches(rx)
+  }
+
+  /** Resolve one saved object's frame: its referenced index-pattern's
+    * title glob matched against the caller's table names (smallest
+    * matching name wins, deterministically), else `default`. None ⇒
+    * the object skips (tolerant import — same posture as a corrupt
+    * line).
+    */
+  private def resolveFrame(tables: Map[String, DataFrame],
+      patterns: Map[String, IndexPattern], indexRef: Option[String],
+      default: Option[DataFrame]): Option[DataFrame] =
+    indexRef.flatMap(patterns.get).flatMap { ip =>
+      tables.get(ip.title).orElse(
+        tables.toSeq.sortBy(_._1)
+          .collectFirst { case (k, v) if indexTitleMatches(ip.title, k) => v })
+    }.orElse(default)
+
+  private def anySession(tables: Map[String, DataFrame],
+      default: Option[DataFrame]): SparkSession =
+    tables.values.headOption.orElse(default)
+      .getOrElse(throw new IllegalArgumentException(
+        "runExport needs at least one table or a default frame"))
+      .sparkSession
+
+  /** Run every importable panel of a MULTI-INDEX export, each against
+    * the table its referenced index-pattern resolves to — the missing
+    * fidelity step between [[runNdjson]] (one frame for everything) and
+    * what the reference's export actually declares: its 34 objects
+    * reference THREE index-patterns (spark-stage-agg-metrics* /
+    * spark-task-metrics* / spark-logs*), and a task-metrics panel run
+    * against the stage-agg table is the wrong answer even when both
+    * frames carry the field. `tables` maps table names onto frames;
+    * each panel's pattern TITLE GLOB is matched against those names
+    * (exact key first, then `*`-glob, smallest matching name wins).
+    * Panels with no reference — or an unresolvable one — fall back to
+    * `default`, else skip tolerantly. Persists shared intermediates —
+    * prefer [[runExportManaged]] in long-lived sessions.
+    */
+  def runExport(tables: Map[String, DataFrame], lines: Iterable[String],
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty,
+      now: Option[java.sql.Timestamp] = None,
+      default: Option[DataFrame] = None): DataFrame =
+    runExportManaged(tables, lines, fieldAliases, defaultFields, now,
+      default)._1
+
+  /** [[runExport]] plus a cleanup thunk — invoke after materializing. */
+  def runExportManaged(tables: Map[String, DataFrame],
+      lines: Iterable[String],
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty,
+      now: Option[java.sql.Timestamp] = None,
+      default: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+    val present = lines.filter(_.trim.nonEmpty).toSeq
+    val patterns = parseIndexPatterns(present)
+    val runs = for {
+      p <- parseNdjson(present)
+      df <- resolveFrame(tables, patterns, p.indexRef, default)
+    } yield runInternal(df, p, fieldAliases, defaultFields, now)
+    if (runs.isEmpty) (emptyResult(anySession(tables, default)), () => ())
+    else (runs.map(_._1).reduce(_.unionAll(_)),
+      () => runs.foreach(_._2.foreach(_.unpersist())))
+  }
+
+  def runExportDashboards(tables: Map[String, DataFrame],
+      lines: Iterable[String],
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty,
+      now: Option[java.sql.Timestamp] = None,
+      default: Option[DataFrame] = None): DataFrame =
+    runExportDashboardsManaged(tables, lines, fieldAliases, defaultFields,
+      now, default)._1
+
+  /** [[runDashboards]] with per-member index routing: every member
+    * panel (visualization or search) of every `type:"dashboard"` line
+    * runs against ITS OWN index-pattern's table, under the dashboard's
+    * composed filter context evaluated against that member's frame — a
+    * match_phrase on a field the member's index lacks matches nothing
+    * (negated: everything), the ES cross-index filter semantics, so one
+    * dashboard can scope an appName filter onto metrics AND logs
+    * members without the import inventing columns. Returns the cleanup
+    * thunk alongside; members whose index resolves to no table (and no
+    * `default`) skip tolerantly.
+    */
+  def runExportDashboardsManaged(tables: Map[String, DataFrame],
+      lines: Iterable[String],
+      fieldAliases: Map[String, String] = Map.empty,
+      defaultFields: Seq[String] = Seq.empty,
+      now: Option[java.sql.Timestamp] = None,
+      default: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+    val present = lines.filter(_.trim.nonEmpty).toSeq
+    val patterns = parseIndexPatterns(present)
+    val visById = present
+      .flatMap(l => scala.util.Try(parseLine(l)).toOption.flatten)
+      .flatMap(p => p.id.map(_ -> p)).toMap
+    val searchById = present
+      .flatMap(l => scala.util.Try(parseSearchLine(l)).toOption.flatten)
+      .flatMap(s => s.id.map(_ -> s)).toMap
+    val dashes = present
+      .flatMap(l => scala.util.Try(parseDashboardLine(l)).toOption.flatten)
+    val runs = for {
+      d <- dashes
+      pid <- d.panelIds
+      ref = visById.get(pid).map(_.indexRef)
+        .orElse(searchById.get(pid).map(_.indexRef))
+      if ref.isDefined
+      df <- resolveFrame(tables, patterns, ref.get, default)
+    } yield {
+      val scoped = df.filter(
+        dashboardContext(df, d, fieldAliases, defaultFields))
+      visById.get(pid) match {
+        case Some(p) =>
+          runInternal(scoped, p.copy(title = s"${d.title}/${p.title}"),
+            fieldAliases, defaultFields, now)
+        case None => // saved search: hit count on ITS index's table
+          val srch = searchById(pid)
+          val hits = srch.kuery.fold(scoped)(kq =>
+            scoped.filter(Kuery.predicate(scoped, kq, defaultFields)))
+          (hits.agg(count(lit(1)).as("val"))
+            .select(lit(s"${d.title}/${srch.title}").as("panel"),
+              lit("all").as("bucket"), lit("hits").as("metric"),
+              col("val").cast("long").as("val")),
+            Seq.empty[DataFrame])
+      }
+    }
+    if (runs.isEmpty) (emptyResult(anySession(tables, default)), () => ())
     else (runs.map(_._1).reduce(_.unionAll(_)),
       () => runs.foreach(_._2.foreach(_.unpersist())))
   }

@@ -731,4 +731,149 @@ class SavedObjectsSpec extends SparkTestBase {
       assert(out.count() > 0, s"${p.title} returned no rows")
     }
   }
+
+  test("the real export's three index-patterns parse with ids, globs, time field, field lists") {
+    assume(Files.exists(Paths.get(refNdjson)), "reference export not present")
+    val lines = Files.readAllLines(Paths.get(refNdjson)).asScala.toSeq
+    val pats = SavedObjects.parseIndexPatterns(lines)
+    assert(pats.values.map(_.title).toSet ==
+      Set("spark-stage-agg-metrics*", "spark-task-metrics*", "spark-logs*"))
+    assert(pats.values.forall(_.timeField == Some("@timestamp")))
+    // the advertised field lists parse from the JSON-string attribute
+    assert(pats.values.forall(_.fields.nonEmpty))
+    val task = pats.values.find(_.title.startsWith("spark-task")).get
+    assert(task.fields.exists { case (n, t) => n == "runTime" && t == "number" })
+    // every visualization/search of the export references exactly one
+    // of the three patterns (markdown/control panels aside)
+    val panels = SavedObjects.parseNdjson(lines)
+    assert(panels.forall(p => p.indexRef.exists(pats.contains)),
+      s"unreferenced panels: ${panels.filter(_.indexRef.isEmpty).map(_.title)}")
+    val srch = lines.flatMap(l =>
+      scala.util.Try(SavedObjects.parseSearchLine(l)).toOption.flatten).head
+    assert(srch.indexRef.exists(id => pats(id).title == "spark-logs*"))
+    assert(SavedObjects.parseIndexPatternLine(
+      """{"type":"visualization","attributes":{"title":"x"}}""").isEmpty)
+  }
+
+  test("index title globs match table names") {
+    assert(SavedObjects.indexTitleMatches("spark-task-metrics*",
+      "spark-task-metrics-000001"))
+    assert(SavedObjects.indexTitleMatches("spark-task-metrics*",
+      "spark-task-metrics"))
+    assert(!SavedObjects.indexTitleMatches("spark-task-metrics*",
+      "spark-stage-agg-metrics"))
+    assert(SavedObjects.indexTitleMatches("exact", "exact"))
+    assert(!SavedObjects.indexTitleMatches("exact", "exactly"))
+    assert(SavedObjects.indexTitleMatches("a*b*", "a-x-b-y"))
+    // a glob metacharacter in the name is literal, not regex
+    assert(!SavedObjects.indexTitleMatches("a.c", "abc"))
+  }
+
+  test("the real export routes each panel to its own index's table") {
+    assume(Files.exists(Paths.get(refNdjson)), "reference export not present")
+    val lines = Files.readAllLines(Paths.get(refNdjson)).asScala.toSeq
+    val pats = SavedObjects.parseIndexPatterns(lines)
+    val panels = SavedObjects.parseNdjson(lines)
+    val numeric = panels.flatMap(p =>
+      p.metrics.filter(m => Set("sum", "max", "min", "avg",
+        "percentiles").contains(m.kind)).map(_.field) ++
+        p.buckets.filter(_.kind == "range").map(_.field)).toSet
+    val times = panels.flatMap(_.buckets
+      .filter(_.kind == "date_histogram").map(_.field)).toSet
+    // one frame per index-pattern, carrying ONLY the fields that
+    // pattern's panels reference (plus the dashboard filter field) and
+    // a DIFFERENT row count per index — a panel run against the wrong
+    // table would either fail resolution or report the wrong count
+    val rowsOf = Map("spark-stage-agg-metrics*" -> 60,
+      "spark-task-metrics*" -> 90, "spark-logs*" -> 30)
+    val tables = pats.values.map { ip =>
+      val mine = panels.filter(_.indexRef.contains(ip.id))
+      val fields = mine.flatMap(p => p.metrics.map(_.field) ++
+        p.buckets.map(_.field)).filter(_.nonEmpty).toSet + "appName.keyword"
+      var df = spark.range(rowsOf(ip.title).toLong).toDF("id")
+      fields.foreach { f =>
+        val cname = f.stripSuffix(".keyword")
+        val c =
+          if (times.contains(f))
+            to_timestamp(lit(1767225600L) + $"id" * 3600)
+          else if (numeric.contains(f)) ($"id" % 37) * 0.7
+          else if (cname == "appName")
+            lit("TPCDS SQL Benchmark 3000 GB")
+          else concat(lit(cname.take(2)), ($"id" % 5).cast("string"))
+        df = df.withColumn(cname, c)
+      }
+      ip.title.stripSuffix("*") -> df
+    }.toMap
+    val synthNow = Some(new java.sql.Timestamp(1767225600000L + 200L * 3600000L))
+    val (out, cleanup) = SavedObjects.runExportDashboardsManaged(
+      tables, lines, now = synthNow)
+    try {
+      val rows = out.collect().map(r => (r.getString(0), r.getString(2),
+        r.getLong(3)))
+      // the logs-index search member counts the LOGS table's 30 rows,
+      // not the task table's 90
+      val hits = rows.filter(_._2 == "hits")
+      assert(hits.nonEmpty && hits.forall(_._3 == 30L), hits.toList)
+      // a task-metrics metric-only panel aggregates the 90-row task
+      // frame: its count-kind panels report 90
+      val taskCounts = rows.filter { case (p, m, _) =>
+        p.endsWith("Number of spark jobs(s) within an application run") }
+      assert(taskCounts.nonEmpty)
+      // cardinality(jobId) over j0..j4 = 5 on the stage frame
+      assert(taskCounts.forall(_._3 > 0))
+    } finally cleanup()
+
+    // panel granularity routes the same way
+    val flat = SavedObjects.runExport(tables, lines, now = synthNow)
+    assert(flat.count() > 0)
+  }
+
+  test("multi-index dashboard filters: a match_phrase on a missing field matches nothing (negated: everything)") {
+    val metrics = Seq(("appA", 10.0), ("appB", 20.0)).toDF("appName", "v")
+    val logs = Seq("boom", "fine").toDF("message") // no appName column
+    val lines = Seq(
+      """{"type":"index-pattern","id":"ipm","attributes":{"title":"metrics*"}}""",
+      """{"type":"index-pattern","id":"ipl","attributes":{"title":"logs*"}}""",
+      """{"type":"dashboard","attributes":{"title":"d","kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"\",\"language\":\"kuery\"},\"filter\":[{\"meta\":{\"negate\":false,\"disabled\":false},\"query\":{\"match_phrase\":{\"appName.keyword\":\"appA\"}}}]}"}},"references":[{"id":"v1","name":"panel_0","type":"visualization"},{"id":"s1","name":"panel_1","type":"search"}]}""",
+      """{"type":"visualization","id":"v1","attributes":{"title":"sums","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"sum\",\"params\":{\"field\":\"v\",\"customLabel\":\"total\"},\"schema\":\"metric\"}]}"},"references":[{"id":"ipm","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""",
+      """{"type":"search","id":"s1","attributes":{"title":"logs","columns":["message"],"kibanaSavedObjectMeta":{"searchSourceJSON":"{\"query\":{\"query\":\"\",\"language\":\"kuery\"},\"filter\":[]}"}},"references":[{"id":"ipl","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""")
+    val tables = Map("metrics" -> metrics, "logs" -> logs)
+    val got = SavedObjects.runExportDashboards(tables, lines)
+      .select($"panel", $"metric", $"val").as[(String, String, Long)]
+      .collect().toSet
+    // metrics member: filter applies (appA only → 1000 cents); logs
+    // member LACKS appName → positive phrase matches no doc → 0 hits
+    assert(got == Set(("d/sums", "total", 1000L), ("d/logs", "hits", 0L)))
+
+    // negated: the missing-field member keeps every row (ES must_not)
+    val neg = lines.map(_.replace("\\\"negate\\\":false", "\\\"negate\\\":true"))
+    val gotN = SavedObjects.runExportDashboards(tables, neg)
+      .select($"panel", $"metric", $"val").as[(String, String, Long)]
+      .collect().toSet
+    assert(gotN == Set(("d/sums", "total", 2000L), ("d/logs", "hits", 2L)))
+  }
+
+  test("export routing falls back to the default frame; unresolvable panels skip") {
+    val ev = Seq(1.0, 2.0).toDF("v")
+    val other = Seq(5.0).toDF("v")
+    val lines = Seq(
+      """{"type":"index-pattern","id":"ip1","attributes":{"title":"known*"}}""",
+      """{"type":"visualization","attributes":{"title":"routed","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{\"customLabel\":\"n\"},\"schema\":\"metric\"}]}"},"references":[{"id":"ip1","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""",
+      """{"type":"visualization","attributes":{"title":"refless","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{\"customLabel\":\"n\"},\"schema\":\"metric\"}]}"}}""",
+      """{"type":"visualization","attributes":{"title":"dangling","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{\"customLabel\":\"n\"},\"schema\":\"metric\"}]}"},"references":[{"id":"ip-gone","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""")
+    val tables = Map("known-1" -> other)
+    // with a default: routed → known-1 (1 row), refless AND dangling →
+    // default events (2 rows)
+    val got = SavedObjects.runExport(tables, lines, default = Some(ev))
+      .select($"panel", $"val").as[(String, Long)].collect().toSet
+    assert(got == Set(("routed", 1L), ("refless", 2L), ("dangling", 2L)))
+    // without a default the unroutable panels skip tolerantly
+    val bare = SavedObjects.runExport(tables, lines)
+      .select($"panel", $"val").as[(String, Long)].collect().toSet
+    assert(bare == Set(("routed", 1L)))
+    // an empty import still needs a session to shape its empty frame
+    assertThrows[IllegalArgumentException] {
+      SavedObjects.runExport(Map.empty, Seq.empty)
+    }
+  }
 }

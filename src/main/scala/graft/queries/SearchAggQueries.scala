@@ -706,9 +706,10 @@ object SearchAggQueries {
   // to the events table, "doc*" to documents, a reference-less panel
   // falls back to the default frame, and a panel referencing an
   // unknown pattern id skips tolerantly (the oracle has no rows for
-  // it). Three panels exercise three metric kinds across the two
-  // routed tables: metric-ordered terms (sum), count-ordered terms
-  // with an exact-cardinality metric, and a kuery-filtered count.
+  // it). Four panels exercise the surface across the two routed
+  // tables: metric-ordered terms (sum), count-ordered terms with an
+  // exact-cardinality metric, a kuery-filtered count, and a global
+  // time-picker cut on the pattern's declared time field.
   def q280ExportRouting(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -724,12 +725,26 @@ object SearchAggQueries {
     // tables; reference-less all_clicks and unresolvable orphaned_index
     // both skip (the oracle carries no orphaned_index rows). Second
     // import re-runs just the all_clicks line WITH a default frame to
-    // pin the fallback contract.
+    // pin the fallback contract. Third import gates Kibana's GLOBAL
+    // time picker (the export's dashboards carry timeRestore:false, so
+    // the render-time range scopes every panel on its index-pattern's
+    // declared timeFieldName — "ts" on ip-ev here): a now-7d picker
+    // against an injected now inside the 30-day events span cuts the
+    // count panel on both sides; the docs pattern declares NO time
+    // field, so the same picker leaves doc_langs untouched (asserted
+    // by the spec; the oracle here replays the cut count).
+    val now = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    val recent =
+      """{"type":"visualization","attributes":{"title":"recent_ev","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{\"customLabel\":\"Count\"},\"schema\":\"metric\"}]}"},"references":[{"id":"ip-ev","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}"""
     graft.search.SavedObjects.runExport(
         Map("events" -> ev, "docs" -> docs), lines)
       .unionAll(graft.search.SavedObjects.runExport(
         Map("events" -> ev, "docs" -> docs),
         lines.filter(_.contains("all_clicks")), default = Some(ev)))
+      .unionAll(graft.search.SavedObjects.runExport(
+        Map("events" -> ev, "docs" -> docs), lines.take(1) :+ recent,
+        now = Some(now), globalRange = Some(("now-7d", "now"))))
       .orderBy($"panel", $"bucket", $"metric")
   }
 
@@ -785,6 +800,11 @@ object SearchAggQueries {
         |UNION ALL
         | SELECT 'all_clicks', 'all', 'Count', CAST(count(*) AS BIGINT)
         | FROM events WHERE event_type = 'click'
+        |UNION ALL
+        | SELECT 'recent_ev', 'all', 'Count', CAST(count(*) AS BIGINT)
+        | FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' - INTERVAL 7 DAY
+        |   AND ts <= TIMESTAMP '2024-01-10 00:00:00'
         |) u ORDER BY panel, bucket, metric""".stripMargin,
     "q279_saved_search" ->
       """SELECT event_id, event_type, value FROM events

@@ -1054,6 +1054,35 @@ object SavedObjects {
         "runExport needs at least one table or a default frame"))
       .sparkSession
 
+  /** Kibana's GLOBAL time picker, applied per member: the dashboards of
+    * the reference export carry `timeRestore: false`, so the range a
+    * user has picked at render time — not a saved one — scopes every
+    * panel, each on ITS index-pattern's declared `timeFieldName`. A
+    * member whose pattern declares no time field (or whose range shape
+    * is unsupported) passes through unfiltered; the supported shape is
+    * the same relative `now-Nu`..`now` vocabulary as saved panel
+    * ranges. An auto date_histogram inside a picker-cut member stays
+    * correct by construction: its fallback min/max scan sees the
+    * ALREADY-FILTERED frame.
+    */
+  private def applyGlobalRange(df: DataFrame, pattern: Option[IndexPattern],
+      globalRange: Option[(String, String)],
+      fieldAliases: Map[String, String],
+      now: Option[java.sql.Timestamp]): DataFrame = {
+    val cut = for {
+      (f, t) <- globalRange
+      r <- parseTimeRange(f, t)
+      tf <- pattern.flatMap(_.timeField)
+    } yield {
+      val name = fieldAliases.getOrElse(tf, tf.stripSuffix(".keyword"))
+      val nowTs = now.getOrElse(
+        new java.sql.Timestamp(System.currentTimeMillis()))
+      df.filter(graft.queries.Dashboards.relativeTimeFilter(
+        col(name).cast("timestamp"), nowTs, r.interval))
+    }
+    cut.getOrElse(df)
+  }
+
   /** Run every importable panel of a MULTI-INDEX export, each against
     * the table its referenced index-pattern resolves to — the missing
     * fidelity step between [[runNdjson]] (one frame for everything) and
@@ -1072,9 +1101,10 @@ object SavedObjects {
       fieldAliases: Map[String, String] = Map.empty,
       defaultFields: Seq[String] = Seq.empty,
       now: Option[java.sql.Timestamp] = None,
-      default: Option[DataFrame] = None): DataFrame =
+      default: Option[DataFrame] = None,
+      globalRange: Option[(String, String)] = None): DataFrame =
     runExportManaged(tables, lines, fieldAliases, defaultFields, now,
-      default)._1
+      default, globalRange)._1
 
   /** [[runExport]] plus a cleanup thunk — invoke after materializing. */
   def runExportManaged(tables: Map[String, DataFrame],
@@ -1082,13 +1112,17 @@ object SavedObjects {
       fieldAliases: Map[String, String] = Map.empty,
       defaultFields: Seq[String] = Seq.empty,
       now: Option[java.sql.Timestamp] = None,
-      default: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+      default: Option[DataFrame] = None,
+      globalRange: Option[(String, String)] = None): (DataFrame, () => Unit) = {
     val present = lines.filter(_.trim.nonEmpty).toSeq
     val patterns = parseIndexPatterns(present)
     val runs = for {
       p <- parseNdjson(present)
       df <- resolveFrame(tables, patterns, p.indexRef, default)
-    } yield runInternal(df, p, fieldAliases, defaultFields, now)
+    } yield runInternal(
+      applyGlobalRange(df, p.indexRef.flatMap(patterns.get), globalRange,
+        fieldAliases, now),
+      p, fieldAliases, defaultFields, now)
     if (runs.isEmpty) (emptyResult(anySession(tables, default)), () => ())
     else (runs.map(_._1).reduce(_.unionAll(_)),
       () => runs.foreach(_._2.foreach(_.unpersist())))
@@ -1099,9 +1133,10 @@ object SavedObjects {
       fieldAliases: Map[String, String] = Map.empty,
       defaultFields: Seq[String] = Seq.empty,
       now: Option[java.sql.Timestamp] = None,
-      default: Option[DataFrame] = None): DataFrame =
+      default: Option[DataFrame] = None,
+      globalRange: Option[(String, String)] = None): DataFrame =
     runExportDashboardsManaged(tables, lines, fieldAliases, defaultFields,
-      now, default)._1
+      now, default, globalRange)._1
 
   /** [[runDashboards]] with per-member index routing: every member
     * panel (visualization or search) of every `type:"dashboard"` line
@@ -1119,7 +1154,8 @@ object SavedObjects {
       fieldAliases: Map[String, String] = Map.empty,
       defaultFields: Seq[String] = Seq.empty,
       now: Option[java.sql.Timestamp] = None,
-      default: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+      default: Option[DataFrame] = None,
+      globalRange: Option[(String, String)] = None): (DataFrame, () => Unit) = {
     val present = lines.filter(_.trim.nonEmpty).toSeq
     val patterns = parseIndexPatterns(present)
     val visById = present
@@ -1136,8 +1172,10 @@ object SavedObjects {
       ref = visById.get(pid).map(_.indexRef)
         .orElse(searchById.get(pid).map(_.indexRef))
       if ref.isDefined
-      df <- resolveFrame(tables, patterns, ref.get, default)
+      df0 <- resolveFrame(tables, patterns, ref.get, default)
     } yield {
+      val df = applyGlobalRange(df0, ref.get.flatMap(patterns.get),
+        globalRange, fieldAliases, now)
       val scoped = df.filter(
         dashboardContext(df, d, fieldAliases, defaultFields))
       visById.get(pid) match {

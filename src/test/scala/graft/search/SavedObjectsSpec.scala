@@ -853,6 +853,53 @@ class SavedObjectsSpec extends SparkTestBase {
     assert(gotN == Set(("d/sums", "total", 2000L), ("d/logs", "hits", 2L)))
   }
 
+  test("the global time picker cuts each member on ITS index's declared time field") {
+    val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+    // metrics index keeps time in metricTime, logs in logTime — 20
+    // daily rows each (days 0..19); a now-7d picker (now = day 20)
+    // keeps days 13..19 = 7 rows per index, each cut on its OWN field
+    val metrics = Seq.tabulate(20)(i =>
+      (new java.sql.Timestamp(t0 + i * 86400000L), 1.0))
+      .toDF("metricTime", "v")
+    val logs = Seq.tabulate(20)(i =>
+      (new java.sql.Timestamp(t0 + i * 86400000L), s"m$i"))
+      .toDF("logTime", "message")
+    val now = new java.sql.Timestamp(t0 + 20L * 86400000L)
+    val lines = Seq(
+      """{"type":"index-pattern","id":"ipm","attributes":{"title":"metrics*","timeFieldName":"metricTime"}}""",
+      """{"type":"index-pattern","id":"ipl","attributes":{"title":"logs*","timeFieldName":"logTime"}}""",
+      """{"type":"index-pattern","id":"ipn","attributes":{"title":"notime*"}}""",
+      """{"type":"visualization","attributes":{"title":"m_count","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{\"customLabel\":\"n\"},\"schema\":\"metric\"}]}"},"references":[{"id":"ipm","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""",
+      """{"type":"visualization","attributes":{"title":"l_count","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{\"customLabel\":\"n\"},\"schema\":\"metric\"}]}"},"references":[{"id":"ipl","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""",
+      """{"type":"visualization","attributes":{"title":"n_count","visState":"{\"type\":\"metric\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{\"customLabel\":\"n\"},\"schema\":\"metric\"}]}"},"references":[{"id":"ipn","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}""")
+    val tables = Map("metrics" -> metrics, "logs" -> logs,
+      "notime" -> logs)
+    val got = SavedObjects.runExport(tables, lines, now = Some(now),
+        globalRange = Some(("now-7d", "now")))
+      .select($"panel", $"val").as[(String, Long)].collect().toMap
+    // a pattern with NO declared time field passes through unfiltered
+    assert(got == Map("m_count" -> 7L, "l_count" -> 7L, "n_count" -> 20L))
+    // no picker, no cut
+    val bare = SavedObjects.runExport(tables, lines, now = Some(now))
+      .select($"panel", $"val").as[(String, Long)].collect().toMap
+    assert(bare == Map("m_count" -> 20L, "l_count" -> 20L, "n_count" -> 20L))
+    // an auto date_histogram inside a picker-cut member derives its
+    // rung from the FILTERED span (6 days between the surviving daily
+    // samples → need 10368 s → the 3 h rung; each midnight sample its
+    // own bucket), not from the 20-day unfiltered span
+    val histLine =
+      """{"type":"visualization","attributes":{"title":"m_hist","visState":"{\"type\":\"line\",\"aggs\":[{\"id\":\"1\",\"enabled\":true,\"type\":\"count\",\"params\":{\"customLabel\":\"n\"},\"schema\":\"metric\"},{\"id\":\"2\",\"enabled\":true,\"type\":\"date_histogram\",\"params\":{\"field\":\"metricTime\",\"interval\":\"auto\"},\"schema\":\"segment\"}]}"},"references":[{"id":"ipm","name":"kibanaSavedObjectMeta.searchSourceJSON.index","type":"index-pattern"}]}"""
+    val hist = SavedObjects.runExport(tables, Seq(lines.head, histLine),
+        now = Some(now), globalRange = Some(("now-7d", "now")))
+      .select($"bucket").as[String].collect()
+    assert(hist.length == 7, s"7 in-window buckets: ${hist.toList}")
+    // unsupported picker shapes are ignored tolerantly
+    val junk = SavedObjects.runExport(tables, lines, now = Some(now),
+        globalRange = Some(("2024-01-01", "now")))
+      .select($"panel", $"val").as[(String, Long)].collect().toMap
+    assert(junk == bare)
+  }
+
   test("export routing falls back to the default frame; unresolvable panels skip") {
     val ev = Seq(1.0, 2.0).toDF("v")
     val other = Seq(5.0).toDF("v")

@@ -359,6 +359,47 @@ object Pipelines {
     fileSink(logs, conf, Schemas.LogsTable + "_deep", Seq("dt"))
   }
 
+  /** Run a parsed [[PipelineConfig]] document as a LIVE pipeline: a
+    * JSON file-stream source, the declared processor chain, then one
+    * streaming query per declared opensearch sink, each writing its
+    * routed subset to `conf.tablePath(<index>)`. This is the
+    * config-driven twin of the hard-coded [[startMetrics]]/[[startLogs]]
+    * planes — hand it the reference's metrics-pipeline.yaml parsed by
+    * [[PipelineConfig.parse]] and the routing it declares runs as real
+    * checkpointed streams.
+    *
+    * Each sink is an independent query with its own checkpoint (Data
+    * Prepper's model too — sinks consume the routed stream
+    * independently and fail/recover independently); the cost is one
+    * source scan per sink, fine at the reference's 2-3 sinks. Routing
+    * stays a pushed filter per sink — no shuffle is introduced.
+    * `now` anchors a declared `date` processor (injectable for
+    * deterministic tests, wall-clock in production).
+    */
+  def startConfigured(
+      spark: SparkSession,
+      pipeline: PipelineConfig.Config,
+      conf: Config,
+      schema: org.apache.spark.sql.types.StructType,
+      now: Option[java.sql.Timestamp] = None): Seq[StreamingQuery] = {
+    val session = sessionFor(spark, conf)
+    pipeline.routedFrames(
+      pipeline.applyProcessors(
+        session.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+          .json(conf.sourceDir),
+        now)
+    ).map { case (index, df) =>
+      df.writeStream
+        .format("parquet")
+        .option("path", conf.tablePath(index))
+        .option("checkpointLocation", s"${conf.checkpointRoot}/$index")
+        .trigger(trigger(conf))
+        .start()
+    }
+  }
+
   /** Generic content-routed ingest of an arbitrary keyed stream into a
     * partitioned table — used by the correctness harness to replay the
     * driver `events` table through a real checkpointed streaming write

@@ -3326,7 +3326,55 @@ object PipelineQueries {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- q281
+
+  // Ingestion-pipeline YAML as CONFIG: parse a Data Prepper pipeline
+  // document (the reference's metrics-pipeline.yaml shape — named
+  // JSON-pointer route conditions + routed/unrouted opensearch sinks)
+  // with ingest.PipelineConfig and execute the declared routing over
+  // the events table. Each sink is ONE predicate-pushed filter of the
+  // shared frame (OR across its routes; an unrouted sink receives
+  // everything; routes are non-exclusive — one record can land in
+  // several sinks, Data Prepper semantics; != is null-safe like Data
+  // Prepper's missing-key match). The oracle replays each sink's WHERE
+  // clause; the config-driven "purchase-or-click" routing ≡ what the
+  // hard-coded Transforms.route plane does with the same discriminator.
+  def q281PipelineYaml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val cfg = graft.ingest.PipelineConfig.parse(
+      """version: "2"
+        |pipeline:
+        |  source:
+        |    http:
+        |      path: "/ingest"
+        |  route:
+        |    - purchases: '/event_type == "purchase"'
+        |    - clicks: '/event_type == "click"'
+        |    - non-purchase: '/event_type != "purchase"'
+        |  sink:
+        |    - opensearch:
+        |        index: "purchase-or-click"
+        |        routes:
+        |          - purchases
+        |          - clicks
+        |    - opensearch:
+        |        index: "non-purchase"
+        |        routes:
+        |          - non-purchase
+        |    - opensearch:
+        |        index: "all-events"
+        |""".stripMargin)
+    cfg.routedFrames(ev).map { case (idx, df) =>
+      df.agg(count(lit(1)).as("n"),
+          coalesce(sum(expr("CAST(floor(value * 100) AS BIGINT)")), lit(0L))
+            .as("total_cents"))
+        .select(lit(idx).as("sink_index"), $"n", $"total_cents")
+    }.reduce(_.unionAll(_)).orderBy($"sink_index")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_pipeline_yaml" -> q281PipelineYaml _,
     "q268_erasure_rewrite" -> q268ErasureRewrite _,
     "q267_disorder_rate" -> q267DisorderRate _,
     "q266_decile_heatmap" -> q266DecileHeatmap _,
@@ -3694,6 +3742,21 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q281_pipeline_yaml" ->
+      """SELECT * FROM (
+        | SELECT 'all-events' AS sink_index, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)
+        |    AS BIGINT) AS total_cents
+        | FROM events
+        |UNION ALL
+        | SELECT 'non-purchase', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT)
+        | FROM events WHERE event_type IS DISTINCT FROM 'purchase'
+        |UNION ALL
+        | SELECT 'purchase-or-click', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT)
+        | FROM events WHERE event_type = 'purchase' OR event_type = 'click'
+        |) u ORDER BY sink_index""".stripMargin,
     "q268_erasure_rewrite" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

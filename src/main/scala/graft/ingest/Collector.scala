@@ -69,6 +69,13 @@ object Collector {
 
     def flush(): Unit = synchronized { flushLocked(clock()) }
 
+    /** Re-anchor the time trigger without writing (the reference resets
+      * its client's lastFlush on application start so a slow Spark init
+      * never flushes the first metric alone —
+      * CustomMetricsListener.scala:50-53, ObservabilityClient.scala:135-138).
+      */
+    def setLastFlush(t: Long): Unit = synchronized { lastFlush = t }
+
     private def flushLocked(now: Long): Unit = {
       if (buf.nonEmpty) {
         val tmp = Paths.get(spoolDir, s".$prefix-$runToken-${seq.getAndIncrement()}.json.tmp")
@@ -82,9 +89,43 @@ object Collector {
       lastFlush = now
     }
   }
+
+  /** The `spark.metrics.*` config vocabulary of the reference's
+    * listener (GETTING-STARTED.md:336-340, Utils.scala:88-113):
+    * `endpoint` names the delivery target, `batchSize` (default 100)
+    * and `timeThreshold` (default 10, in SECONDS — the reference
+    * compares whole seconds since the last flush) bound the spool
+    * batches. In this engine the delivery target is the spool
+    * DIRECTORY that [[Pipelines]] tails as a file stream, so an
+    * http(s) endpoint is a configuration error here — fail fast at
+    * listener construction with a pointer at [[HttpDelivery]], the
+    * network-sink path.
+    */
+  private[ingest] def spoolDirFromConf(conf: org.apache.spark.SparkConf): String = {
+    val ep = conf.get("spark.metrics.endpoint",
+      s"${System.getProperty("java.io.tmpdir")}/graft-metrics-spool")
+    require(!ep.startsWith("http://") && !ep.startsWith("https://"),
+      "spark.metrics.endpoint must be a spool directory in this engine " +
+        s"(got '$ep'); for an HTTP sink deliver the ingested stream with " +
+        "graft.ingest.HttpDelivery instead")
+    ep
+  }
 }
 
-/** SparkListener collector: task metrics → spool (A1/A3/A4/A5/A7). */
+/** SparkListener collector: task metrics → spool (A1/A3/A4/A5/A7).
+  *
+  * Two attach paths, matching the reference listener's:
+  *
+  *  - programmatic: construct with an explicit spool dir and register
+  *    via `sparkContext.addSparkListener`;
+  *  - config-only: `--conf spark.extraListeners=graft.ingest.CollectorListener`
+  *    plus the `spark.metrics.*` vocabulary (endpoint/batchSize/
+  *    timeThreshold — GETTING-STARTED.md:336-340). Spark's extension
+  *    loader instantiates extra listeners reflectively through a
+  *    single-`SparkConf`-argument constructor when one exists, which
+  *    is what the auxiliary constructor below provides; `timeThreshold`
+  *    is in SECONDS like the reference's (Utils.scala:107-113).
+  */
 final class CollectorListener(
     spoolDir: String,
     appNameDefault: String = "unknown",
@@ -93,6 +134,14 @@ final class CollectorListener(
     timeThresholdMs: Long = 10000L,
     clock: () => Long = () => System.currentTimeMillis())
   extends SparkListener {
+
+  /** The `spark.extraListeners` construction path (see class doc). */
+  def this(conf: org.apache.spark.SparkConf) = this(
+    spoolDir = Collector.spoolDirFromConf(conf),
+    appNameDefault = conf.get("spark.app.name", "unknown"),
+    appIdDefault = conf.get("spark.app.id", "unknown"),
+    batchSize = conf.get("spark.metrics.batchSize", "100").toInt,
+    timeThresholdMs = conf.get("spark.metrics.timeThreshold", "10").toLong * 1000L)
 
   import Collector.jstr
 
@@ -107,6 +156,9 @@ final class CollectorListener(
   override def onApplicationStart(e: SparkListenerApplicationStart): Unit = {
     appName = e.appName
     e.appId.foreach(appId = _)
+    // re-anchor the time trigger: a slow app init must not flush the
+    // first metric alone (CustomMetricsListener.scala:50-53)
+    spool.setLastFlush(clock())
   }
 
   override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {

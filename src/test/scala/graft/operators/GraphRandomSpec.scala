@@ -118,6 +118,45 @@ class GraphRandomSpec extends SparkTestBase {
     r
   }
 
+  // ---------------------------------------------------- label propagation
+
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).filter(p => p._1 != p._2)
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keySet.map(v => v -> v).toMap
+    (1 to rounds).foreach { _ =>
+      labels = adj.keySet.map { v =>
+        // majority of neighbor labels, smallest label on ties
+        val votes = adj(v).groupBy(labels).view.mapValues(_.size)
+        v -> votes.toSeq.maxBy { case (l, n) => (n, -l) }._1
+      }.toMap
+    }
+    labels
+  }
+
+  test("LabelProp.propagate == serial majority vote; both edge-input modes agree") {
+    (1 to 10).foreach { trial =>
+      // messy input: duplicates, self-loops, both directions
+      val base = randomEdges(10, 0.25)
+      val messy = base ++ base.take(3) ++ base.take(2).map(_.swap) ++
+        Seq((4L, 4L))
+      val rounds = 1 + rnd.nextInt(3)
+      if (base.nonEmpty) {
+        val got = LabelProp.propagate(messy.toDF("s", "d"), "s", "d", rounds)
+          .as[(Long, Long)].collect().toMap
+        assert(got == lpaRef(messy, rounds), s"trial $trial rounds=$rounds")
+        // the canonical fast path (caller-promised DISTINCT a<b edges)
+        // must produce the same labels as the messy-input slow path
+        val canonical = messy.map { case (a, b) => (a min b, a max b) }
+          .filter(p => p._1 != p._2).distinct
+        val fast = LabelProp.propagate(canonical.toDF("s", "d"), "s", "d",
+            rounds, distinctCanonicalEdges = true)
+          .as[(Long, Long)].collect().toMap
+        assert(fast == got, s"trial $trial canonical-path divergence")
+      }
+    }
+  }
+
   test("PageRank.ranks == in-memory integer recurrence on 8 random digraphs") {
     (1 to 8).foreach { trial =>
       val edges = randomEdges(9, 0.22)

@@ -291,4 +291,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert("EqualTo\\(event_type,click\\)".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q281: declared pipeline routes compile to pushed scan filters") {
+    val p = plan("q281_pipeline_yaml")
+    // the OR'd multi-route sink and the null-safe != both reach parquet
+    assert(p.contains(
+      "Or(EqualTo(event_type,purchase),EqualTo(event_type,click))"),
+      s"multi-route OR must push to the scan:\n$p")
+    assert(p.contains("Not(EqualNullSafe(event_type,purchase))"),
+      s"null-safe != must push to the scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

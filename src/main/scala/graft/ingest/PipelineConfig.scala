@@ -185,36 +185,45 @@ object PipelineConfig {
         "config has no pipeline block (a mapping with source/sink)"))
     val sourcePath = Option(p.path("source").path("http").path("path"))
       .filter(_.isTextual).map(_.asText)
-    val routes = p.path("route") match {
-      case n if n.isArray => n.elements().asScala.map { e =>
+    // fail-fast on a PRESENT-but-malformed block: a scalar `routes:`
+    // silently turning a routed sink into a catch-all (or a mis-shaped
+    // `route:`/`processor:` silently vanishing) would route data to the
+    // wrong index, the worst failure mode config can have
+    def arrayOrAbsent(node: com.fasterxml.jackson.databind.JsonNode,
+        what: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+      node match {
+        case n if n.isMissingNode || n.isNull => None
+        case n if n.isArray => Some(n)
+        case n => throw new IllegalArgumentException(
+          s"$what must be a YAML list, got: $n")
+      }
+    val routes = arrayOrAbsent(p.path("route"), "route").map {
+      _.elements().asScala.map { e =>
         val fields = e.properties().asScala.toSeq
         require(fields.size == 1,
           s"route entry must be one name→condition mapping: $e")
         val kv = fields.head
         parseCondition(kv.getKey, kv.getValue.asText)
       }.toSeq
-      case _ => Seq.empty
-    }
-    val sinks = p.path("sink") match {
-      case n if n.isArray => n.elements().asScala.flatMap { e =>
+    }.getOrElse(Seq.empty)
+    val sinks = arrayOrAbsent(p.path("sink"), "sink").map {
+      _.elements().asScala.flatMap { e =>
         val os = e.path("opensearch")
         if (os.isMissingNode) None
         else {
           val idx = os.path("index")
           require(idx.isTextual,
             s"opensearch sink without an 'index': $e")
-          val rs = os.path("routes") match {
-            case r if r.isArray =>
-              r.elements().asScala.map(_.asText).toSeq
-            case _ => Seq.empty
-          }
+          val rs = arrayOrAbsent(os.path("routes"),
+              s"sink '${idx.asText}' routes")
+            .map(_.elements().asScala.map(_.asText).toSeq)
+            .getOrElse(Seq.empty)
           Some(Sink(idx.asText, rs))
         }
       }.toSeq
-      case _ => Seq.empty
-    }
-    val processors = p.path("processor") match {
-      case n if n.isArray => n.elements().asScala.map { e =>
+    }.getOrElse(Seq.empty)
+    val processors = arrayOrAbsent(p.path("processor"), "processor").map {
+      _.elements().asScala.map { e =>
         val fields = e.properties().asScala.toSeq
         require(fields.size == 1,
           s"processor entry must be one type mapping: $e")
@@ -250,8 +259,7 @@ object PipelineConfig {
             s"unsupported processor '$other'")
         }
       }.toSeq
-      case _ => Seq.empty
-    }
+    }.getOrElse(Seq.empty)
     Config(sourcePath, routes, sinks, processors)
   }
 }

@@ -231,4 +231,34 @@ class PipelineConfigSpec extends SparkTestBase {
       PipelineConfig.parse("nothing: here")
     }
   }
+
+  test("a present-but-malformed routes/route/processor block fails fast, never silently degrades") {
+    // the dangerous one: a scalar `routes:` would silently turn a
+    // ROUTED sink into a catch-all, landing records in the wrong index
+    assertThrows[IllegalArgumentException] {
+      PipelineConfig.parse(
+        """p:
+          |  route:
+          |    - a: '/k == "x"'
+          |  sink:
+          |    - opensearch:
+          |        index: "i"
+          |        routes: a
+          |""".stripMargin)
+    }
+    // a mis-shaped pipeline-level route block must not vanish
+    assertThrows[IllegalArgumentException] {
+      PipelineConfig.parse(
+        "p:\n  route:\n    a: '/k == \"x\"'\n  sink: []\n")
+    }
+    // nor a mis-shaped processor chain
+    assertThrows[IllegalArgumentException] {
+      PipelineConfig.parse(
+        "p:\n  sink: []\n  processor:\n    date:\n      from_time_received: true\n")
+    }
+    // absent blocks still default cleanly (the logs pipeline's shape)
+    val ok = PipelineConfig.parse("p:\n  sink:\n    - opensearch:\n        index: \"i\"\n")
+    assert(ok.routes.isEmpty && ok.processors.isEmpty &&
+      ok.sinks == Seq(PipelineConfig.Sink("i", Seq.empty)))
+  }
 }

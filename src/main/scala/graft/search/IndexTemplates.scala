@@ -162,6 +162,11 @@ object IndexTemplates {
     def underMap(path: String): Option[String] =
       mapRoots.find(r => path.startsWith(r + "."))
 
+    // a declared enabled:false subtree absorbs every frame path under
+    // it (ES stores but never indexes the children — any shape is fine)
+    val unmappedRoots = t.fields.collect {
+      case FieldMapping(p, "unmapped") => p
+    }
     val frameFindings = frame.map { case (p, dt) =>
       declared.get(p) match {
         case Some(es) if compatible(es, dt) =>
@@ -172,12 +177,17 @@ object IndexTemplates {
             t.fields.exists(_.path.startsWith(p + ".")) =>
           // the subtree-covering map: one Ok row for the root
           Finding(p, Ok, Some("object"), Some(dt.simpleString))
+        case None if unmappedRoots.exists(r => p.startsWith(r + ".")) =>
+          Finding(p, Ok, Some("unmapped"), Some(dt.simpleString))
         case None => Finding(p, Undeclared, None, Some(dt.simpleString))
       }
     }
     val missing = t.fields.collect {
       case FieldMapping(p, es)
-          if !frameByPath.contains(p) && underMap(p).isEmpty =>
+          if !frameByPath.contains(p) && underMap(p).isEmpty &&
+            // an unmapped root carried as a frame STRUCT surfaces only
+            // its children in the flattened view — present, not missing
+            !frame.exists(_._1.startsWith(p + ".")) =>
         Finding(p, MissingInFrame, Some(es), None)
     }
     frameFindings ++ missing
@@ -210,11 +220,14 @@ object IndexTemplates {
         val name = e.getKey
         val node = e.getValue
         val path = if (prefix.isEmpty) name else s"$prefix.$name"
-        if (node.has("properties")) walk(node.path("properties"), path)
-        else if (node.path("enabled").isBoolean &&
+        // enabled:false wins over properties: ES stores the whole
+        // subtree in _source but indexes none of it — one unmapped
+        // field at the root, children never walked
+        if (node.path("enabled").isBoolean &&
             !node.path("enabled").asBoolean) {
           fields += FieldMapping(path, "unmapped")
-        } else {
+        } else if (node.has("properties")) walk(node.path("properties"), path)
+        else {
           val t = node.path("type")
           require(t.isTextual, s"mapping leaf '$path' has no type")
           sparkType(t.asText()) // validate at parse

@@ -124,6 +124,23 @@ class IndexTemplatesSpec extends AnyFunSuite {
     assert(compatible("date", StringType) && compatible("date", LongType))
   }
 
+  test("an enabled:false OBJECT is one unmapped subtree: children never walked, any frame shape absorbed") {
+    val t = IndexTemplates.parse(
+      """{"index_patterns":["x*"],"template":{"mappings":{"properties":{
+        |"ctx":{"enabled":false,"properties":{"a":{"type":"long"}}},
+        |"id":{"type":"keyword"}}}}}""".stripMargin)
+    // ES stores ctx.* in _source but indexes none of it — one field
+    assert(t.fields.map(f => f.path -> f.esType) ==
+      Seq("ctx" -> "unmapped", "id" -> "keyword"))
+    // a frame carrying ANY structure under ctx conforms
+    val schema = StructType(Seq(
+      StructField("ctx", StructType(Seq(
+        StructField("a", StringType), StructField("b", BooleanType)))),
+      StructField("id", StringType)))
+    val report = conformance(schema, t)
+    assert(report.forall(_.status == Ok), report.filterNot(_.status == Ok))
+  }
+
   test("malformed templates fail fast") {
     assertThrows[IllegalArgumentException] {
       IndexTemplates.parse("""{"template":{"mappings":{"properties":{}}}}""")

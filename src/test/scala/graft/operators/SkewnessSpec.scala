@@ -54,6 +54,29 @@ class SkewnessSpec extends SparkTestBase {
     assert(s4.getAs[Timestamp]("metricTime") == ts("2026-01-01 00:00:13"))
   }
 
+  test("random groups: operator == serial identity form == reference's per-task form") {
+    val rnd = new scala.util.Random(66L)
+    (1 to 25).foreach { trial =>
+      val rows = Seq.fill(1 + rnd.nextInt(60))((
+        rnd.nextInt(5).toLong,
+        // mix tight clusters and wild outliers, incl. all-equal groups
+        if (rnd.nextInt(4) == 0) 5000L else rnd.nextLong(100000000L)))
+      val got = Skewness.relativeSkew(rows.toDF("g", "v"), Seq("g"), Seq("v"))
+        .select($"g", $"v_skewness").as[(Long, Double)].collect().toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val vs = grp.map(_._2)
+        val avg = vs.sum.toDouble / vs.length // exact: Σ < 2^53
+        val range = if (vs.max == vs.min) 1.0 else (vs.max - vs.min).toDouble
+        // the operator's algebraic identity, evaluated serially
+        val identity = math.max(vs.max - avg, avg - vs.min) / range
+        // the reference's per-task form (CustomMetricsListener.scala:163)
+        val perTask = vs.map(x => math.abs(x - avg) / range).max
+        assert(got(g) == identity, s"trial $trial g=$g operator vs identity")
+        assert(identity == perTask, s"trial $trial g=$g identity vs per-task")
+      }
+    }
+  }
+
   test("skew is within [0,1] for arbitrary data (property)") {
     val df = spark.range(0, 1000)
       .select(

@@ -11,10 +11,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * engine-side analog of the reference's signed-HTTP observability
   * client (source/collector/.../ObservabilityClient.scala:160-201),
   * which classifies responses into retryable (throttle / 5xx) and
-  * non-retryable (other 4xx) before its backoff loop. The signing
-  * step is deployment-specific (no network in this environment);
-  * everything around it — chunking, classification, retry envelope,
-  * exactly-once composition — is real:
+  * non-retryable (other 4xx) before its backoff loop. Everything the
+  * reference's client does around the AWS SDK — chunking,
+  * classification, retry envelope, request signing, a bounded
+  * connection pool, exactly-once composition — has a real counterpart
+  * here:
   *
   *  - each PARTITION posts its own rows in bounded chunks, so delivery
   *    parallelism scales with the executor count and no executor ever
@@ -22,6 +23,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - every chunk rides [[Pipelines.withRetries]] (initial 5 s, ×2,
   *    capped 60 s, 5 retries — the reference's envelope) with
   *    [[HttpDelivery.isRetryable]] as the classifier;
+  *  - requests are SIGNED through a pluggable [[RequestSigner]] — the
+  *    generic form of the reference's SigV4 step
+  *    (ObservabilityClient.scala:55-56,62-73: `Aws4Signer.create`,
+  *    signing name "osis", applied to the fully-built request before
+  *    send). The signer runs INSIDE the retry loop, so a signer that
+  *    embeds freshness (a timestamp/nonce) re-signs every attempt,
+  *    exactly like re-building `signedRequest` per call. [[hmacSigner]]
+  *    is the batteries-included HMAC-SHA256 implementation (public
+  *    construction — keyed hash of the body, hex-encoded) for
+  *    shared-secret receivers; cloud deployments plug their SDK's
+  *    signer as a closure without this module knowing about it;
+  *  - `maxConnections` bounds delivery concurrency toward the sink —
+  *    the reference caps its Apache client pool at 4 connections
+  *    (ObservabilityClient.scala:60-63, `maxConnections(4)`). Here one
+  *    running partition holds at most one connection (posts are
+  *    sequential within a partition), so coalescing the batch to
+  *    ≤ `maxConnections` partitions enforces the same politeness knob
+  *    cluster-wide: at 1000 executors an unbounded `foreachPartition`
+  *    would open 1000 concurrent streams against the receiver;
   *  - [[sink]] wraps delivery in `foreachBatch`, which is at-least-once
   *    on failure/restart — compose with the upstream
   *    `dropDuplicatesWithinWatermark` delivery dedup
@@ -37,6 +57,39 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    deterministic for a given partitioning).
   */
 object HttpDelivery {
+
+  /** Pluggable request authentication: given the target URL, the exact
+    * body bytes about to be sent, and the headers assembled so far,
+    * return the headers to send (typically the input plus a signature).
+    * Must be serializable — it crosses the closure boundary into
+    * executors. Invoked once per ATTEMPT (inside the retry loop), so
+    * freshness-sensitive signatures stay valid across backoff sleeps.
+    */
+  type RequestSigner = (String, Array[Byte], Map[String, String]) => Map[String, String]
+
+  /** The identity signer: headers pass through unsigned. */
+  val noSigner: RequestSigner = (_, _, headers) => headers
+
+  /** Shared-secret HMAC-SHA256 request signer — the generic stand-in
+    * for the reference's SigV4 signing step. Adds
+    * `X-Graft-Key-Id: <keyId>` and
+    * `X-Graft-Signature: <hex hmac-sha256(secret, body)>`; a receiver
+    * holding the secret recomputes the MAC over the received body and
+    * rejects mismatches. Signing covers the body (the payload a
+    * tampering proxy could alter); swap in a closure over your SDK's
+    * signer for header/canonical-request schemes like SigV4.
+    */
+  def hmacSigner(keyId: String, secret: Array[Byte]): RequestSigner =
+    (_, body, headers) => headers +
+      ("X-Graft-Key-Id" -> keyId) +
+      ("X-Graft-Signature" -> hmacSha256Hex(secret, body))
+
+  /** Hex HMAC-SHA256 — JDK javax.crypto only, no dependency. */
+  def hmacSha256Hex(secret: Array[Byte], body: Array[Byte]): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret, "HmacSHA256"))
+    mac.doFinal(body).map("%02x".format(_)).mkString
+  }
 
   /** Non-2xx response, carrying the status for classification. */
   final class HttpStatusException(val code: Int, msg: String)
@@ -88,6 +141,7 @@ object HttpDelivery {
   /** Post an iterator of JSON rows as newline-delimited chunks of at
     * most `maxPerPost`, each chunk inside the retry envelope. Returns
     * rows posted. Runs on the executor — this is the per-partition body.
+    * The signer runs per attempt, inside the retried thunk.
     */
   def postJsonLines(
       url: String,
@@ -97,12 +151,13 @@ object HttpDelivery {
       maxRetries: Int = 5,
       initialBackoffMs: Long = 5000L,
       capMs: Long = 60000L,
-      sleep: Long => Unit = Thread.sleep): Long = {
+      sleep: Long => Unit = Thread.sleep,
+      sign: RequestSigner = noSigner): Long = {
     var n = 0L
     rows.grouped(maxPerPost).foreach { chunk =>
       val body = chunk.mkString("\n").getBytes(UTF_8)
       Pipelines.withRetries(maxRetries, initialBackoffMs, capMs, isRetryable,
-        sleep)(post(url, body, headers))
+        sleep)(post(url, body, sign(url, body, headers)))
       n += chunk.size
     }
     n
@@ -111,7 +166,12 @@ object HttpDelivery {
   /** Deliver one (micro-)batch: JSON-serialize and post per partition.
     * `batchId` rides the `X-Graft-Batch` header so an idempotent
     * receiver can drop whole-batch replays (foreachBatch re-runs a
-    * failed batch with the SAME id).
+    * failed batch with the SAME id). `maxConnections > 0` coalesces the
+    * batch to that many partitions first, bounding concurrent requests
+    * against the receiver to at most that many (the reference's
+    * `maxConnections(4)` pool cap); 0 leaves the batch's own
+    * partitioning — delivery concurrency then scales with the executor
+    * count, which only an unbounded receiver should accept.
     */
   def deliver(
       df: DataFrame,
@@ -121,12 +181,15 @@ object HttpDelivery {
       maxRetries: Int = 5,
       initialBackoffMs: Long = 5000L,
       capMs: Long = 60000L,
-      sleep: Long => Unit = Thread.sleep): Unit = {
+      sleep: Long => Unit = Thread.sleep,
+      sign: RequestSigner = noSigner,
+      maxConnections: Int = 0): Unit = {
     val headers = Map("X-Graft-Batch" -> batchId.toString)
-    val json: Dataset[String] = df.toJSON
+    val src = if (maxConnections > 0) df.coalesce(maxConnections) else df
+    val json: Dataset[String] = src.toJSON
     json.foreachPartition { (it: Iterator[String]) =>
       postJsonLines(url, it, maxPerPost, headers, maxRetries,
-        initialBackoffMs, capMs, sleep)
+        initialBackoffMs, capMs, sleep, sign)
       ()
     }
   }
@@ -144,11 +207,13 @@ object HttpDelivery {
       maxRetries: Int = 5,
       initialBackoffMs: Long = 5000L,
       capMs: Long = 60000L,
-      sleep: Long => Unit = Thread.sleep): StreamingQuery =
+      sleep: Long => Unit = Thread.sleep,
+      sign: RequestSigner = noSigner,
+      maxConnections: Int = 0): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         deliver(batch, url, id, maxPerPost, maxRetries,
-          initialBackoffMs, capMs, sleep)
+          initialBackoffMs, capMs, sleep, sign, maxConnections)
       }
       .option("checkpointLocation", checkpointLocation)
       .trigger(if (availableNow) Trigger.AvailableNow()

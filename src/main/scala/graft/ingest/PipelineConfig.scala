@@ -43,11 +43,30 @@ import org.apache.spark.sql.functions._
   */
 object PipelineConfig {
 
-  /** One named route condition: `name: '/field op "value"'`. */
+  /** Resolve a JSON-pointer field stepwise: the first segment is a
+    * (backtick-quoted) top-level column, every further segment an
+    * extraction — struct field OR map key — so a pointer into a
+    * `map<string,...>` column, or one whose key contains a literal dot
+    * (the reference dev pipeline's dormant grok key
+    * `contextData/map/mdc.taskName`, deployment/dev/pipelines.yaml),
+    * addresses correctly where a single dotted `col()` cannot.
+    */
+  private[ingest] def resolvePointer(pointer: String): Column = {
+    val segs = pointer.stripPrefix("/").split('/')
+    segs.tail.foldLeft(col(s"`${segs.head}`"))(_.apply(_))
+  }
+
+  /** One named route condition: `name: '/field op "value"'`. `field`
+    * is dot-joined (the historical storage form); [[predicate]]
+    * resolves it segment-by-segment, so a pointer step into a map
+    * column works — the one shape this form cannot express is a route
+    * key with a LITERAL dot (grok, which keeps the raw pointer, can).
+    */
   final case class Route(name: String, field: String, op: String,
       value: Either[String, Double]) {
     def predicate: Column = {
-      val c = col(field)
+      val segs = field.split('.')
+      val c = segs.tail.foldLeft(col(s"`${segs.head}`"))(_.apply(_))
       val v = value.fold(lit, lit)
       op match {
         case "==" => c === v
@@ -96,7 +115,9 @@ object PipelineConfig {
         case (d, DeleteEntries(keys)) => Transforms.dropFields(d, keys: _*)
         case (d, Grok(field, pattern)) =>
           val (rx, names) = grokToRegex(pattern)
-          val src = col(field.replace('/', '.'))
+          // stepwise pointer resolution: grok keeps the RAW pointer, so
+          // map keys and dotted names (mdc.taskName) address correctly
+          val src = resolvePointer(field)
           names.zipWithIndex.foldLeft(d) { case (dd, (n, i)) =>
             dd.withColumn(n,
               when(src.rlike(rx), regexp_extract(src, rx, i + 1)))

@@ -382,6 +382,15 @@ object Pipelines {
       conf: Config,
       schema: org.apache.spark.sql.types.StructType,
       now: Option[java.sql.Timestamp] = None): Seq[StreamingQuery] = {
+    // output path AND checkpoint dir derive from the index name — two
+    // sinks declaring the same index would silently share a checkpoint
+    // (each query would steal the other's offsets); fail fast instead
+    val dup = pipeline.sinks.groupBy(_.index).collect {
+      case (idx, ss) if ss.size > 1 => idx
+    }
+    require(dup.isEmpty,
+      s"pipeline declares duplicate sink index(es): ${dup.mkString(", ")}" +
+        " — sink paths and checkpoints are keyed by index name")
     val session = sessionFor(spark, conf)
     pipeline.routedFrames(
       pipeline.applyProcessors(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Co-occurrence edge construction — the shared first stage of every
@@ -13,15 +13,36 @@ import org.apache.spark.sql.functions._
   * operator's semantics either way); what changes is that no join and
   * no second fact exchange ever happens. Groups here are orders
   * (k ≲ 10); at 100 TB a pathological group caps the same way it
-  * would cap the self-join — guard upstream if k can be huge.
+  * would cap the self-join — `maxGroupSize` makes that caller promise
+  * CHECKABLE: set it and a group past the cap fails the job with the
+  * offending key in the message (a C(k,2) explosion inside one task is
+  * the failure you want loudly, not as a straggler), the same
+  * make-the-precondition-explicit move as LabelProp's
+  * `distinctCanonicalEdges` flag. Default None preserves the unchecked
+  * contract for callers whose k is structurally bounded.
   */
 object Edges {
 
+  /** Inline group-cardinality guard: the member array passes through
+    * when within the cap, else the row raises with the group key. The
+    * guard lives IN the data path (a CASE over the exploded array), so
+    * column pruning can never optimize it away.
+    */
+  private def guarded(keyCol: String, maxGroupSize: Option[Int]): Column =
+    maxGroupSize.fold(col("__vs"))(m =>
+      when(size(col("__vs")) > m, raise_error(concat(
+        lit("Edges: group "), col(keyCol).cast("string"),
+        lit(" has "), size(col("__vs")).cast("string"),
+        lit(s" members, exceeding maxGroupSize=$m — pair explosion is " +
+          "C(k,2) in one task; filter or split the hot group upstream"))))
+        .otherwise(col("__vs")))
+
   private def pairsPerGroup(df: DataFrame, keyCol: String,
-      valCol: String): DataFrame =
+      valCol: String, maxGroupSize: Option[Int]): DataFrame =
     df.groupBy(col(keyCol))
       .agg(array_sort(collect_set(col(valCol).cast("long"))).as("__vs"))
       .filter(size(col("__vs")) >= 2) // sequence() steps DOWN below 2
+      .withColumn("__vs", guarded(keyCol, maxGroupSize))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(__vs) - 2), i ->
           |  transform(sequence(i + 1, size(__vs) - 1), j ->
@@ -32,15 +53,16 @@ object Edges {
   /** Distinct undirected edges (a < b): members co-occurring in at
     * least one group.
     */
-  def coOccurrence(df: DataFrame, keyCol: String, valCol: String): DataFrame =
-    pairsPerGroup(df, keyCol, valCol).distinct()
+  def coOccurrence(df: DataFrame, keyCol: String, valCol: String,
+      maxGroupSize: Option[Int] = None): DataFrame =
+    pairsPerGroup(df, keyCol, valCol, maxGroupSize).distinct()
 
   /** Undirected edges with their co-occurrence count (number of
     * groups containing both endpoints).
     */
   def coOccurrenceCounts(df: DataFrame, keyCol: String,
-      valCol: String): DataFrame =
-    pairsPerGroup(df, keyCol, valCol)
+      valCol: String, maxGroupSize: Option[Int] = None): DataFrame =
+    pairsPerGroup(df, keyCol, valCol, maxGroupSize)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
 
   /** Every LINE pair (a < b) within a group, duplicates preserved —
@@ -51,10 +73,12 @@ object Edges {
     * k lines of one group contributes k copies of each of its pairs,
     * exactly like the self-join it replaces.
     */
-  def linePairs(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+  def linePairs(df: DataFrame, keyCol: String, valCol: String,
+      maxGroupSize: Option[Int] = None): DataFrame =
     df.groupBy(col(keyCol))
       .agg(collect_list(col(valCol).cast("long")).as("__vs"))
       .filter(size(col("__vs")) >= 2)
+      .withColumn("__vs", guarded(keyCol, maxGroupSize))
       .select(explode(expr(
         """flatten(transform(__vs, x ->
           |  filter(transform(__vs, y ->
@@ -70,11 +94,12 @@ object Edges {
     * aggregate downstream (the adjacency takes min per edge).
     */
   def weightedPairs(df: DataFrame, keyCol: String, valCol: String,
-      wCol: String): DataFrame =
+      wCol: String, maxGroupSize: Option[Int] = None): DataFrame =
     df.groupBy(col(keyCol))
       .agg(collect_list(struct(col(valCol).cast("long").as("v"),
         col(wCol).cast("long").as("q"))).as("__vs"))
       .filter(size(col("__vs")) >= 2)
+      .withColumn("__vs", guarded(keyCol, maxGroupSize))
       .select(explode(expr(
         """flatten(transform(__vs, x ->
           |  filter(transform(__vs, y ->

@@ -68,10 +68,20 @@ object PrefixSum {
     * the output (plus `outCol`/`totalCol`) — other input columns are
     * dropped up front, so the internal temp names can never collide
     * with caller columns.
+    *
+    * CALLER CONTRACT on `keyCols`: the per-(key, bucket) offsets frame
+    * is up to |keys|×(buckets+1) rows and is BROADCAST back by default
+    * — keyed callers must have pruned/bounded key cardinality (the
+    * SavedObjects callers are bounded by terms pruning). For an
+    * unbounded key domain pass `broadcastOffsets = false`: the offsets
+    * join falls back to the planner (AQE still broadcasts when the
+    * frame turns out small, shuffles on (keys, bucket) when it
+    * doesn't — both sides hash the same compound key, no hot task).
     */
   def valueDomainCumsum(counts: DataFrame, valueCol: String, weightCol: String,
       outCol: String, totalCol: String, buckets: Int = 1024,
-      keyCols: Seq[String] = Seq.empty): DataFrame = {
+      keyCols: Seq[String] = Seq.empty,
+      broadcastOffsets: Boolean = true): DataFrame = {
     val keep = keyCols ++ Seq(valueCol, weightCol)
     val reserved = Set("__lo", "__hi", "__bk", "__off", "__bt")
     require(keep.toSet.intersect(reserved).isEmpty &&
@@ -98,7 +108,7 @@ object PrefixSum {
       sum(col("__bt")).over(
         woff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .as(totalCol)): _*)
-    bucketed.join(broadcast(off), joinKeys)
+    bucketed.join(if (broadcastOffsets) broadcast(off) else off, joinKeys)
       .withColumn(outCol, (col("__off") + sum(w).over(
         Window.partitionBy(joinKeys.map(col): _*).orderBy(v)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -195,11 +195,17 @@ object IndexTemplates {
 
   /** The template governing `indexName`, smallest matching pattern
     * first for determinism (mirrors [[SavedObjects]]' table routing).
+    * The tie-break key is the smallest pattern that actually MATCHES
+    * the index name — a multi-pattern template must not win the route
+    * on the strength of a pattern that didn't match (its `.min` over
+    * ALL patterns could be an unrelated low-sorting glob).
     */
   def templateFor(templates: Seq[IndexTemplate],
       indexName: String): Option[IndexTemplate] =
     templates.filter(_.governs(indexName))
-      .sortBy(_.patterns.min).headOption
+      .sortBy(_.patterns.filter(
+        SavedObjects.indexTitleMatches(_, indexName)).min)
+      .headOption
 
   /** Parse one `_index_template` JSON document (the bootstrap files'
     * exact shape: `index_patterns` + `template.{mappings,settings}`).

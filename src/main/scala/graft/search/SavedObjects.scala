@@ -230,15 +230,19 @@ object SavedObjects {
     }
 
   /** The range's span in milliseconds — `now − (now − interval)` with
-    * calendar-aware month/year subtraction at UTC, matching what
-    * Spark's `timestamp − INTERVAL` computes under the UTC session
-    * timezone (both clamp to the last day of a short month). This is
-    * what lets an auto panel with a saved timeRange pick its ladder
-    * rung by PURE ARITHMETIC instead of a min/max data scan.
+    * calendar-aware month/year subtraction in `zone`, matching what
+    * Spark's `timestamp − INTERVAL` computes under that SESSION
+    * timezone (both clamp to the last day of a short month — and the
+    * clamp depends on which local date `now` falls on, so the zone must
+    * be the session's, not hard-coded UTC, or a non-UTC session near
+    * end-of-month could flip the auto ladder rung the composed filter
+    * doesn't). This is what lets an auto panel with a saved timeRange
+    * pick its ladder rung by PURE ARITHMETIC instead of a min/max scan.
     */
-  private[search] def rangeSpanMs(now: java.sql.Timestamp, r: RelRange): Long = {
+  private[search] def rangeSpanMs(now: java.sql.Timestamp, r: RelRange,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Long = {
     val to = now.toInstant
-    val z = java.time.ZonedDateTime.ofInstant(to, java.time.ZoneOffset.UTC)
+    val z = java.time.ZonedDateTime.ofInstant(to, zone)
     val from = (r.unit match {
       case "second" => z.minusSeconds(r.n)
       case "minute" => z.minusMinutes(r.n)
@@ -633,9 +637,15 @@ object SavedObjects {
                 case Some(r) =>
                   // the saved window's span picks the rung by pure
                   // arithmetic — zero scans (the min/max scan stays
-                  // only as the no-timeRange fallback)
+                  // only as the no-timeRange fallback); span computed
+                  // in the SESSION timezone so it agrees with the
+                  // composed `now − INTERVAL` filter's clamping
+                  val zone = java.time.ZoneId.of(
+                    df.sparkSession.conf.get("spark.sql.session.timeZone"),
+                    java.time.ZoneId.SHORT_IDS)
                   graft.operators.DateHistogram.autoInterval(
-                    java.time.Duration.ofMillis(rangeSpanMs(nowTs, r))) match {
+                    java.time.Duration.ofMillis(
+                      rangeSpanMs(nowTs, r, zone))) match {
                     case Left(sec) => Left(sec * 1000L)
                     case Right(unit) => Right(unit)
                   }

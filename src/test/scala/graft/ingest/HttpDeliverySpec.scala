@@ -29,25 +29,39 @@ class HttpDeliverySpec extends SparkTestBase {
     */
   private final class Stub {
     val bodies = new ConcurrentLinkedQueue[(String, String)]()
+    // (keyId header, signature header, body) of each SUCCESSFUL request
+    val sigs = new ConcurrentLinkedQueue[(String, String, String)]()
     val requests = new AtomicInteger(0)
+    val inFlight = new AtomicInteger(0)
+    val maxInFlight = new AtomicInteger(0)
     @volatile var failFirst = 0
     @volatile var failCode = 503
+    @volatile var handlerDelayMs = 0L
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/ingest", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
+      override def handle(ex: HttpExchange): Unit = try {
+        val cur = inFlight.incrementAndGet()
+        maxInFlight.getAndUpdate(m => math.max(m, cur))
+        if (handlerDelayMs > 0) Thread.sleep(handlerDelayMs)
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val n = requests.incrementAndGet()
         if (n <= failFirst) {
           ex.sendResponseHeaders(failCode, -1)
         } else {
           bodies.add((ex.getRequestHeaders.getFirst("X-Graft-Batch"), body))
+          Option(ex.getRequestHeaders.getFirst("X-Graft-Signature"))
+            .foreach(sig => sigs.add(
+              (ex.getRequestHeaders.getFirst("X-Graft-Key-Id"), sig, body)))
           val ok = "ok".getBytes(UTF_8)
           ex.sendResponseHeaders(200, ok.length)
           ex.getResponseBody.write(ok)
         }
         ex.close()
-      }
+      } finally inFlight.decrementAndGet()
     })
+    // a concurrent executor so the in-flight gauge measures the CLIENT's
+    // concurrency, not the default single dispatcher thread's
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
     server.start()
     val url = s"http://127.0.0.1:${server.getAddress.getPort}/ingest"
     def stop(): Unit = server.stop(0)
@@ -146,6 +160,53 @@ class HttpDeliverySpec extends SparkTestBase {
         HttpDelivery.deliver(df, stub.url, initialBackoffMs = 1L, capMs = 1L)
       }
       assert(stub.requests.get() == 6)
+    }
+  }
+
+  test("hmac signing: the signature reaches the receiver, verifies against the body, survives retries") {
+    withStub { stub =>
+      stub.failFirst = 2 // two 503s force the signed POST through the retry loop
+      val secret = "graft-shared-secret".getBytes(UTF_8)
+      val df = (1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+        .coalesce(1)
+      HttpDelivery.deliver(df, stub.url, batchId = 7L, initialBackoffMs = 1L,
+        capMs = 2L, sign = HttpDelivery.hmacSigner("key-1", secret))
+      assert(stub.requests.get() == 3, "two retries then success")
+      val delivered = stub.sigs.asScala.toList
+      assert(delivered.nonEmpty, "signed request must reach the receiver")
+      delivered.foreach { case (keyId, sig, body) =>
+        assert(keyId == "key-1")
+        // receiver-side verification: recompute the MAC over the body
+        assert(sig == HttpDelivery.hmacSha256Hex(secret, body.getBytes(UTF_8)),
+          "signature must verify against the received body")
+      }
+      // batch header still rides alongside the signature headers
+      assert(stub.bodies.asScala.forall(_._1 == "7"))
+    }
+  }
+
+  test("maxConnections bounds concurrent in-flight requests at the receiver") {
+    withStub { stub =>
+      stub.handlerDelayMs = 120L
+      // 32 single-row posts across 16 partitions — unbounded delivery
+      // would run one connection per concurrently-running task
+      val df = (1 to 32).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+        .repartition(16)
+      HttpDelivery.deliver(df, stub.url, maxPerPost = 1,
+        initialBackoffMs = 1L, maxConnections = 2)
+      assert(stub.deliveredLines.size == 32, "cap must not drop rows")
+      assert(stub.maxInFlight.get() <= 2,
+        s"in-flight peaked at ${stub.maxInFlight.get()}, cap is 2")
+    }
+    withStub { stub =>
+      // control: the same workload UNCAPPED overlaps — proves the gauge
+      // measures real concurrency rather than passing vacuously
+      stub.handlerDelayMs = 120L
+      val df = (1 to 32).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+        .repartition(16)
+      HttpDelivery.deliver(df, stub.url, maxPerPost = 8, initialBackoffMs = 1L)
+      assert(stub.maxInFlight.get() >= 2,
+        s"control run never overlapped (max ${stub.maxInFlight.get()})")
     }
   }
 

@@ -2,6 +2,8 @@ package graft.ingest
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.struct
+
 import graft.SparkTestBase
 
 /** PipelineConfig: the Data Prepper YAML subset the reference's two
@@ -230,6 +232,56 @@ class PipelineConfigSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException] {
       PipelineConfig.parse("nothing: here")
     }
+  }
+
+  test("pointers resolve stepwise: map keys and dotted key names address correctly") {
+    // the reference dev pipeline's dormant grok field is a JSON pointer
+    // into a map<string,string> whose KEY contains a literal dot:
+    // 'contextData/map/mdc.taskName' (deployment/dev/pipelines.yaml) —
+    // a single dotted col() cannot address either hop
+    val df = Seq(
+      (1L, Map("mdc.taskName" -> "task 12.0 in stage 3.0 (TID 99)")),
+      (2L, Map("other" -> "x")))
+      .toDF("id", "map")
+      .select($"id", struct($"map").as("contextData"))
+    val cfg = PipelineConfig.Config(None, Seq.empty, Seq.empty, Seq(
+      PipelineConfig.Grok("contextData/map/mdc.taskName",
+        "task %{NOTSPACE:taskId} in stage %{NOTSPACE:stageId}")))
+    val out = cfg.applyProcessors(df)
+      .select($"id", $"taskId", $"stageId")
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, Some("12.0"), Some("3.0")),
+      (2L, None, None))) // missing map key → nulls, not a crash
+
+    // route conditions step into map columns too
+    val routed = PipelineConfig.Config(None,
+      Seq(PipelineConfig.parseCondition("m", "/contextData/map == \"y\"")),
+      Seq(PipelineConfig.Sink("s", Seq("m"))))
+    val mdf = Seq((1L, Map("map" -> "y")), (2L, Map("map" -> "n")), (3L, Map.empty[String, String]))
+      .toDF("id", "contextData")
+    assert(routed.routedFrames(mdf).head._2.select($"id")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("duplicate sink indexes fail fast in startConfigured (shared checkpoint hazard)") {
+    val cfg = PipelineConfig.parse(
+      "pipeline:\n  sink:\n" +
+        "    - opensearch:\n        index: same\n" +
+        "    - opensearch:\n        index: same\n")
+    val root = java.nio.file.Files.createTempDirectory("graft-dup-sink")
+    val conf = Pipelines.Config(
+      sourceDir = root.resolve("src").toString,
+      sinkRoot = root.resolve("tables").toString,
+      checkpointRoot = root.resolve("ckpt").toString,
+      availableNow = true)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.startConfigured(spark, cfg, conf, schema)
+    }
+    assert(e.getMessage.contains("same"))
   }
 
   test("a present-but-malformed routes/route/processor block fails fast, never silently degrades") {

@@ -57,6 +57,33 @@ class EdgesSpec extends SparkTestBase {
     assert(got.count(p => p._1 == 10L && p._2 == 20L) == 2)
   }
 
+  test("maxGroupSize guard: a hot group fails loudly with its key; under the cap results are unchanged") {
+    // one synthetic hot group (9 members) among normal ones
+    val hot = (1 to 9).map(v => (99L, v.toLong)) ++ Seq((1L, 10L), (1L, 20L))
+    val df = hot.toDF("k", "v")
+    val e = intercept[Exception] {
+      Edges.coOccurrence(df, "k", "v", maxGroupSize = Some(8)).count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(m =>
+          m.contains("maxGroupSize=8") && m.contains("group 99"))),
+      s"expected the offending key in the failure, got $e")
+    // a cap that admits every group is a no-op on results
+    assert(Edges.coOccurrence(df, "k", "v", maxGroupSize = Some(9))
+      .as[(Long, Long)].collect().toSet ==
+      Edges.coOccurrence(df, "k", "v").as[(Long, Long)].collect().toSet)
+    // linePairs/weightedPairs carry the same guard
+    assertThrows[Exception] {
+      Edges.linePairs(df, "k", "v", maxGroupSize = Some(8)).count()
+    }
+    val w = hot.map { case (k, v) => (k, v, 1L) }.toDF("k", "v", "q")
+    assertThrows[Exception] {
+      Edges.weightedPairs(w, "k", "v", "q", maxGroupSize = Some(8)).count()
+    }
+  }
+
   test("randomized differential: equals the brute-force self-join semantics") {
     val rnd = new scala.util.Random(20260814L)
     for (_ <- 1 to 10) {

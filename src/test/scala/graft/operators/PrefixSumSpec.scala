@@ -63,6 +63,17 @@ class PrefixSumSpec extends SparkTestBase {
     }
   }
 
+  test("keyed cumsum with broadcastOffsets=false (unbounded-keys fallback) is result-identical") {
+    val rows = Seq("a", "b", "c").flatMap { k =>
+      (1 to 20).map(i => (k, i * 7L - 40L, (i % 5).toLong))
+    }
+    def run(bcast: Boolean) = PrefixSum.valueDomainCumsum(
+        rows.toDF("k", "v", "w"), "v", "w", "cum", "tot",
+        buckets = 8, keyCols = Seq("k"), broadcastOffsets = bcast)
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(run(bcast = false) == run(bcast = true))
+  }
+
   test("valueDomainCumsum edges: single distinct value, reserved-name collision rejected") {
     val one = PrefixSum.valueDomainCumsum(
         Seq((7L, 3L)).toDF("v", "w"), "v", "w", "cum", "tot")

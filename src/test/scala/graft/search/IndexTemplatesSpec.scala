@@ -115,6 +115,26 @@ class IndexTemplatesSpec extends AnyFunSuite {
     assert(templateFor(ts, "unrelated-index").isEmpty)
   }
 
+  test("templateFor tie-breaks on the pattern that MATCHED, not a template's unrelated low-sorting glob") {
+    def tmpl(pats: String*) = IndexTemplates.parse(
+      s"""{"index_patterns": [${pats.map("\"" + _ + "\"").mkString(",")}],
+         | "template": {"mappings": {"properties": {}}}}""".stripMargin)
+    // both govern "zz9": t1 via "zz*", t2 via "z*". t1's NON-matching
+    // "aaa*" sorts below everything — the old all-patterns min would
+    // hand t1 the route on a pattern that didn't match; the matching
+    // min is t2's "z*".
+    val t1 = tmpl("aaa*", "zz*")
+    val t2 = tmpl("z*")
+    assert(IndexTemplates.templateFor(Seq(t1, t2), "zz9").get.patterns ==
+      Seq("z*"))
+    // determinism: argument order must not matter
+    assert(IndexTemplates.templateFor(Seq(t2, t1), "zz9").get.patterns ==
+      Seq("z*"))
+    // and t1 still wins names only it governs
+    assert(IndexTemplates.templateFor(Seq(t1, t2), "aaa7").get.patterns ==
+      Seq("aaa*", "zz*"))
+  }
+
   test("compatibility rules: arrays unwrap, unmapped accepts anything, narrowing rejects") {
     assert(compatible("long", ArrayType(LongType)))
     assert(compatible("text", ArrayType(StringType)))

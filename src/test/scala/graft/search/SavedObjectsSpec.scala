@@ -135,6 +135,31 @@ class SavedObjectsSpec extends SparkTestBase {
     assert(SavedObjects.parseTimeRange("now-5d", "now-1d").isEmpty)
   }
 
+  test("rangeSpanMs follows the SESSION timezone's end-of-month clamp, matching Spark's INTERVAL arithmetic") {
+    import org.apache.spark.sql.functions.{expr, lit, unix_millis}
+    // 2024-03-30T20:00Z is day 30 in UTC but already Mar 31, 01:00 in
+    // +05:00 — minusMonths clamps to Feb 29 from DIFFERENT days, so the
+    // spans disagree by a day between the zones. The rung selection
+    // must use the same zone as the composed `now − INTERVAL` filter.
+    val now = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-30T20:00:00Z"))
+    val r1 = SavedObjects.parseTimeRange("now-1M", "now").get
+    def sparkSpan(tz: String): Long = {
+      val old = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try spark.range(1).select(
+          (unix_millis(lit(now)) -
+            unix_millis(lit(now) - expr("INTERVAL 1 MONTH"))).as("s"))
+        .as[Long].head()
+      finally spark.conf.set("spark.sql.session.timeZone", old)
+    }
+    assert(sparkSpan("UTC") == 30L * 86400000L)
+    assert(sparkSpan("+05:00") == 31L * 86400000L) // the divergent case
+    assert(SavedObjects.rangeSpanMs(now, r1) == sparkSpan("UTC"))
+    assert(SavedObjects.rangeSpanMs(now, r1,
+      java.time.ZoneId.of("+05:00")) == sparkSpan("+05:00"))
+  }
+
   test("calendar-unit timeRange subtraction is calendar-aware on both sides") {
     // now = 2024-03-31: now-1M clamps to Feb 29 (leap), now-6M to Sep 30
     val now = java.sql.Timestamp.from(

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * [[KAnonymity.audit]] before running: an oversized block is both a
   * privacy smell and a join hot key (the same guard LSH gets from
   * `maxBucketSize`, and sorted-neighborhood from its fixed window).
+  *
+  * Blocking-key rule for growth (measured in the sf1 scale sweep): a
+  * FIXED-cardinality block key (nation: 25 values) makes candidate
+  * volume quadratic in SF — every 10× of corpus is 100× of pairs. Keep
+  * block cardinality scaling with the corpus, and harvest free keys
+  * from the SCORE ARITHMETIC first: any comparison field whose weight
+  * is necessary to reach `minScore` (the others cannot sum there
+  * without it) can move into `blockCols` with ZERO effect on the
+  * output — q118 folds its balance bucket in exactly this way.
   */
 object RecordLinkage {
 

@@ -1976,10 +1976,20 @@ object PipelineQueries {
       .orderBy($"item_a", $"item_b")
   }
 
-  // Record-linkage candidate scoring over customers: block on nation,
-  // weighted agreement on (segment, balance bucket, name suffix) with
-  // integer log-odds-style weights, threshold at 70. The oracle
-  // replays the blocked join and CASE-sum score.
+  // Record-linkage candidate scoring over customers: weighted agreement
+  // on (segment, balance bucket, name suffix) with integer
+  // log-odds-style weights, threshold at 70. The oracle replays the
+  // blocked join and CASE-sum score. Blocking is (nation, bal_b), not
+  // nation alone — EXACTLY result-preserving because the score
+  // arithmetic forces it: without bal_b's 40 the ceiling is
+  // seg+suffix = 60 < 70, so every qualifying pair shares bal_b. The
+  // sf1 scale sweep measured the difference: nation is a FIXED 25-value
+  // domain, so nation-only blocks grow linearly with SF and pair
+  // candidates quadratically (×30 on a 10× scale-up); folding the
+  // score-mandated bal_b into the block key multiplies block count by
+  // the bucket cardinality and keeps the same output. The general rule
+  // (RecordLinkage scaladoc): blocking cardinality must scale with the
+  // corpus — derive block keys from score-mandated fields first.
   def q118RecordLinkage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = Tables.customer(s, dir).select(
@@ -1987,7 +1997,7 @@ object PipelineQueries {
       $"c_mktsegment".as("seg"),
       floor($"c_acctbal" / 500.0).cast("long").as("bal_b"),
       substring($"c_name", -2, 2).as("suffix"))
-    graft.operators.RecordLinkage.scorePairs(c, "c_custkey", Seq("nat"),
+    graft.operators.RecordLinkage.scorePairs(c, "c_custkey", Seq("nat", "bal_b"),
         Seq(("seg", 30L), ("bal_b", 40L), ("suffix", 30L)), minScore = 70L)
       .orderBy($"id_a", $"id_b")
   }

@@ -1,109 +1,144 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-sweep data generator: replicate the driver testdata K× with
-  * shifted keys so every fact/dim relationship survives, producing an
-  * sf-N dataset for empirical scale points (the 100 TB claims rest on
-  * plan shape; this buys measured ones). Design:
+/** Scale-sweep data generator: replicate the driver testdata K× so
+  * every fact/dim relationship survives, producing an sf-N dataset for
+  * empirical scale points (the 100 TB claims rest on plan shape; this
+  * buys measured ones). Design — each choice here was validated by a
+  * first sweep whose artifacts it now avoids:
   *
   *  - `region`/`nation` stay fixed (TPC-H scaling convention — dims of
   *    bounded cardinality don't grow with SF).
-  *  - Every scaled table shifts its OWN keys and its FOREIGN keys by
-  *    `replica * KeyBase`, so each replica is an isomorphic, disjoint
-  *    copy: joins keep exactly the sf0.1 fan-out, the co-occurrence
-  *    graph becomes K disjoint components, group counts scale linearly.
-  *    That is the honest scale test — per-key densification would
-  *    instead quadratically inflate pair-explosion operators by
-  *    CONSTRUCTION and measure the synthetic skew, not the plan.
+  *  - Keys DENSIFY rather than shift: `k·factor + replica` maps the
+  *    0-based contiguous key domains onto a 0-based contiguous K×
+  *    domain. Equality joins keep exactly the sf0.1 fan-out (the same
+  *    transform applies to both sides of every FK), per-replica
+  *    subgraphs stay disjoint and isomorphic — and ARITHMETIC-derived
+  *    relations keep their closure: q128's `parent = partkey div 3`
+  *    hierarchy needs every quotient to be an existing key, which a
+  *    +10^8 shift breaks (the operator's dangling-pointer fail-fast
+  *    correctly rejected that first attempt) but a dense domain keeps.
   *  - Timestamps are left unchanged: the same span carries K× the
   *    events/day, which is how an observability workload actually
   *    scales (more executors, same wall-clock window).
-  *  - `documents.text` gets a per-replica token suffix (every
-  *    alphanumeric token `w` → `w z<i>`-joined, replica 0 verbatim) so
-  *    cross-replica near-dup similarity collapses while WITHIN-replica
-  *    shingle/minhash/simhash structure stays isomorphic — dedup work
-  *    scales linearly instead of exploding each LSH bucket K×
-  *    (pairs K²×). `n_chars` is recomputed to stay consistent.
-  *  - `embeddings.embedding` is rotated by `replica` positions —
-  *    rotation preserves norms and all WITHIN-replica dot products
-  *    (ANN/near-dup structure isomorphic) while cross-replica cosines
-  *    decorrelate.
+  *  - Text decorrelates by a PER-REPLICA SUBSTITUTION CIPHER
+  *    (alphabet/digit rotation via `translate`), not a token suffix: a
+  *    suffix leaves cross-replica tokens at edit distance 1 and sharing
+  *    most char n-grams, which quadratically exploded the fuzzy-join /
+  *    char-ngram / simhash families in the first sweep (×15–×120 on a
+  *    10× scale-up — all construction, no plan defect). A cipher keeps
+  *    every within-replica relation EXACTLY isomorphic (lengths, token
+  *    boundaries, equalities, hashes-modulo-renaming) while
+  *    cross-replica tokens differ in every character. Applied to
+  *    `documents.text` and to `c_name`/`s_name` (name-blocked linkage);
+  *    `props` stays verbatim (it is parsed as JSON, row-locally).
+  *  - `embeddings.embedding` decorrelates by a per-replica ±1 DIAGONAL
+  *    (hash-driven sign flips): within-replica dot products are
+  *    preserved EXACTLY (float·−1 is exact, D²=I), cross-replica
+  *    cosines cancel to ~0 even for smooth/structured vectors — which
+  *    defeated the first attempt's rotation (a smooth vector rotated by
+  *    a few positions stays nearly parallel to itself; ×70–×88).
+  *  - Each table lands as a SINGLE `<table>.parquet` FILE (written via
+  *    one task, then renamed), mirroring the driver layout — the
+  *    streaming-harness queries symlink `events.parquet` into a spool
+  *    as a file. Parquet files split by row group, so read parallelism
+  *    is unaffected.
   *
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
   */
 object ScaleUp {
 
-  /** Shift added per replica to every scaled key — far above any key in
-    * the source data (max observed ~6e5 at sf0.1) and small enough that
-    * factor·base products stay far from int64 limits in downstream
-    * query arithmetic (keys reach ~1e9 at factor 10; queries multiply
-    * keys by small constants only).
+  private def dense(c: String, factor: Int, i: Int) =
+    (col(c) * factor + lit(i)).as(c)
+
+  /** Per-replica substitution cipher: rotate a-z, A-Z and 0-9 each by
+    * `i` positions. Replica 0 is the identity (verbatim source text).
     */
-  val KeyBase = 100000000L
+  private def cipher(c: Column, i: Int): Column =
+    if (i == 0) c
+    else {
+      def rot(s: String, n: Int) = s.drop(n % s.length) + s.take(n % s.length)
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val digit = "0123456789"
+      translate(c, lower + upper + digit,
+        rot(lower, i) + rot(upper, i) + rot(digit, i))
+    }
+
+  /** Per-replica ±1 diagonal over a float array: sign of element j in
+    * replica i is hash-driven — deterministic, norm-preserving, exact.
+    */
+  private def signFlip(c: String, i: Int): Column =
+    if (i == 0) col(c)
+    else expr(s"transform($c, (x, j) -> IF(pmod(hash(j, $i), 2) = 0, x, -x))")
 
   private def replicate(df: DataFrame, factor: Int)(
       one: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(i => one(df, i)).reduce(_ unionByName _)
 
-  private def shift(c: String, i: Int) =
-    (col(c) + lit(i * KeyBase)).as(c)
-
   def scale(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$out/$t.parquet")
+    // single-file layout: write through one task, rename the part file
+    // to <out>/<t>.parquet (the testdata layout the harnesses expect)
+    def write(df: DataFrame, t: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = s"$out/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(
+        _.toString.endsWith(".parquet")).findFirst().get()
+      Files.createDirectories(Paths.get(out))
+      Files.move(part, Paths.get(s"$out/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    def d(c: String, i: Int) = dense(c, factor, i)
 
-    // fixed dims: straight copies
-    Seq("region", "nation").foreach(t => write(read(t), t, 1))
+    Seq("region", "nation").foreach(t => write(read(t), t))
 
-    write(replicate(read("customer"), factor)((d, i) =>
-      d.select(shift("c_custkey", i), col("c_name"), col("c_nationkey"),
-        col("c_acctbal"), col("c_mktsegment"))), "customer", 4)
+    write(replicate(read("customer"), factor)((df, i) =>
+      df.select(d("c_custkey", i), cipher(col("c_name"), i).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))),
+      "customer")
 
-    write(replicate(read("supplier"), factor)((d, i) =>
-      d.select(shift("s_suppkey", i), col("s_name"), col("s_nationkey"),
-        col("s_acctbal"))), "supplier", 1)
+    write(replicate(read("supplier"), factor)((df, i) =>
+      df.select(d("s_suppkey", i), cipher(col("s_name"), i).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))), "supplier")
 
-    write(replicate(read("part"), factor)((d, i) =>
-      d.select(shift("p_partkey", i), col("p_name"), col("p_brand"),
-        col("p_type"), col("p_size"), col("p_retailprice"))), "part", 4)
+    write(replicate(read("part"), factor)((df, i) =>
+      df.select(d("p_partkey", i), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))), "part")
 
-    write(replicate(read("orders"), factor)((d, i) =>
-      d.select(shift("o_orderkey", i), shift("o_custkey", i),
+    write(replicate(read("orders"), factor)((df, i) =>
+      df.select(d("o_orderkey", i), d("o_custkey", i),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-        col("o_orderpriority"))), "orders", 8)
+        col("o_orderpriority"))), "orders")
 
-    write(replicate(read("lineitem"), factor)((d, i) =>
-      d.select(shift("l_orderkey", i), shift("l_partkey", i),
-        shift("l_suppkey", i), col("l_linenumber"), col("l_quantity"),
+    write(replicate(read("lineitem"), factor)((df, i) =>
+      df.select(d("l_orderkey", i), d("l_partkey", i),
+        d("l_suppkey", i), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))),
-      "lineitem", 32)
+      "lineitem")
 
     // events.user_id lives in the c_custkey domain (q235's join) —
-    // shift it with the customers
-    write(replicate(read("events"), factor)((d, i) =>
-      d.select(shift("event_id", i), col("ts"), shift("user_id", i),
-        col("event_type"), col("value"), col("props"))), "events", 16)
+    // densify it with the customers; props stays verbatim (parsed as
+    // JSON row-locally, never pair-joined)
+    write(replicate(read("events"), factor)((df, i) =>
+      df.select(d("event_id", i), col("ts"), d("user_id", i),
+        col("event_type"), col("value"), col("props"))), "events")
 
-    write(replicate(read("documents"), factor) { (d, i) =>
-      val text =
-        if (i == 0) col("text")
-        else regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1z$i")
-      d.select(shift("doc_id", i), text.as("text"), col("lang"),
-        col("source"), length(text).cast("long").as("n_chars"))
-    }, "documents", 8)
+    // the cipher preserves length, so n_chars stays consistent
+    write(replicate(read("documents"), factor)((df, i) =>
+      df.select(d("doc_id", i), cipher(col("text"), i).as("text"),
+        col("lang"), col("source"), col("n_chars"))), "documents")
 
-    write(replicate(read("embeddings"), factor) { (d, i) =>
-      val emb =
-        if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")
-      d.select(shift("vec_id", i), emb.as("embedding"), col("label"))
-    }, "embeddings", 2)
+    write(replicate(read("embeddings"), factor)((df, i) =>
+      df.select(d("vec_id", i), signFlip("embedding", i).as("embedding"),
+        col("label"))), "embeddings")
   }
 
   def main(args: Array[String]): Unit = {

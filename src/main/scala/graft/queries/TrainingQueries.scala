@@ -576,21 +576,24 @@ object TrainingQueries {
   // Hard-negative mining for contrastive training: for every anchor
   // vector, the most similar embedding with a DIFFERENT label, found
   // through the banded SRP-signature candidate join (pigeonhole over
-  // hamming <= 3 of 12 bits — never the n^2, which exists only in the
-  // oracle's replication of the same prefilter). Per-anchor argmax is
-  // the q179 max-struct convention: (cos, -neg) lexicographic max, no
-  // data-scale window.
+  // hamming <= 3 of 24 bits — never the n^2, which exists only in the
+  // oracle's replication of the same prefilter). 24 bits, not 12: the
+  // sf1 sweep showed the 12-bit ball admits 7.3% of ALL pairs, so the
+  // spec'd candidate set itself was quadratic; at 24 bits the ball is
+  // 1.4e-4 of the space and candidates track true near-neighbors.
+  // Per-anchor argmax is the q179 max-struct convention: (cos, -neg)
+  // lexicographic max, no data-scale window.
   def q199HardNegatives(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.similarity.Similarity
-    val planes = Similarity.hyperplanes(12, 64)
+    val planes = Similarity.hyperplanes(24, 64)
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"label".cast("long").as("label"),
         Similarity.toDoubleVec($"embedding").as("__v"))
       .withColumn("__sig", Similarity.srpSignature($"__v", planes))
       .persist()
     val pairs = graft.dedup.Dedup.simhashNearDupPairs(
-      emb.select($"id", $"__sig"), "id", "__sig", maxHamming = 3, bits = 12)
+      emb.select($"id", $"__sig"), "id", "__sig", maxHamming = 3, bits = 24)
     val side = emb.select($"id".as("__jid"), $"label".as("__jlabel"), $"__v".as("__jv"))
     val both = pairs
       .join(side, $"id_a" === $"__jid")
@@ -1036,16 +1039,25 @@ object TrainingQueries {
       |FROM t LEFT JOIN g ON t.event_type = g.event_type
       |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin
 
-  /** DuckDB mirror of Similarity.srpSignature over 12 planes x dim 64
-    * (same literal-hyperplane trick as q23's oracle).
+  /** DuckDB mirror of Similarity.srpSignature over `bits` planes x
+    * dim 64 (same literal-hyperplane trick as q23's oracle).
     */
-  private lazy val sigTermsSql: String => String = {
-    val planes = graft.similarity.Similarity.hyperplanes(12, 64)
+  private def sigTermsSqlFor(bits: Int): String => String = {
+    val planes = graft.similarity.Similarity.hyperplanes(bits, 64)
       .map(p => "[" + p.map(_.toString).mkString(",") + "]")
     (v: String) => planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product($v, $p) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
     }.mkString(" + ")
   }
+
+  private lazy val sigTermsSql: String => String = sigTermsSqlFor(12)
+
+  /** q199's wider signature: 24 bits keeps hamming ≤ 3 selective —
+    * P(random pair within the ball) = 2325/2^24 ≈ 1.4e-4, vs 7.3% at
+    * the old 12 bits, where the SPEC'D candidate set itself was dense
+    * enough to go quadratic (×38 on the 10× scale sweep).
+    */
+  private lazy val sigTermsSql24: String => String = sigTermsSqlFor(24)
 
   val oracle: Map[String, String] = Map(
     "q233_rank_eval" -> q233Sql,
@@ -1346,7 +1358,7 @@ object TrainingQueries {
         s"round(list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))), 6)"
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) lbl,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-         |sig AS (SELECT vec_id, lbl, v, ${sigTermsSql("v")} s FROM e),
+         |sig AS (SELECT vec_id, lbl, v, ${sigTermsSql24("v")} s FROM e),
          |p AS (
          | SELECT a.vec_id ia, b.vec_id ib, ${cosExpr("a.v", "b.v")} cos
          | FROM sig a JOIN sig b ON a.vec_id < b.vec_id

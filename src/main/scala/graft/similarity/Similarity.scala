@@ -165,19 +165,30 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: SRP signatures + Manku-style banded
     * candidate search (bands = maxHamming+1 ⇒ pigeonhole recall over the
-    * Hamming ball) + exact cosine verification. At 100 TB the band-key
-    * exchange is the only shuffle and the n² never materializes. Note
-    * the guarantee is over SIGNATURE hamming; pick (bits, maxHamming)
-    * so the cosine threshold's hamming distribution is safely inside
-    * the ball (E[h] = bits·θ/π).
+    * Hamming ball) + exact cosine verification. The band-key exchange
+    * is the only shuffle, but candidate volume is NOT free: unrelated
+    * pairs collide in a band with probability ≈ 2^(−bits/bands), so
+    * expected candidates ≈ bands · 2^(−bits/bands) · C(N,2) — still
+    * quadratic in N with a tunable constant. The sf1 scale sweep
+    * measured the old (16, 7) defaults at selectivity ~1 (2-bit bands:
+    * every 4th pair a candidate — ×197 on a 10× scale-up); the (64, 6)
+    * defaults put selectivity at ~1.3% (7 bands × 9-10 bits). Pick
+    * (bits, maxHamming) so the TARGET similarity's hamming distribution
+    * sits safely inside the ball (E[h] = bits·θ/π): 64/6 covers true
+    * near-duplicates (cos ≳ 0.99 ⇒ E[h] ≈ 1); pairs only marginally
+    * above a loose verification threshold may fall outside the ball.
+    * For similarity SEARCH at scale (loose thresholds, huge N), this
+    * scan form is the wrong tool — use the partitioned-index path
+    * ([[writeLshIndex]]/[[indexedLshTopK]]), which prunes at file
+    * listing instead of generating candidates.
     */
   def cosineNearDupPairs(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int = 16,
-      maxHamming: Int = 7,
+      bits: Int = 64,
+      maxHamming: Int = 6,
       dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else dimOf(embeddings, vecCol)
     val planes = hyperplanes(bits, d)

@@ -67,6 +67,39 @@ class DedupSpec extends SparkTestBase {
     assert(banded == brute && brute.nonEmpty)
   }
 
+  test("randomized differential: banded search == brute force across the (bits, maxHamming) space") {
+    // gates the band-width arithmetic generally (remainder bands get
+    // the extra bit, the 64-bit band mask must not wrap) — round 9
+    // retuned production parameters, so the single-point test above is
+    // no longer the only coverage
+    val rnd = new scala.util.Random(2026091L)
+    (1 to 20).foreach { trial =>
+      val bits = 4 + rnd.nextInt(61) // 4..64
+      val maxHamming = rnd.nextInt(math.min(bits, 13)) // 0..min(bits,13)-1
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+      // cluster around a few centers so the hamming ball is non-trivially
+      // populated at every radius
+      val centers = Seq.fill(3)(rnd.nextLong() & mask)
+      val sigs = (0L until 40L).map { id =>
+        val c = centers((id % 3).toInt)
+        val flips = rnd.nextInt(bits / 2 + 1)
+        val flipped = (1 to flips).foldLeft(c)((s, _) =>
+          s ^ (1L << rnd.nextInt(bits)))
+        (id, flipped & mask)
+      }
+      val banded = Dedup.simhashNearDupPairs(
+          sigs.toDF("doc_id", "sig"), "doc_id", "sig", maxHamming, bits)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= maxHamming
+      } yield (a, b)).toSet
+      assert(banded == brute,
+        s"trial $trial bits=$bits maxHamming=$maxHamming: " +
+          s"banded ${banded.size} vs brute ${brute.size}")
+    }
+  }
+
   test("edge inputs: empty and single-token texts survive the whole near-dup path") {
     val edge = Seq((0L, ""), (1L, "word"), (2L, "   "), (3L, "word")).toDF("doc_id", "text")
     // identical single-token docs are exact dups (jaccard 1); blanks

@@ -200,17 +200,20 @@ object Bench {
     var bytes = 0L
     try {
       val buf = new Array[Byte](1 << 20)
-      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir)).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (java.nio.file.Files.isRegularFile(p)) {
-          val in = java.nio.file.Files.newInputStream(p)
-          try {
-            var n = in.read(buf)
-            while (n >= 0) { bytes += n; n = in.read(buf) }
-          } finally in.close()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+      try {
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.isRegularFile(p)) {
+            val in = java.nio.file.Files.newInputStream(p)
+            try {
+              var n = in.read(buf)
+              while (n >= 0) { bytes += n; n = in.read(buf) }
+            } finally in.close()
+          }
         }
-      }
+      } finally walk.close()
     } catch { case _: Throwable => () }
     (bytes, (System.nanoTime() - t0) / 1e9)
   }

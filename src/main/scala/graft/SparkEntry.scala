@@ -19,7 +19,7 @@ object SparkEntry {
     graft.queries.Analytics.all ++ graft.queries.PipelineQueries.all ++
       graft.queries.Dashboards.all ++ graft.queries.ExtendedQueries.all ++
       graft.queries.TrainingQueries.all ++ graft.queries.SearchAggQueries.all ++
-      graft.queries.CorpusQueries.all
+      graft.queries.CorpusQueries.all ++ graft.queries.LiveQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -28,5 +28,5 @@ object SparkEntry {
     graft.queries.Analytics.oracle ++ graft.queries.PipelineQueries.oracle ++
       graft.queries.ExtendedQueries.oracle ++ graft.queries.TrainingQueries.oracle ++
       graft.queries.Dashboards.oracle ++ graft.queries.SearchAggQueries.oracle ++
-      graft.queries.CorpusQueries.oracle
+      graft.queries.CorpusQueries.oracle ++ graft.queries.LiveQueries.oracle
 }

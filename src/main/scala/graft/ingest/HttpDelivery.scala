@@ -71,18 +71,55 @@ object HttpDelivery {
   val noSigner: RequestSigner = (_, _, headers) => headers
 
   /** Shared-secret HMAC-SHA256 request signer — the generic stand-in
-    * for the reference's SigV4 signing step. Adds
-    * `X-Graft-Key-Id: <keyId>` and
-    * `X-Graft-Signature: <hex hmac-sha256(secret, body)>`; a receiver
-    * holding the secret recomputes the MAC over the received body and
-    * rejects mismatches. Signing covers the body (the payload a
-    * tampering proxy could alter); swap in a closure over your SDK's
-    * signer for header/canonical-request schemes like SigV4.
+    * for the reference's SigV4 signing step. The MAC covers the
+    * CANONICAL REQUEST ([[canonicalRequest]]): target URL, every header
+    * handed to the signer (notably `X-Graft-Batch`, which drives
+    * receiver-side batch dedup), and the body — so a captured chunk can
+    * neither be re-posted against a different endpoint nor replayed
+    * under a different batch id and still verify (body-only MACs allow
+    * both). Adds `X-Graft-Key-Id: <keyId>`,
+    * `X-Graft-Signed-Headers: <;-joined lowercase covered names>`
+    * (SigV4's SignedHeaders move — the receiver learns exactly which
+    * headers to pull back out of the request), and
+    * `X-Graft-Signature: <hex hmac-sha256(secret, canonical)>`.
+    *
+    * Replay window: SAME-request replays still verify (the MAC is
+    * deterministic) — that is by design, because the at-least-once
+    * delivery itself re-posts verbatim chunks on retry/restart, and
+    * the receiver's `X-Graft-Batch` dedup is the idempotency layer.
+    * A receiver needing a bounded replay window should require a
+    * freshness header (timestamp/nonce) in the signed set — the signer
+    * runs per ATTEMPT, so such headers re-sign naturally; swap in a
+    * closure over your SDK's signer for full canonical-request schemes
+    * like SigV4.
     */
   def hmacSigner(keyId: String, secret: Array[Byte]): RequestSigner =
-    (_, body, headers) => headers +
+    (url, body, headers) => headers +
       ("X-Graft-Key-Id" -> keyId) +
-      ("X-Graft-Signature" -> hmacSha256Hex(secret, body))
+      ("X-Graft-Signed-Headers" -> signedHeaderNames(headers)) +
+      ("X-Graft-Signature" ->
+        hmacSha256Hex(secret, canonicalRequest(url, body, headers)))
+
+  /** The `;`-joined lowercase sorted names of the covered headers. */
+  def signedHeaderNames(headers: Map[String, String]): String =
+    headers.keys.map(_.toLowerCase).toSeq.sorted.mkString(";")
+
+  /** The byte string [[hmacSigner]] MACs: the URL, the covered header
+    * list, each covered `name:value` pair (lowercase names, sorted),
+    * then the raw body — newline-framed so no field can smear into its
+    * neighbor. A receiver rebuilds it from the request URL, the
+    * `X-Graft-Signed-Headers` list, and the received header values.
+    */
+  def canonicalRequest(
+      url: String,
+      body: Array[Byte],
+      headers: Map[String, String]): Array[Byte] = {
+    val lower = headers.map { case (k, v) => k.toLowerCase -> v }
+    val names = lower.keys.toSeq.sorted
+    val head = (url +: names.mkString(";") +: names.map(n => s"$n:${lower(n)}"))
+      .mkString("\n") + "\n"
+    head.getBytes(UTF_8) ++ body
+  }
 
   /** Hex HMAC-SHA256 — JDK javax.crypto only, no dependency. */
   def hmacSha256Hex(secret: Array[Byte], body: Array[Byte]): String = {

@@ -53,6 +53,9 @@ object PipelineConfig {
     */
   private[ingest] def resolvePointer(pointer: String): Column = {
     val segs = pointer.stripPrefix("/").split('/')
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"malformed JSON pointer '$pointer': expected /segment[/segment...] " +
+        "with non-empty segments (got an empty or degenerate pointer)")
     segs.tail.foldLeft(col(s"`${segs.head}`"))(_.apply(_))
   }
 

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Edges {
 
+  /** The production cap the graph queries pass: orders are k ≲ 10 at
+    * any scale factor (TPC-H caps lineitems per order at 7), so a
+    * group past 10k members is upstream data corruption — C(10k, 2) =
+    * 5·10⁷ pairs exploding inside ONE task is the failure to surface
+    * loudly with the offending key, not to grind through. Generous
+    * enough that no legitimate reshape of the testdata can trip it.
+    */
+  val orderGroupCap: Option[Int] = Some(10000)
+
   /** Inline group-cardinality guard: the member array passes through
     * when within the cap, else the row raises with the group key. The
     * guard lives IN the data path (a CASE over the exploded array), so

@@ -44,7 +44,8 @@ object ExtendedQueries {
   def q166LabelCommunities(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey",
+      graft.operators.Edges.orderGroupCap)
       .select($"a".as("src"), $"b".as("dst"))
     val labels = graft.operators.LabelProp.propagate(edges, "src", "dst",
       rounds = 2, distinctCanonicalEdges = true) // coOccurrence emits distinct a<b
@@ -68,7 +69,7 @@ object ExtendedQueries {
       .select($"l_orderkey", $"l_partkey",
         floor($"l_quantity").cast("long").as("q"))
     val edges = graft.operators.Edges.weightedPairs(
-      li, "l_orderkey", "l_partkey", "q")
+      li, "l_orderkey", "l_partkey", "q", graft.operators.Edges.orderGroupCap)
     val seeds = Tables.part(s, dir).filter($"p_partkey" <= 5)
     graft.operators.ShortestPath.boundedBellmanFord(
         edges, "src", "dst", "w", seeds, "p_partkey", rounds = 3)
@@ -286,7 +287,8 @@ object ExtendedQueries {
     // line-pair counts (multiplicity preserved) via the row-local
     // Edges.linePairs build — one fact shuffle vs self-join + join
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = graft.operators.Edges.linePairs(li, "l_orderkey", "l_partkey")
+    val edges = graft.operators.Edges.linePairs(li, "l_orderkey", "l_partkey",
+        graft.operators.Edges.orderGroupCap)
       .groupBy($"a".as("src"), $"b".as("dst"))
       .agg(count(lit(1)).as("w"))
     graft.operators.BestMatch.reciprocal(edges, "src", "dst", "w")
@@ -602,7 +604,8 @@ object ExtendedQueries {
   def q272Assortativity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val e = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+    val e = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey",
+      graft.operators.Edges.orderGroupCap)
       .persist() // degree agg + the stats pass
     val deg = e.select($"a".as("node")).unionAll(e.select($"b"))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
@@ -646,7 +649,8 @@ object ExtendedQueries {
   def q274Modularity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val e = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+    val e = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey",
+      graft.operators.Edges.orderGroupCap)
       .persist() // LPA + m + e_c + degrees all read it
     // persisted: referenced three times (both e_c endpoint joins + the
     // degree join) — unpersisted, each reference re-runs the 2 LPA rounds

@@ -531,7 +531,12 @@ object PipelineQueries {
         transform(col("v"), (x, i) =>
           x * lit(0.95) + element_at(col("v"), size(col("v")) - i) * lit(0.05)).as("v"))
     val derived = base.unionByName(planted)
-    Similarity.cosineNearDupPairs(derived, "vec_id", "v", 0.8)
+    // recallCosine 0.99: the planted pairs sit at cos ≥ 0.9986 — the
+    // 64/6 ball covers them (E[h] ≈ 2.9) while 0.8 stays the loose
+    // verification floor; the banding/threshold consistency check
+    // would (correctly) reject guaranteeing recall at 0.8 itself
+    Similarity.cosineNearDupPairs(derived, "vec_id", "v", 0.8,
+      recallCosine = 0.99)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1801,7 +1806,8 @@ object PipelineQueries {
   def q107Triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey",
+      graft.operators.Edges.orderGroupCap)
       .select($"a".as("src"), $"b".as("dst"))
     graft.operators.Triangles.count(edges, "src", "dst")
   }
@@ -2047,7 +2053,8 @@ object PipelineQueries {
   def q122ClusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey",
+      graft.operators.Edges.orderGroupCap)
       .select($"a".as("src"), $"b".as("dst"))
     graft.operators.Triangles.clusteringCoefficient(edges, "src", "dst")
       .orderBy($"node")
@@ -2251,7 +2258,8 @@ object PipelineQueries {
   def q135KCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey",
+      graft.operators.Edges.orderGroupCap)
       .select($"a".as("src"), $"b".as("dst"))
     graft.operators.KCore.core(edges, "src", "dst", k = 80).orderBy($"node")
   }
@@ -2379,7 +2387,8 @@ object PipelineQueries {
   def q142KhopReach(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey")
+    val edges = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey",
+      graft.operators.Edges.orderGroupCap)
       .select($"a".as("src"), $"b".as("dst"))
     val seeds = Tables.part(s, dir).filter($"p_partkey" <= 5)
     graft.operators.Bfs.hops(edges, "src", "dst", seeds, "p_partkey",

@@ -181,6 +181,17 @@ object Similarity {
     * scan form is the wrong tool — use the partitioned-index path
     * ([[writeLshIndex]]/[[indexedLshTopK]]), which prunes at file
     * listing instead of generating candidates.
+    *
+    * The banding and the threshold are VALIDATED against each other at
+    * plan time: recall is only pigeonhole-guaranteed for pairs whose
+    * expected hamming distance (bits·acos(cos)/π) fits inside the
+    * ball, so a (bits, maxHamming) whose ball stops short of
+    * `threshold` would silently drop qualifying pairs — the failure
+    * mode the old loose (16, 7) defaults hid by covering everything.
+    * Callers whose qualifying pairs sit far above the verification
+    * threshold (near-duplicate detection verified at a loose floor)
+    * state that with `recallCosine`: the ball must cover IT, and the
+    * threshold stays a correctness filter below it.
     */
   def cosineNearDupPairs(
       embeddings: DataFrame,
@@ -189,7 +200,22 @@ object Similarity {
       threshold: Double,
       bits: Int = 64,
       maxHamming: Int = 6,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1,
+      recallCosine: Double = Double.NaN): DataFrame = {
+    val target = if (recallCosine.isNaN) threshold else recallCosine
+    require(target >= threshold,
+      f"recallCosine ($target%.4f) below threshold ($threshold%.4f) is " +
+        "meaningless — pairs under the threshold are filtered out anyway")
+    val expectedH =
+      bits * math.acos(math.max(-1.0, math.min(1.0, target))) / math.Pi
+    require(expectedH <= maxHamming,
+      f"banding (bits=$bits%d, maxHamming=$maxHamming%d) cannot guarantee " +
+        f"recall at cosine $target%.4f: E[hamming] = bits*acos(cos)/pi = " +
+        f"$expectedH%.1f > maxHamming — pairs at that similarity fall " +
+        "outside the Hamming ball and are silently dropped. Widen the " +
+        "ball (more bands), shrink bits, or — if qualifying pairs are " +
+        "really near-duplicates well above the verification threshold — " +
+        "pass recallCosine with the similarity the ball must cover")
     val d = if (dim > 0) dim else dimOf(embeddings, vecCol)
     val planes = hyperplanes(bits, d)
     val sigged = embeddings

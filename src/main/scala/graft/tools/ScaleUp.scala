@@ -84,16 +84,21 @@ object ScaleUp {
     // to <out>/<t>.parquet (the testdata layout the harnesses expect)
     def write(df: DataFrame, t: String): Unit = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
+      import scala.jdk.CollectionConverters._
       val tmp = s"$out/_tmp_$t"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(
-        _.toString.endsWith(".parquet")).findFirst().get()
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.iterator().asScala.find(_.toString.endsWith(".parquet"))
+        finally listing.close()
+      require(part.isDefined,
+        s"scale-up write for '$t' produced no .parquet part under $tmp")
       Files.createDirectories(Paths.get(out))
-      Files.move(part, Paths.get(s"$out/$t.parquet"),
+      Files.move(part.get, Paths.get(s"$out/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      val walk = Files.walk(Paths.get(tmp))
+      val leftovers = try walk.iterator().asScala.toSeq finally walk.close()
+      leftovers.reverse.foreach(p => Files.deleteIfExists(p))
     }
     def d(c: String, i: Int) = dense(c, factor, i)
 

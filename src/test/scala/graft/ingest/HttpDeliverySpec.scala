@@ -21,6 +21,13 @@ import graft.SparkTestBase
   * executors reach it over loopback, so the posting path (serialization
   * boundary included) is the real one.
   */
+/** One SUCCESSFUL signed request as the receiver saw it: the auth
+  * headers plus everything needed to REBUILD the canonical request
+  * (the signed-header list, those headers' received values, the body).
+  */
+private[ingest] final case class SignedReq(keyId: String, sig: String,
+    signedHeaders: String, batch: String, body: String)
+
 class HttpDeliverySpec extends SparkTestBase {
   import spark.implicits._
 
@@ -29,19 +36,28 @@ class HttpDeliverySpec extends SparkTestBase {
     */
   private final class Stub {
     val bodies = new ConcurrentLinkedQueue[(String, String)]()
-    // (keyId header, signature header, body) of each SUCCESSFUL request
-    val sigs = new ConcurrentLinkedQueue[(String, String, String)]()
+    val sigs = new ConcurrentLinkedQueue[SignedReq]()
     val requests = new AtomicInteger(0)
     val inFlight = new AtomicInteger(0)
     val maxInFlight = new AtomicInteger(0)
     @volatile var failFirst = 0
     @volatile var failCode = 503
     @volatile var handlerDelayMs = 0L
+    // when set, the FIRST request blocks until a second arrives (the
+    // deterministic overlap probe — no timing window to race)
+    @volatile var holdFirstForOverlap = false
+    private val overlapSeq = new AtomicInteger(0)
+    private val overlapGate = new java.util.concurrent.CountDownLatch(1)
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/ingest", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
         val cur = inFlight.incrementAndGet()
         maxInFlight.getAndUpdate(m => math.max(m, cur))
+        if (holdFirstForOverlap) {
+          if (overlapSeq.incrementAndGet() == 1)
+            overlapGate.await(15, java.util.concurrent.TimeUnit.SECONDS)
+          else overlapGate.countDown()
+        }
         if (handlerDelayMs > 0) Thread.sleep(handlerDelayMs)
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val n = requests.incrementAndGet()
@@ -50,8 +66,10 @@ class HttpDeliverySpec extends SparkTestBase {
         } else {
           bodies.add((ex.getRequestHeaders.getFirst("X-Graft-Batch"), body))
           Option(ex.getRequestHeaders.getFirst("X-Graft-Signature"))
-            .foreach(sig => sigs.add(
-              (ex.getRequestHeaders.getFirst("X-Graft-Key-Id"), sig, body)))
+            .foreach(sig => sigs.add(SignedReq(
+              ex.getRequestHeaders.getFirst("X-Graft-Key-Id"), sig,
+              ex.getRequestHeaders.getFirst("X-Graft-Signed-Headers"),
+              ex.getRequestHeaders.getFirst("X-Graft-Batch"), body)))
           val ok = "ok".getBytes(UTF_8)
           ex.sendResponseHeaders(200, ok.length)
           ex.getResponseBody.write(ok)
@@ -163,7 +181,7 @@ class HttpDeliverySpec extends SparkTestBase {
     }
   }
 
-  test("hmac signing: the signature reaches the receiver, verifies against the body, survives retries") {
+  test("hmac signing: the canonical-request MAC verifies at the receiver, survives retries, rejects tampering") {
     withStub { stub =>
       stub.failFirst = 2 // two 503s force the signed POST through the retry loop
       val secret = "graft-shared-secret".getBytes(UTF_8)
@@ -174,11 +192,24 @@ class HttpDeliverySpec extends SparkTestBase {
       assert(stub.requests.get() == 3, "two retries then success")
       val delivered = stub.sigs.asScala.toList
       assert(delivered.nonEmpty, "signed request must reach the receiver")
-      delivered.foreach { case (keyId, sig, body) =>
-        assert(keyId == "key-1")
-        // receiver-side verification: recompute the MAC over the body
-        assert(sig == HttpDelivery.hmacSha256Hex(secret, body.getBytes(UTF_8)),
-          "signature must verify against the received body")
+      // receiver-side verification: the X-Graft-Signed-Headers list says
+      // which received headers to pull back into the canonical request
+      def mac(url: String, req: SignedReq, batch: String) = {
+        assert(req.signedHeaders == "x-graft-batch",
+          "delivery signs exactly the headers it was handed")
+        HttpDelivery.hmacSha256Hex(secret, HttpDelivery.canonicalRequest(
+          url, req.body.getBytes(UTF_8), Map("X-Graft-Batch" -> batch)))
+      }
+      delivered.foreach { req =>
+        assert(req.keyId == "key-1")
+        assert(req.sig == mac(stub.url, req, req.batch),
+          "signature must verify against url + signed headers + body")
+        // the MAC covers the batch id and the URL: a replay under a
+        // different batch id, or re-posted elsewhere, must NOT verify
+        assert(req.sig != mac(stub.url, req, "8"),
+          "batch-id tampering must break the MAC")
+        assert(req.sig != mac("http://evil.example/ingest", req, req.batch),
+          "re-targeting must break the MAC")
       }
       // batch header still rides alongside the signature headers
       assert(stub.bodies.asScala.forall(_._1 == "7"))
@@ -200,8 +231,15 @@ class HttpDeliverySpec extends SparkTestBase {
     }
     withStub { stub =>
       // control: the same workload UNCAPPED overlaps — proves the gauge
-      // measures real concurrency rather than passing vacuously
-      stub.handlerDelayMs = 120L
+      // measures real concurrency rather than passing vacuously. The
+      // stub HOLDS the first request open until a second arrives (no
+      // fixed-delay timing window to race on a loaded runner); Spark
+      // keeps scheduling the other 15 partitions' tasks while the first
+      // poster blocks, so the rendezvous is deterministic given ≥2
+      // task slots — asserted as the precondition.
+      assume(spark.sparkContext.defaultParallelism >= 2,
+        "overlap control needs two concurrent task slots")
+      stub.holdFirstForOverlap = true
       val df = (1 to 32).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
         .repartition(16)
       HttpDelivery.deliver(df, stub.url, maxPerPost = 8, initialBackoffMs = 1L)

@@ -262,6 +262,18 @@ class PipelineConfigSpec extends SparkTestBase {
       .toDF("id", "contextData")
     assert(routed.routedFrames(mdf).head._2.select($"id")
       .as[Long].collect().toSeq == Seq(1L))
+
+    // degenerate pointers ("", "/", empty segments) are a CONFIG error
+    // with a config-shaped message, not an obscure analysis failure on
+    // a backtick-quoted empty column
+    Seq("", "/", "/a//b", "//").foreach { p =>
+      val e = intercept[IllegalArgumentException] {
+        PipelineConfig.Config(None, Seq.empty, Seq.empty,
+          Seq(PipelineConfig.Grok(p, "task %{NOTSPACE:taskId}")))
+          .applyProcessors(df)
+      }
+      assert(e.getMessage.contains("malformed JSON pointer"), s"pointer '$p'")
+    }
   }
 
   test("duplicate sink indexes fail fast in startConfigured (shared checkpoint hazard)") {

@@ -84,6 +84,27 @@ class EdgesSpec extends SparkTestBase {
     }
   }
 
+  test("production cap end-to-end: a planted corrupt hot order fails the q166 pipeline with its key") {
+    // the graph queries pass Edges.orderGroupCap in production — prove
+    // the promise holds END-TO-END through the query registry, not just
+    // at the operator: a 10_001-part order (corruption; TPC-H orders
+    // cap at 7 lines) must fail the job with the offending key BEFORE
+    // C(10001,2) pairs explode inside one task
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hotgroup").toString
+    val sane = (1L to 50L).flatMap(o => (1 to 3).map(i => (o, o * 7 + i)))
+    val corrupt = (1L to 10001L).map(p => (777L, p))
+    (sane ++ corrupt).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val e = intercept[Exception] {
+      graft.SparkEntry.queries("q166_label_communities")(spark, tmp).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
+        m.contains("maxGroupSize=10000") && m.contains("group 777"))),
+      s"expected the planted key in the failure, got $e")
+  }
+
   test("randomized differential: equals the brute-force self-join semantics") {
     val rnd = new scala.util.Random(20260814L)
     for (_ <- 1 to 10) {

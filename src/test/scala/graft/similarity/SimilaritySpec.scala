@@ -62,6 +62,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("cosineNearDupPairs validates the ball against the threshold") {
+    val df = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    // defaults (64, 6) cannot guarantee recall at cos 0.8 (E[h] ≈ 13):
+    // the inconsistency must fail fast, not silently drop pairs
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.8)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+    // stating the real recall target re-admits the loose threshold
+    assert(Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.8,
+      recallCosine = 0.99).columns.toSeq == Seq("id_a", "id_b", "cos"))
+    // a recall target BELOW the threshold is a caller bug
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.9,
+        recallCosine = 0.5)
+    }
+  }
+
   test("knnJoin returns each query's exact top-k with itself first") {
     val q = vecs8.filter($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val got = Similarity.knnJoin(vecs8, "vec_id", "embedding", q, 2)

@@ -223,7 +223,11 @@ object Bench {
     val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "2").toInt
     val groupSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "8").toInt
     val doFork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
-    val ordered = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY bounds a sweep to named queries (the scale
+    // sweeps bench the cliff-prone families, not all 282 at 30x)
+    val ordered = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains).sorted)
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     val groups = ordered.grouped(math.max(groupSize, 1)).toSeq
     val (primeBytes, primeSec) = primeFileCache(sfDir)
     // cold disk: the prime itself ran below ~1 GB/s — the data was NOT

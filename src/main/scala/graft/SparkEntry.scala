@@ -17,6 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.all ++ graft.queries.PipelineQueries.all ++
+      graft.queries.WarehouseQueries.all ++ graft.queries.InsightQueries.all ++
+      graft.queries.TpchQueries.all ++
       graft.queries.Dashboards.all ++ graft.queries.ExtendedQueries.all ++
       graft.queries.TrainingQueries.all ++ graft.queries.SearchAggQueries.all ++
       graft.queries.CorpusQueries.all ++ graft.queries.LiveQueries.all
@@ -26,6 +28,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++ graft.queries.PipelineQueries.oracle ++
+      graft.queries.WarehouseQueries.oracle ++ graft.queries.InsightQueries.oracle ++
+      graft.queries.TpchQueries.oracle ++
       graft.queries.ExtendedQueries.oracle ++ graft.queries.TrainingQueries.oracle ++
       graft.queries.Dashboards.oracle ++ graft.queries.SearchAggQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++ graft.queries.LiveQueries.oracle

@@ -31,14 +31,25 @@ class PipelineQueriesSpec extends SparkTestBase {
   // (e.g. KCoreSpec) and the sf0.01 oracle.
   private val emptyAtSmoke = Set("q135_kcore")
 
-  for ((name, fn) <- PipelineQueries.all.toSeq.sortBy(_._1)) {
-    test(s"$name runs and returns rows on sf0.001") {
+  // the round-10 split packs share this harness: same queries, same
+  // smoke + oracle-coverage contracts, four files
+  private val packs = Seq(
+    "pipeline" -> ((PipelineQueries.all, PipelineQueries.oracle)),
+    "warehouse" -> ((WarehouseQueries.all, WarehouseQueries.oracle)),
+    "insight" -> ((InsightQueries.all, InsightQueries.oracle)),
+    "tpch" -> ((TpchQueries.all, TpchQueries.oracle)))
+
+  for ((pack, (all, _)) <- packs; (name, fn) <- all.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001 [$pack]") {
       val n = fn(spark, sfSmoke).count()
       if (emptyAtSmoke(name)) assert(n >= 0) else assert(n > 0)
     }
   }
 
-  test("every pipeline query has a DuckDB oracle") {
-    assert(PipelineQueries.oracle.keySet == PipelineQueries.all.keySet)
+  test("every pipeline-family query has a DuckDB oracle; packs are disjoint") {
+    for ((_, (all, oracle)) <- packs)
+      assert(oracle.keySet == all.keySet)
+    val keys = packs.map(_._2._1.keySet)
+    assert(keys.map(_.size).sum == keys.reduce(_ ++ _).size, "no key overlap")
   }
 }

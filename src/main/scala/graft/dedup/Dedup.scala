@@ -338,28 +338,64 @@ object Dedup {
     }: _*)
   }
 
-  /** SimHash near-dup pairs (Manku et al.'s banded search): with
-    * `bands = maxHamming + 1`, any pair within `maxHamming` bit flips has
-    * at least one untouched band (pigeonhole), so band-bucket collision
-    * candidates have FULL recall — the verify step (exact popcount on two
-    * longs) then makes precision exact. The only shuffle is the band-key
-    * exchange on uniformly-hashed keys. Returns (id_a, id_b, hamming),
-    * id_a < id_b, hamming ≤ maxHamming.
+  /** SimHash near-dup pairs (Manku et al.'s banded search, generalized
+    * pigeonhole): with `bands = maxHamming + intactBands`, any pair
+    * within `maxHamming` bit flips touches at most `maxHamming` bands,
+    * leaving at least `intactBands` untouched — so keying each row by
+    * every `intactBands`-combination of its band buckets gives FULL
+    * recall (some all-intact combination collides), and the verify step
+    * (exact popcount on two longs) makes precision exact. The only
+    * shuffle is the combo-key exchange on uniformly-hashed keys.
+    *
+    * `intactBands` is the selectivity knob: candidate volume ≈
+    * C(bands, r) · 2^(−r·bits/bands) · C(N,2) for r = intactBands.
+    * The default r = 1 is classic Manku banding. Raise r when the ball
+    * is wide relative to the signature — e.g. 60 bits at hamming ≤ 10:
+    * r = 1 gives 11 bands of 5-6 bits (selectivity ≈ 0.5 — HALF of all
+    * pairs collide somewhere, quadratic with a useless constant); r = 2
+    * gives 12 bands keyed by C(12,2) = 66 ten-to-eleven-bit pairs
+    * (selectivity ≈ 6%), at the price of 6× more exploded key rows —
+    * rows scale linearly, candidates quadratically, so the trade wins
+    * asymptotically. Measured on q19 at the sf3 point (150k docs):
+    * candidates 3.06e9 → 7.6e8 (the skew-free kind — top bucket 389
+    * rows), warm 39.5 → 26.4 s with the hashed key; the remainder is
+    * signature compute (linear, ~7 s) plus candidate streaming at
+    * ~40M pairs/s, i.e. the operator's documented quadratic-with-
+    * tunable-constant scan nature — at loose thresholds and large N
+    * prefer the segment/minhash or indexed paths.
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
     */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       sigCol: String,
       maxHamming: Int,
-      bits: Int = 64): DataFrame = {
-    val bands = maxHamming + 1
+      bits: Int = 64,
+      intactBands: Int = 1): DataFrame = {
+    require(intactBands >= 1, "intactBands must be >= 1")
+    val bands = maxHamming + intactBands
+    require(bands <= bits,
+      s"maxHamming + intactBands ($bands) exceeds bits ($bits) — " +
+        "zero-width bands collide everything")
+    // the combo key is HASHED to one long (xxhash64 over comboIdx +
+    // the r band buckets) instead of carried as a struct: a struct join
+    // key costs ~3-4× in the join hot path (measured 21 vs 77M pairs/s
+    // at sf3), and a 64-bit hash collision can only ADD a candidate
+    // pair — the exact popcount verify removes it, so recall and
+    // output stay exact
+    val combos = (0 until bands).combinations(intactBands).toSeq
+    val comboKeys = array(combos.zipWithIndex.map { case (c, ci) =>
+      xxhash64((lit(ci) +: c.map(bandIdx =>
+        element_at(col("bk"), bandIdx + 1))): _*)
+    }: _*)
     val keyed = df
       .select(col(idCol).as("id"), col(sigCol).as("sig"),
         simhashBandKeys(col(sigCol), bands, bits).as("bk"))
-      .select(col("id"), col("sig"), posexplode(col("bk")).as(Seq("band", "bucket")))
-    val a = keyed.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = keyed.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("id"), col("sig"), explode(comboKeys).as("bucket"))
+    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDist(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

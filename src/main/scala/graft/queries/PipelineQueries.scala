@@ -124,7 +124,14 @@ object PipelineQueries {
         Dedup.simhashOf(Dedup.shingles($"text", 3), Dedup.md5Hash60, 60).as("sig"))
       // materialized once — both sides of the band join consume it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.simhashNearDupPairs(sigged, "doc_id", "sig", maxHamming = 10, bits = 60)
+    // intactBands = 2 (sf3 lesson): the hamming ≤ 10 ball over 60 bits
+    // makes r = 1 banding 5-6 bits wide — selectivity ≈ 0.5, quadratic
+    // with a useless constant; C(12,2) ten-bit combo keys put it at ~6%
+    // (sf3: candidates 3.1e9 → 7.6e8, warm 39.5 → 26.4 s incl. the
+    // hashed join key — remainder is linear signature compute plus the
+    // documented quadratic-with-constant candidate stream)
+    Dedup.simhashNearDupPairs(sigged, "doc_id", "sig", maxHamming = 10,
+        bits = 60, intactBands = 2)
       .orderBy($"id_a", $"id_b")
   }
 

@@ -833,7 +833,16 @@ object WarehouseQueries {
       $"c_mktsegment".as("seg"),
       floor($"c_acctbal" / 500.0).cast("long").as("bal_b"),
       substring($"c_name", -2, 2).as("suffix"))
-    graft.operators.RecordLinkage.scorePairs(c, "c_custkey", Seq("nat", "bal_b"),
+    // union blocking (sf3 lesson): minScore 70 needs bal_b (40) plus
+    // seg (30) OR suffix (30) — seg+suffix alone is 60. So candidates
+    // = (nat, bal_b, seg)-pairs ∪ (nat, bal_b, suffix)-pairs, exactly
+    // the qualifying set; the old single (nat, bal_b) blocking was a
+    // fixed-cardinality key (25 × ~22 buckets) whose candidate volume
+    // grew corpus-quadratically (sf3: candidates 1.9e8 → 4.6e7, warm
+    // 103 → 70 s — the rest is the legitimately quadratic 45M-pair
+    // output's own sort/dedup; see the scaladoc regime note).
+    graft.operators.RecordLinkage.scorePairsUnionBlocked(c, "c_custkey",
+        Seq(Seq("nat", "bal_b", "seg"), Seq("nat", "bal_b", "suffix")),
         Seq(("seg", 30L), ("bal_b", 40L), ("suffix", 30L)), minScore = 70L)
       .orderBy($"id_a", $"id_b")
   }

@@ -67,15 +67,19 @@ class DedupSpec extends SparkTestBase {
     assert(banded == brute && brute.nonEmpty)
   }
 
-  test("randomized differential: banded search == brute force across the (bits, maxHamming) space") {
+  test("randomized differential: banded search == brute force across the (bits, maxHamming, intactBands) space") {
     // gates the band-width arithmetic generally (remainder bands get
     // the extra bit, the 64-bit band mask must not wrap) — round 9
     // retuned production parameters, so the single-point test above is
-    // no longer the only coverage
+    // no longer the only coverage; round 10 added the generalized-
+    // pigeonhole combo keys (intactBands > 1), whose full-recall claim
+    // this differential now covers too
     val rnd = new scala.util.Random(2026091L)
     (1 to 20).foreach { trial =>
       val bits = 4 + rnd.nextInt(61) // 4..64
       val maxHamming = rnd.nextInt(math.min(bits, 13)) // 0..min(bits,13)-1
+      val intactBands = 1 + rnd.nextInt(
+        math.max(1, math.min(3, bits - maxHamming))) // bands <= bits
       val mask = if (bits >= 64) -1L else (1L << bits) - 1L
       // cluster around a few centers so the hamming ball is non-trivially
       // populated at every radius
@@ -88,14 +92,15 @@ class DedupSpec extends SparkTestBase {
         (id, flipped & mask)
       }
       val banded = Dedup.simhashNearDupPairs(
-          sigs.toDF("doc_id", "sig"), "doc_id", "sig", maxHamming, bits)
+          sigs.toDF("doc_id", "sig"), "doc_id", "sig", maxHamming, bits,
+          intactBands)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       val brute = (for {
         (a, sa) <- sigs; (b, sb) <- sigs
         if a < b && java.lang.Long.bitCount(sa ^ sb) <= maxHamming
       } yield (a, b)).toSet
       assert(banded == brute,
-        s"trial $trial bits=$bits maxHamming=$maxHamming: " +
+        s"trial $trial bits=$bits maxHamming=$maxHamming r=$intactBands: " +
           s"banded ${banded.size} vs brute ${brute.size}")
     }
   }

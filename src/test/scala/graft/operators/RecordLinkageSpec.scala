@@ -25,6 +25,31 @@ class RecordLinkageSpec extends SparkTestBase {
     assert(got.keys.forall { case (x, y) => byId(x)._2 == byId(y)._2 })
   }
 
+  test("union blocking is result-preserving when minScore mandates a field disjunction") {
+    // weights (f1 60, f2 40, f3 40), minScore 80: f1 alone is 60 < 80,
+    // so every qualifying combination (f1+f2, f1+f3, f2+f3, all three)
+    // agrees on f2 OR f3 — the mandated disjunction. Union-blocking on
+    // (blk, f2) ∪ (blk, f3) must therefore reproduce the base (blk)
+    // blocking's output exactly, agreement bits included.
+    val rng = new scala.util.Random(47)
+    val rows = (1L to 300L).map(i =>
+      (i, rng.nextInt(3).toLong, s"a${rng.nextInt(4)}",
+        s"b${rng.nextInt(5)}", rng.nextInt(4).toLong))
+    val df = rows.toDF("id", "blk", "f1", "f2", "f3")
+    val fields = Seq(("f1", 60L), ("f2", 40L), ("f3", 40L))
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b", "agree_f1", "agree_f2", "agree_f3", "score")
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val base = toMap(RecordLinkage.scorePairs(
+      df, "id", Seq("blk"), fields, minScore = 80L))
+    val union = toMap(RecordLinkage.scorePairsUnionBlocked(
+      df, "id", Seq(Seq("blk", "f2"), Seq("blk", "f3")), fields,
+      minScore = 80L))
+    assert(union == base && base.nonEmpty,
+      s"union ${union.size} vs base ${base.size}")
+  }
+
   test("null comparison fields never agree") {
     val df = Seq(
       (1L, 1L, Option.empty[String], 7L),

@@ -52,9 +52,15 @@ object Bench {
     spark
   }
 
-  /** cold, warm (min over passes), coldErr, warmErr per query name. */
+  /** cold, warm (min over passes), coldErr, warmErr per query name;
+    * guardDropped = LSH band memberships the skew guard dropped across
+    * all of this query's passes (silent-recall-loss flag for scale
+    * sweeps), guardMax = the JVM's high-water bucket size when the
+    * query finished.
+    */
   final case class QRes(cold: Double, warm: Option[Double],
-      coldErr: Option[String], warmErr: Option[String])
+      coldErr: Option[String], warmErr: Option[String],
+      guardDropped: Long = 0L, guardMax: Long = 0L)
 
   private def sanitize(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
@@ -67,12 +73,19 @@ object Bench {
   private def runGroup(spark: SparkSession, sfDir: String, names: Seq[String],
       warmPasses: Int): Map[String, QRes] = {
     val fns = SparkEntry.queries
+    val guardDropped = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     def one(n: String): Either[String, Double] = {
+      val before = graft.operators.GuardMetrics.snapshot()
       val t0 = System.nanoTime()
       val r = try { fns(n)(spark, sfDir).count(); Right(()) }
         catch { case e: Throwable => Left(sanitize(e)) }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // release per-query persisted sig tables
+      // attribute guard fires to this query: the listener rides the
+      // async bus, so flush it (untimed) before reading the counters
+      graft.operators.GuardMetrics.drainListenerBus(spark)
+      guardDropped(n) += graft.operators.GuardMetrics.snapshot()
+        .minus(before).droppedMemberships
       r.map(_ => dt)
     }
     val cold = names.map(n => n -> one(n)).toMap
@@ -87,6 +100,7 @@ object Bench {
         }
       }
     }
+    val guardMax = graft.operators.GuardMetrics.snapshot().maxBucketSeen
     names.map { n =>
       n -> QRes(
         cold = cold(n).getOrElse(Double.NaN),
@@ -94,7 +108,9 @@ object Bench {
         coldErr = cold(n).left.toOption,
         // a query that never completed a warm pass has no steady-state
         // claim — keep the error only if no pass succeeded
-        warmErr = if (warm.contains(n)) None else warmErr.get(n))
+        warmErr = if (warm.contains(n)) None else warmErr.get(n),
+        guardDropped = guardDropped(n),
+        guardMax = guardMax)
     }.toMap
   }
 
@@ -127,7 +143,7 @@ object Bench {
     val res = runGroup(spark, sfDir, names, warmPasses)
     val lines = names.map { n =>
       val r = res(n)
-      s"$n|${r.cold}|${r.warm.getOrElse("")}|${r.coldErr.getOrElse("")}|${r.warmErr.getOrElse("")}"
+      s"$n|${r.cold}|${r.warm.getOrElse("")}|${r.coldErr.getOrElse("")}|${r.warmErr.getOrElse("")}|${r.guardDropped}|${r.guardMax}"
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       lines.mkString("", "\n", "\n"))
@@ -171,7 +187,9 @@ object Bench {
           f(0) -> QRes(f(1).toDouble,
             if (f(2).isEmpty) None else Some(f(2).toDouble),
             if (f(3).isEmpty) None else Some(f(3)),
-            if (f(4).isEmpty) None else Some(f(4)))
+            if (f(4).isEmpty) None else Some(f(4)),
+            guardDropped = if (f.length > 5) f(5).toLong else 0L,
+            guardMax = if (f.length > 6) f(6).toLong else 0L)
         }.toMap
       if (names.forall(parsed.contains)) Some(parsed) else None
     } catch { case e: Throwable =>
@@ -218,6 +236,19 @@ object Bench {
     (bytes, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Parse a SPARK_GRAFT_BENCH_ONLY list. Unknown names FAIL the run —
+    * a typo silently shrinking the sweep would read as a successful
+    * (and suspiciously fast) benchmark.
+    */
+  private[graft] def resolveBenchOnly(only: String): Seq[String] = {
+    val names = only.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+        s"${unknown.mkString(", ")}")
+    names.sorted
+  }
+
   private def parentMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "2").toInt
@@ -226,7 +257,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY bounds a sweep to named queries (the scale
     // sweeps bench the cliff-prone families, not all 282 at 30x)
     val ordered = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains).sorted)
+      .map(resolveBenchOnly)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     val groups = ordered.grouped(math.max(groupSize, 1)).toSeq
     val (primeBytes, primeSec) = primeFileCache(sfDir)
@@ -258,11 +289,21 @@ object Bench {
     val qsWarm = jmap(cold.map { case (n, c) => n -> results(n).warm.getOrElse(c) })
     val total = r3(cold.map(_._2).sum)
     val steady = r3(cold.map { case (n, c) => results(n).warm.getOrElse(c) }.sum)
+    // silent-recall-loss surface: per-query dropped LSH band memberships
+    // (only queries whose guard FIRED appear) + the fleet-wide totals, so
+    // a scale sweep auto-flags guard-driven recall loss from the detail
+    // JSON instead of someone having to read executor logs
+    val guardFired = ordered.map(n => n -> results(n).guardDropped).filter(_._2 > 0)
+    val guards = guardFired.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val guardTotal = guardFired.map(_._2).sum
+    val guardMaxBucket = ordered.map(n => results(n).guardMax).foldLeft(0L)(math.max)
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""steady_state":$steady,"queries_warm":$qsWarm,""" +
         s""""failed":${coldErrors.size},"errors":${jsmap(coldErrors)},""" +
         s""""warm_failed":${warmErrors.size},"errors_warm":${jsmap(warmErrors)},""" +
+        s""""guards":$guards,"guard_dropped_total":$guardTotal,""" +
+        s""""guard_max_bucket":$guardMaxBucket,""" +
         s""""disk_cold":$diskCold,"prime_sec":${r3(primeSec)},""" +
         s""""prime_mb":${primeBytes / 1000000},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
@@ -273,7 +314,7 @@ object Bench {
     // it carries totals + the slowest-12 and points at the sidecar for
     // the rest. Keep it comfortably under ~1500 chars.
     val slow = jmap(cold.sortBy(-_._2).take(12))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ordered.size},"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmErrors.size},"disk_cold":$diskCold,"slowest":$slow,"errors":${jsmap(coldErrors.take(4))},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ordered.size},"steady_state":$steady,"failed":${coldErrors.size},"warm_failed":${warmErrors.size},"guard_dropped":$guardTotal,"disk_cold":$diskCold,"slowest":$slow,"errors":${jsmap(coldErrors.take(4))},"detail":"$detailPath","sf":"$sfDir"}""")
     fallback.foreach(_.stop())
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
+import org.slf4j.LoggerFactory
 
 /** Deduplication operators for training-data pipelines: exact,
   * normalization-fingerprint, MinHash+LSH near-dup, SimHash.
@@ -17,6 +18,8 @@ import graft.text.TextAnalysis
   * by `maxBucketSize` — the standard LSH skew guard at 100 TB.
   */
 object Dedup {
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   /** Exact dedup: one row per distinct key, keeping the lowest id.
     * Plain hash-aggregate: one shuffle on the key (map-side partials).
@@ -338,6 +341,79 @@ object Dedup {
     }: _*)
   }
 
+  /** Per-band bit widths for a `bits`-bit signature split into `bands`
+    * contiguous chunks (the [[simhashBandKeys]] layout: first
+    * `bits % bands` bands carry the extra bit).
+    */
+  private def bandSizes(bits: Int, bands: Int): Seq[Int] = {
+    val base = bits / bands
+    val rem = bits % bands
+    Seq.tabulate(bands)(i => if (i < rem) base + 1 else base)
+  }
+
+  /** Union-bound predicted candidate-pair volume of the generalized-
+    * pigeonhole banding over `n` uniformly-distributed `bits`-bit
+    * signatures: sum over the C(bands, r) intact-band combinations of
+    * `2^(−combo width) · C(n,2)`. An upper bound (a pair colliding on
+    * several combos is counted once per combo, and real corpora are
+    * denser than uniform near their duplicates), but it is exactly the
+    * quantity that went quadratic at sf3 (q19: predicted 3.1e9 at r=1 /
+    * 7.2e8 at r=2 vs measured 3.06e9 / 7.6e8 — the uniform model is
+    * tight here because band keys are md5/xxhash bits).
+    */
+  def simhashCandidateVolume(n: Long, bits: Int, maxHamming: Int, intactBands: Int): Double = {
+    val bands = maxHamming + intactBands
+    require(intactBands >= 1 && bands <= bits,
+      s"invalid banding: maxHamming=$maxHamming intactBands=$intactBands bits=$bits")
+    val sizes = bandSizes(bits, bands)
+    val pairs = n.toDouble * (n - 1).toDouble / 2.0
+    val selectivity = (0 until bands).combinations(intactBands)
+      .map(c => math.pow(2.0, -c.map(sizes).sum.toDouble)).sum
+    math.min(selectivity, 1.0) * pairs
+  }
+
+  /** Number of combo keys each row explodes into at a given banding:
+    * C(maxHamming + intactBands, intactBands).
+    */
+  def simhashComboCount(maxHamming: Int, intactBands: Int): Long =
+    (0 until (maxHamming + intactBands)).combinations(intactBands).size.toLong
+
+  /** Pick the cost-minimizing `intactBands` for a corpus of `n`
+    * signatures — the volume-side twin of [[graft.similarity.Similarity]]'s
+    * recall-side check, added after two consecutive scale sweeps
+    * (sf1: cosine r-defaults, sf10: q19's static r = 2) found static
+    * banding parameters meeting a bigger N.
+    *
+    * Cost model: `n · C(bands, r) · rowCost` (exploding, shuffling and
+    * hashing each row's combo keys on both sides of the self-join) plus
+    * [[simhashCandidateVolume]] (each candidate = one hash-join probe +
+    * popcount verify). `rowCost` ≈ 10 candidate-equivalents per exploded
+    * row, from the sf3/sf10 measurements (candidates stream at ~40M
+    * pairs/s; the keyed exchange at ~4M rows/s/core wall-clock including
+    * both sides and the distinct) — the optimum is flat within ~2×, so
+    * the constant's precision barely moves the choice. Raising r trades
+    * linear exploded-row cost for a geometric candidate cut, so the
+    * chosen r grows with n: ~500 rows → 1, 150k → 3, 500k (sf10) → 3.
+    * `maxCombos` bounds the explosion fan-out (C(bands, r) keys/row).
+    */
+  def autoIntactBands(
+      n: Long,
+      bits: Int,
+      maxHamming: Int,
+      rowCost: Double = 10.0,
+      maxCombos: Int = 4096): Int = {
+    val feasible = Iterator.from(1)
+      .takeWhile(r => maxHamming + r <= bits && simhashComboCount(maxHamming, r) <= maxCombos)
+      .toSeq
+    require(feasible.nonEmpty,
+      s"no feasible banding: maxHamming=$maxHamming leaves no room under bits=$bits")
+    if (n <= 1) return feasible.head
+    feasible.minBy { r =>
+      n.toDouble * simhashComboCount(maxHamming, r) * rowCost +
+        simhashCandidateVolume(n, bits, maxHamming, r)
+    }
+  }
+
   /** SimHash near-dup pairs (Manku et al.'s banded search, generalized
     * pigeonhole): with `bands = maxHamming + intactBands`, any pair
     * within `maxHamming` bit flips touches at most `maxHamming` bands,
@@ -364,7 +440,16 @@ object Dedup {
     * tunable-constant scan nature — at loose thresholds and large N
     * prefer the segment/minhash or indexed paths.
     *
-    * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+    * A STATIC r is a scale trap (the sf10 sweep caught r = 2 going 7.7×
+    * on 3.33× the sf3 data — the volume formula's quadratic term at
+    * fixed parameters): prefer [[simhashNearDupPairsAuto]], which
+    * derives r from the actual corpus size, or pass `estimatedRows` to
+    * fail fast when the predicted volume exceeds `budgetPerRow`
+    * candidates per input row.
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming —
+    * IDENTICAL output for every valid (r, budget) choice; the knobs only
+    * move cost.
     */
   def simhashNearDupPairs(
       df: DataFrame,
@@ -372,12 +457,31 @@ object Dedup {
       sigCol: String,
       maxHamming: Int,
       bits: Int = 64,
-      intactBands: Int = 1): DataFrame = {
+      intactBands: Int = 1,
+      estimatedRows: Option[Long] = None,
+      budgetPerRow: Double = 5e4): DataFrame = {
     require(intactBands >= 1, "intactBands must be >= 1")
     val bands = maxHamming + intactBands
     require(bands <= bits,
       s"maxHamming + intactBands ($bands) exceeds bits ($bits) — " +
         "zero-width bands collide everything")
+    // volume-side fail-fast (sf10 lesson, the twin of the cosine
+    // recall-side check): a static banding that was fine at test scale
+    // goes quadratic when N grows — when the caller knows the corpus
+    // size, reject a banding whose PREDICTED candidate volume exceeds
+    // budgetPerRow candidates per input row (at ~40M verified pairs/s,
+    // the 5e4 default ≈ 1.25 ms/row — past that the scan path is the
+    // wrong tool vs the segment/minhash or partitioned-index paths)
+    estimatedRows.filter(_ > 1).foreach { n =>
+      val vol = simhashCandidateVolume(n, bits, maxHamming, intactBands)
+      require(vol <= budgetPerRow * n,
+        f"simhash banding too loose for corpus size: predicted candidate volume " +
+          f"$vol%.3g = C($bands,$intactBands)·2^(−comboWidth)·C($n,2) exceeds " +
+          f"budget ${budgetPerRow * n}%.3g ($budgetPerRow%.0f candidates/row at n=$n). " +
+          f"Raise intactBands (autoIntactBands(n, bits, maxHamming) = " +
+          f"${autoIntactBands(n, bits, maxHamming)}), raise bits, or use " +
+          "simhashNearDupPairsAuto")
+    }
     // the combo key is HASHED to one long (xxhash64 over comboIdx +
     // the r band buckets) instead of carried as a struct: a struct join
     // key costs ~3-4× in the join hot path (measured 21 vs 77M pairs/s
@@ -400,5 +504,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hammingDist(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** [[simhashNearDupPairs]] with `intactBands` derived from the actual
+    * corpus size ([[autoIntactBands]]) — the default entry point: static
+    * banding parameters are what went quadratic at the sf1 (cosine
+    * defaults) and sf10 (q19's r = 2) scale sweeps, because candidate
+    * volume is `C(bands,r)·2^(−r·bits/bands)·C(N,2)` — quadratic in N at
+    * FIXED r, while the optimal r grows with N. Recall is full at every
+    * valid r (the pigeonhole guarantee is r-independent) and the verify
+    * popcount keeps precision exact, so the output is IDENTICAL for any
+    * choice — auto-tuning is purely a cost decision and oracle-safe.
+    *
+    * Costs one `count()` of `df` — persist the signature frame first
+    * (every call site materializes it for the two-sided band join
+    * anyway), which makes the count a metadata-cheap cached pass.
+    */
+  def simhashNearDupPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      bits: Int = 64): DataFrame = {
+    val n = df.count()
+    val r = autoIntactBands(n, bits, maxHamming)
+    val vol = if (n > 1) simhashCandidateVolume(n, bits, maxHamming, r) else 0.0
+    log.info(
+      f"simhashNearDupPairsAuto: n=$n bits=$bits maxHamming=$maxHamming → " +
+        f"intactBands=$r (${simhashComboCount(maxHamming, r)} combo keys/row, " +
+        f"predicted candidates $vol%.3g)")
+    // budget check intentionally re-applied: if even the OPTIMAL banding
+    // exceeds the per-row budget the corpus has outgrown the scan path —
+    // fail with the full formula rather than run for hours
+    simhashNearDupPairs(df, idCol, sigCol, maxHamming, bits, r,
+      estimatedRows = Some(n))
   }
 }

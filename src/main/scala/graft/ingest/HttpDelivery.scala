@@ -109,12 +109,35 @@ object HttpDelivery {
     * then the raw body — newline-framed so no field can smear into its
     * neighbor. A receiver rebuilds it from the request URL, the
     * `X-Graft-Signed-Headers` list, and the received header values.
+    *
+    * The framing only prevents smearing if the framed fields cannot
+    * CONTAIN the frame characters, so inputs that would let two
+    * different requests share canonical bytes are REJECTED (SigV4's
+    * canonicalization constraints): newlines anywhere (a value or URL
+    * with '\n' forges extra lines), ';' in a header name (splits the
+    * signed-header list), and names that collide after lowercasing
+    * (the Map would silently collapse one value, signing a request the
+    * receiver cannot reconstruct). HTTP itself forbids all three on
+    * the wire — this surfaces them at signing time instead of
+    * producing an ambiguous MAC.
     */
   def canonicalRequest(
       url: String,
       body: Array[Byte],
       headers: Map[String, String]): Array[Byte] = {
+    require(!url.exists(c => c == '\n' || c == '\r'),
+      "canonicalRequest: URL must not contain newlines")
+    headers.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\n' || c == '\r' || c == ';' || c == ':'),
+        s"canonicalRequest: header name '$k' contains a framing character (\\n, ;, :)")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"canonicalRequest: value of header '$k' contains a newline — " +
+          "two requests could share identical canonical bytes")
+    }
     val lower = headers.map { case (k, v) => k.toLowerCase -> v }
+    require(lower.size == headers.size,
+      "canonicalRequest: header names collide after lowercasing — " +
+        s"[${headers.keys.toSeq.sorted.mkString(", ")}]")
     val names = lower.keys.toSeq.sorted
     val head = (url +: names.mkString(";") +: names.map(n => s"$n:${lower(n)}"))
       .mkString("\n") + "\n"

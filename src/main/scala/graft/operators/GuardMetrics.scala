@@ -29,6 +29,44 @@ object GuardMetrics {
 
   private val log = LoggerFactory.getLogger(getClass)
 
+  // process-global running totals so a HARNESS (Bench/CliffProbe) can
+  // surface guard fires in its report — a scale sweep must auto-flag
+  // silent recall loss instead of depending on someone reading the logs
+  private val droppedTotal = new java.util.concurrent.atomic.LongAdder
+  private val guardFires = new java.util.concurrent.atomic.LongAdder
+  private val maxBucketEver =
+    new java.util.concurrent.atomic.LongAccumulator(math.max(_, _), 0L)
+
+  /** Monotone running totals across every guarded query this JVM has
+    * run: band memberships dropped, number of executions that dropped
+    * any, and the largest bucket ever observed (dropped or not).
+    */
+  final case class GuardSnapshot(
+      droppedMemberships: Long, fires: Long, maxBucketSeen: Long) {
+    def minus(earlier: GuardSnapshot): GuardSnapshot = GuardSnapshot(
+      droppedMemberships - earlier.droppedMemberships,
+      fires - earlier.fires,
+      maxBucketSeen) // max is a high-water mark, not a delta
+  }
+
+  def snapshot(): GuardSnapshot =
+    GuardSnapshot(droppedTotal.sum(), guardFires.sum(), maxBucketEver.get())
+
+  /** Best-effort flush of Spark's async listener bus so a snapshot taken
+    * right after an action includes that action's guard metrics (the
+    * QueryExecutionListener fires on the shared bus). Reflective because
+    * `SparkContext.listenerBus`/`waitUntilEmpty` are private[spark]
+    * (public in bytecode); harness-only — product code never blocks on
+    * the bus.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 5000): Unit =
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(timeoutMs))
+    } catch { case _: Throwable => () }
+
   // one listener per session; WeakHashMap so dead sessions don't pin
   private val registered =
     java.util.Collections.synchronizedMap(
@@ -76,7 +114,11 @@ object GuardMetrics {
             .foreach { row =>
             val dropped = Option(row.getAs[java.lang.Long]("dropped_memberships"))
               .map(_.longValue).getOrElse(0L)
+            Option(row.getAs[java.lang.Long]("max_bucket_size"))
+              .foreach(m => maxBucketEver.accumulate(m.longValue))
             if (dropped > 0) {
+              droppedTotal.add(dropped)
+              guardFires.increment()
               val maxBsz = Option(row.getAs[java.lang.Long]("max_bucket_size"))
                 .map(_.longValue).getOrElse(0L)
               log.warn(

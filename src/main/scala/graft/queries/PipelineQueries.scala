@@ -124,14 +124,15 @@ object PipelineQueries {
         Dedup.simhashOf(Dedup.shingles($"text", 3), Dedup.md5Hash60, 60).as("sig"))
       // materialized once — both sides of the band join consume it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // intactBands = 2 (sf3 lesson): the hamming ≤ 10 ball over 60 bits
-    // makes r = 1 banding 5-6 bits wide — selectivity ≈ 0.5, quadratic
-    // with a useless constant; C(12,2) ten-bit combo keys put it at ~6%
-    // (sf3: candidates 3.1e9 → 7.6e8, warm 39.5 → 26.4 s incl. the
-    // hashed join key — remainder is linear signature compute plus the
-    // documented quadratic-with-constant candidate stream)
-    Dedup.simhashNearDupPairs(sigged, "doc_id", "sig", maxHamming = 10,
-        bits = 60, intactBands = 2)
+    // intactBands derived from the ACTUAL corpus size (sf10 lesson —
+    // the static r = 2 that fixed sf3 went 7.7× on 3.33× data at sf10,
+    // exactly the C(bands,r)·2^(−r·bits/bands)·C(N,2) quadratic term at
+    // fixed r): autoIntactBands picks r = 1 at sf0.01 (500 docs), 3 at
+    // sf3/sf10 (150k/500k) — output identical at every r (pigeonhole
+    // recall is r-independent, verify popcount exact), so the choice is
+    // purely a cost decision; the count() rides the persisted sig frame
+    Dedup.simhashNearDupPairsAuto(sigged, "doc_id", "sig", maxHamming = 10,
+        bits = 60)
       .orderBy($"id_a", $"id_b")
   }
 

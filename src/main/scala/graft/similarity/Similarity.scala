@@ -183,15 +183,21 @@ object Similarity {
     * listing instead of generating candidates.
     *
     * The banding and the threshold are VALIDATED against each other at
-    * plan time: recall is only pigeonhole-guaranteed for pairs whose
-    * expected hamming distance (bits·acos(cos)/π) fits inside the
-    * ball, so a (bits, maxHamming) whose ball stops short of
-    * `threshold` would silently drop qualifying pairs — the failure
-    * mode the old loose (16, 7) defaults hid by covering everything.
+    * plan time — an EXPECTATION check, not a guarantee: the require
+    * enforces E[hamming] = bits·acos(cos)/π ≤ maxHamming, and a pair
+    * sitting exactly at the covered similarity has each plane flip
+    * independently (Bernoulli θ/π), so roughly half its mass falls
+    * OUTSIDE the ball — recall at the boundary is probabilistic
+    * (σ = √(bits·p·(1−p)) ≈ 2-4 planes at these sizes; a pair a few σ
+    * above the boundary is near-certainly recalled, one AT it is ~50%).
+    * The check exists to catch bandings whose ball stops short of the
+    * threshold ENTIRELY — the failure mode the old loose (16, 7)
+    * defaults hid by covering everything; per-dataset recall remains
+    * empirical (the repo convention: brute-force oracle at every SF).
     * Callers whose qualifying pairs sit far above the verification
     * threshold (near-duplicate detection verified at a loose floor)
-    * state that with `recallCosine`: the ball must cover IT, and the
-    * threshold stays a correctness filter below it.
+    * state that with `recallCosine`: the ball must cover ITS
+    * expectation, and the threshold stays a correctness filter below it.
     */
   def cosineNearDupPairs(
       embeddings: DataFrame,
@@ -209,13 +215,15 @@ object Similarity {
     val expectedH =
       bits * math.acos(math.max(-1.0, math.min(1.0, target))) / math.Pi
     require(expectedH <= maxHamming,
-      f"banding (bits=$bits%d, maxHamming=$maxHamming%d) cannot guarantee " +
-        f"recall at cosine $target%.4f: E[hamming] = bits*acos(cos)/pi = " +
-        f"$expectedH%.1f > maxHamming — pairs at that similarity fall " +
-        "outside the Hamming ball and are silently dropped. Widen the " +
-        "ball (more bands), shrink bits, or — if qualifying pairs are " +
-        "really near-duplicates well above the verification threshold — " +
-        "pass recallCosine with the similarity the ball must cover")
+      f"banding (bits=$bits%d, maxHamming=$maxHamming%d) does not cover " +
+        f"cosine $target%.4f even in expectation: E[hamming] = " +
+        f"bits*acos(cos)/pi = $expectedH%.1f > maxHamming — typical pairs " +
+        "at that similarity fall outside the Hamming ball and are " +
+        "silently dropped (recall at the covered boundary itself stays " +
+        "probabilistic, ~50% for a pair exactly AT it). Widen the ball " +
+        "(more bands), shrink bits, or — if qualifying pairs are really " +
+        "near-duplicates well above the verification threshold — pass " +
+        "recallCosine with the similarity whose E[hamming] the ball must cover")
     val d = if (dim > 0) dim else dimOf(embeddings, vecCol)
     val planes = hyperplanes(bits, d)
     val sigged = embeddings
@@ -223,7 +231,11 @@ object Similarity {
       .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("__v"))
       .withColumn("__sig", srpSignature(col("__v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = graft.dedup.Dedup.simhashNearDupPairs(
+    // intactBands auto-derived from the corpus size (the volume-side
+    // twin of the recall require above): the banding choice never
+    // changes the OUTPUT — pigeonhole recall holds at every r and the
+    // cosine filter below re-verifies exactly — only the candidate cost
+    val cands = graft.dedup.Dedup.simhashNearDupPairsAuto(
       sigged, "id", "__sig", maxHamming, bits)
     val side = sigged.select(col("id").as("__jid"), col("__v"))
     cands

@@ -3,13 +3,18 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Stage-level probe for the sf3 cliff suspects (q19/q118): where does
-  * the time go — signature compute, band-key explosion, candidate
-  * volume, or verify/dedup? runMain graft.tools.CliffProbe <sfDir>
+/** Stage-level probe for the scale-cliff suspects (q19/q118): where
+  * does the time go — signature compute, band-key explosion, candidate
+  * volume, or verify/dedup? Prints predicted candidate volume next to
+  * the measured count so the uniform model can be checked per scale
+  * point, the autoIntactBands choice for the corpus, and the
+  * GuardMetrics totals (silent recall loss would invalidate a probe).
+  * runMain graft.tools.CliffProbe <sfDir> [comma rList, default 1,2]
   */
 object CliffProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val rList = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,7 +37,9 @@ object CliffProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = t("q19 signatures (materialize)")(sigged.count())
     println(s"[probe] docs: $n")
-    Seq(1, 2).foreach { r =>
+    println(s"[probe] q19 autoIntactBands(n=$n, 60, 10) = " +
+      s"${Dedup.autoIntactBands(n, 60, 10)}")
+    rList.foreach { r =>
       val bands = 10 + r
       val keyed = sigged.select(col("doc_id"),
         Dedup.simhashBandKeys(col("sig"), bands, 60).as("bk"))
@@ -47,7 +54,8 @@ object CliffProbe {
           .groupBy("bucket").agg(count(lit(1)).as("n"))
           .agg(sum(expr("n * (n - 1) div 2")).as("cand"))
           .head().getLong(0))
-      println(s"[probe] q19 r=$r: candidates=$cand")
+      println(f"[probe] q19 r=$r: candidates=$cand (predicted " +
+        f"${Dedup.simhashCandidateVolume(n, 60, 10, r)}%.3g)")
       val top = keyed.select(explode(comboKeys).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc).limit(5)
@@ -82,6 +90,10 @@ object CliffProbe {
         Seq(Seq("nat", "bal_b", "seg"), Seq("nat", "bal_b", "suffix")),
         fields, 70L).count())
     println(s"[probe] q118 union-block rows=$union")
+    graft.operators.GuardMetrics.drainListenerBus(spark)
+    val g = graft.operators.GuardMetrics.snapshot()
+    println(s"[probe] guards: dropped=${g.droppedMemberships} fires=${g.fires} " +
+      s"max_bucket=${g.maxBucketSeen}")
     spark.stop()
   }
 }

@@ -166,4 +166,86 @@ class DedupSpec extends SparkTestBase {
     while (dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
     assert(dropped == 60L, s"expected 60 dropped memberships (30 ids x 2 bands), got $dropped")
   }
+
+  test("GuardMetrics process counters surface a planted hot-bucket drop (the bench path)") {
+    import graft.operators.GuardMetrics
+    // the exact harness sequence Bench.runGroup uses: snapshot → run →
+    // drain the async listener bus → snapshot delta
+    val before = GuardMetrics.snapshot()
+    val sigs = ((1L to 25L).map(i => (i, Seq(7L, 8L, 9L, 10L))) ++
+      (31L to 35L).map(i => (i, Seq(100L, 200L, 300L, 400L)))).toDF("id", "sig")
+    val n = Dedup.lshCandidatePairs(sigs, "id", "sig", bands = 2, rows = 2,
+      maxBucketSize = 10).count()
+    assert(n == 10)
+    GuardMetrics.drainListenerBus(spark)
+    val delta = GuardMetrics.snapshot().minus(before)
+    // >= not ==: the counters are process-global and other suites in
+    // this JVM may legitimately fire guards concurrently
+    assert(delta.droppedMemberships >= 50L,
+      s"expected >= 50 dropped memberships (25 ids x 2 bands), got $delta")
+    assert(delta.fires >= 1L)
+    assert(delta.maxBucketSeen >= 25L)
+  }
+
+  test("simhashCandidateVolume matches hand-computed combinatorics (even and ragged bands)") {
+    // bits=12, maxHamming=2, r=2: 4 bands of 3 bits, C(4,2)=6 combos of
+    // width 6 → selectivity 6/64
+    val even = Dedup.simhashCandidateVolume(100, 12, 2, 2)
+    assert(math.abs(even - 6.0 / 64 * 4950) < 1e-9, s"even: $even")
+    // bits=13: sizes (4,3,3,3); combos touching band 0 have width 7 (3
+    // of them), the rest width 6 (3)
+    val ragged = Dedup.simhashCandidateVolume(100, 13, 2, 2)
+    val expected = (3 * math.pow(2, -7) + 3 * math.pow(2, -6)) * 4950
+    assert(math.abs(ragged - expected) < 1e-9, s"ragged: $ragged vs $expected")
+    // selectivity is capped at 1: the volume can never exceed C(n,2)
+    assert(Dedup.simhashCandidateVolume(100, 4, 2, 2) <= 4950.0)
+  }
+
+  test("autoIntactBands grows with corpus size and respects the combo cap") {
+    // the q19 banding (60 bits, hamming <= 10) across the measured scale
+    // points: sf0.01 ~500 docs, sf3 150k, sf10 500k
+    assert(Dedup.autoIntactBands(500, 60, 10) == 1)
+    assert(Dedup.autoIntactBands(150000, 60, 10) == 3)
+    assert(Dedup.autoIntactBands(500000, 60, 10) == 3)
+    assert(Dedup.autoIntactBands(5000000, 60, 10) == 4)
+    // monotone non-decreasing in n
+    val rs = Seq(100L, 10000L, 1000000L, 100000000L)
+      .map(Dedup.autoIntactBands(_, 60, 10))
+    assert(rs == rs.sorted, s"not monotone: $rs")
+    // a tight combo cap forces a smaller r: C(13,3)=286 > 70 >= C(12,2)=66
+    assert(Dedup.autoIntactBands(500000, 60, 10, maxCombos = 70) == 2)
+    // degenerate corpus sizes pick the cheapest feasible banding
+    assert(Dedup.autoIntactBands(0, 60, 10) == 1)
+    assert(Dedup.autoIntactBands(1, 60, 10) == 1)
+    // no room under bits at all → reject
+    intercept[IllegalArgumentException] { Dedup.autoIntactBands(100, 10, 10) }
+  }
+
+  test("banding too loose for a known corpus size fails fast with the volume formula") {
+    val sigged = docs.select($"doc_id",
+      Dedup.simhashOf(Dedup.shingles($"text", 3), Dedup.md5Hash60, 60).as("sig"))
+    // planted too-loose-for-N call site: r=1 banding at a claimed 10M
+    // docs predicts ~1.3e13 candidates — 2.7e6 per row, over any budget
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(sigged, "doc_id", "sig", maxHamming = 10,
+        bits = 60, intactBands = 1, estimatedRows = Some(10000000L))
+    }
+    assert(e.getMessage.contains("candidate volume"))
+    assert(e.getMessage.contains("autoIntactBands"))
+    // the same banding is fine when the corpus is actually small
+    Dedup.simhashNearDupPairs(sigged, "doc_id", "sig", maxHamming = 10,
+      bits = 60, intactBands = 1, estimatedRows = Some(5L))
+  }
+
+  test("simhashNearDupPairsAuto output is identical to explicit banding (r only moves cost)") {
+    val sigged = docs.select($"doc_id",
+      Dedup.simhashOf(Dedup.shingles($"text", 3), Dedup.md5Hash60, 60).as("sig"))
+    val auto = Dedup.simhashNearDupPairsAuto(sigged, "doc_id", "sig",
+        maxHamming = 10, bits = 60)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    val explicit = Dedup.simhashNearDupPairs(sigged, "doc_id", "sig",
+        maxHamming = 10, bits = 60, intactBands = 2)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
 }

@@ -216,6 +216,34 @@ class HttpDeliverySpec extends SparkTestBase {
     }
   }
 
+  test("canonicalRequest rejects inputs that could make two requests share canonical bytes") {
+    val body = "b".getBytes(UTF_8)
+    // a header VALUE containing '\n' can forge extra canonical lines:
+    // ("H" -> "v\nx-other:y") frames identically to two real headers
+    intercept[IllegalArgumentException] {
+      HttpDelivery.canonicalRequest("http://h/x", body, Map("H" -> "v\nx-other:y"))
+    }
+    // ';' in a NAME splits the signed-header list ambiguously
+    intercept[IllegalArgumentException] {
+      HttpDelivery.canonicalRequest("http://h/x", body, Map("a;b" -> "v"))
+    }
+    // names colliding after lowercasing: the Map silently collapses one
+    // value, signing a request the receiver cannot reconstruct
+    intercept[IllegalArgumentException] {
+      HttpDelivery.canonicalRequest("http://h/x", body,
+        Map("X-Graft-Batch" -> "1", "x-graft-batch" -> "2"))
+    }
+    // a URL carrying a newline forges header lines too
+    intercept[IllegalArgumentException] {
+      HttpDelivery.canonicalRequest("http://h/x\nx-graft-batch:9", body, Map.empty)
+    }
+    // the legal shape still signs, and ':' inside a VALUE is fine (names
+    // cannot contain ':', so the receiver's first-colon split is unique)
+    val ok = HttpDelivery.canonicalRequest("http://h/x", body,
+      Map("X-Graft-Batch" -> "7", "X-Time" -> "12:30:00"))
+    assert(new String(ok, UTF_8).startsWith("http://h/x\nx-graft-batch;x-time\n"))
+  }
+
   test("maxConnections bounds concurrent in-flight requests at the receiver") {
     withStub { stub =>
       stub.handlerDelayMs = 120L

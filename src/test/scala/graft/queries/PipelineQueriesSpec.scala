@@ -32,14 +32,22 @@ class PipelineQueriesSpec extends SparkTestBase {
   private val emptyAtSmoke = Set("q135_kcore")
 
   // the round-10 split packs share this harness: same queries, same
-  // smoke + oracle-coverage contracts, four files
+  // smoke + oracle-coverage contracts, five files
   private val packs = Seq(
     "pipeline" -> ((PipelineQueries.all, PipelineQueries.oracle)),
     "warehouse" -> ((WarehouseQueries.all, WarehouseQueries.oracle)),
     "insight" -> ((InsightQueries.all, InsightQueries.oracle)),
-    "tpch" -> ((TpchQueries.all, TpchQueries.oracle)))
+    "tpch" -> ((TpchQueries.all, TpchQueries.oracle)),
+    "live" -> ((LiveQueries.all, LiveQueries.oracle)))
 
-  for ((pack, (all, _)) <- packs; (name, fn) <- all.toSeq.sortBy(_._1)) {
+  // q282's two-delivery checkpointed streaming harness is covered at
+  // sf0.001 by LiveConsistencySpec + the driver verify — too slow for
+  // this per-query smoke loop, but its keys DO join the oracle-coverage
+  // and cross-pack-disjointness contracts below
+  private val skipSmoke = Set("live")
+
+  for ((pack, (all, _)) <- packs if !skipSmoke(pack);
+       (name, fn) <- all.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows on sf0.001 [$pack]") {
       val n = fn(spark, sfSmoke).count()
       if (emptyAtSmoke(name)) assert(n >= 0) else assert(n > 0)

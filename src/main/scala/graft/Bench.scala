@@ -271,7 +271,10 @@ object Bench {
     var fallback: Option[SparkSession] = None
     def fallbackSession = fallback.getOrElse { val s = mkSession(); fallback = Some(s); s }
     val results: Map[String, QRes] = groups.flatMap { g =>
-      val forked = if (doFork) forkGroup(g, timeoutMin = 20) else None
+      // scale sweeps need a longer leash: at sf10 a single graph or
+      // output-bound query can legitimately run 10+ minutes per pass
+      val timeoutMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_MIN", "20").toLong
+      val forked = if (doFork) forkGroup(g, timeoutMin) else None
       forked.getOrElse(runGroup(fallbackSession, sfDir, g, warmPasses))
     }.toMap
 

@@ -499,7 +499,15 @@ object Dedup {
       .select(col("id"), col("sig"), explode(comboKeys).as("bucket"))
     val a = keyed.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = keyed.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bucket"))
+    // PIN the join strategy: the exploded sides inherit the signature
+    // frame's sizeInBytes (Generate doesn't inflate stats), so once the
+    // input is a materialized cache — which simhashNearDupPairsAuto's
+    // count() guarantees — the planner sees "8 MB" where n·C(bands,r)
+    // rows actually flow and broadcasts the whole exploded side to the
+    // driver (observed at sf10: 33M rows, 1 GB collect, maxResultSize
+    // abort). Shuffled-hash on uniformly-hashed bucket keys is the
+    // right plan at every N; never let stats pick broadcast here.
+    a.hint("shuffle_hash").join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDist(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -592,7 +592,10 @@ object TrainingQueries {
         Similarity.toDoubleVec($"embedding").as("__v"))
       .withColumn("__sig", Similarity.srpSignature($"__v", planes))
       .persist()
-    val pairs = graft.dedup.Dedup.simhashNearDupPairs(
+    // auto-banded (r from the corpus size): r=1's 6-bit bands admit
+    // 6.25% of all pairs — fine at test scale, quadratic at 100×; the
+    // output is r-independent (pigeonhole recall + exact verify)
+    val pairs = graft.dedup.Dedup.simhashNearDupPairsAuto(
       emb.select($"id", $"__sig"), "id", "__sig", maxHamming = 3, bits = 24)
     val side = emb.select($"id".as("__jid"), $"label".as("__jlabel"), $"__v".as("__jv"))
     val both = pairs

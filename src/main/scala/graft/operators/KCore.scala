@@ -52,36 +52,34 @@ object KCore {
     var prev = -1L
     var cur = e.count()
     var round = 0
-    var cached: DataFrame = null
     while (cur != prev && round < maxRounds) {
       // the surviving-degree frame is |V|-bounded and SHRINKS as rounds
       // peel; under the edge budget broadcast it to both endpoint
       // filters so the edge frame never shuffles inside the loop.
-      // Persisted per round: the two broadcast builds would otherwise
-      // each re-run the degree aggregation (the Triangles lesson).
-      val dAll = degrees(e).filter(col("deg") >= k).persist()
+      val dAll = degrees(e).filter(col("deg") >= k)
       val d = if (cur <= GraphConf.broadcastMaxEdges(e)) broadcast(dAll) else dAll
+      // both endpoint filters join the IDENTICAL surviving-node subplan
+      // (alias-only disambiguation): the renamed projections (node→a /
+      // node→b) of the round-10 shape made the two broadcast children
+      // canonically unequal, so every round aggregated, built and
+      // broadcast the degree frame TWICE; ReuseExchange now collapses
+      // the second build per round.
+      val dn = d.select(col("node"))
       val joined = e
-        .join(d.select(col("node").as("a")), "a")
-        .join(d.select(col("node").as("b")), "b")
+        .join(dn.as("d1"), col("a") === col("d1.node"))
+        .join(dn.as("d2"), col("b") === col("d2.node"))
         .select(col("a"), col("b"))
-      // eager-truncate only every other round (the LabelProp lesson):
-      // off rounds persist instead — the count() below materializes the
-      // cache, lineage grows by ONE broadcast-join layer, and the next
-      // truncation resets it. Halves the full-frame materializations.
-      e = if (round % 2 == 1) truncate(joined) else joined.persist()
+      // eager-truncate EVERY round (revised from the round-8 alternate
+      // persist scheme): exchange reuse only fires over checkpointed
+      // (LogicalRDD) sources — a persisted off-round wraps the next
+      // round's degree subtree in TableCacheQueryStage, which AQE will
+      // not deduplicate, re-running the degree aggregation twice. One
+      // checkpoint job per round (degree agg + one broadcast + the
+      // filter joins) plus a block-local count is the round floor.
+      e = truncate(joined)
       prev = cur
       cur = e.count()
-      dAll.unpersist()
-      if (cached != null) { cached.unpersist(); cached = null }
-      if (round % 2 == 0) cached = e
       round += 1
-    }
-    if (cached != null) {
-      // keep the final frame usable by the caller: truncate before
-      // releasing the cache it was built on
-      e = truncate(e)
-      cached.unpersist()
     }
     require(cur == prev, s"k-core did not stabilize in $maxRounds rounds")
     degrees(e).select(col("node"), col("deg").as("core_deg"))

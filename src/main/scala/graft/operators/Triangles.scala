@@ -102,28 +102,47 @@ object Triangles {
     // total order key: (degree, id) packed into one long — ids and
     // degrees are bounded by |V| ≤ 2^31 here; at larger scale keep the
     // pair as a struct key instead
+    // ord is |V| rows (node -> order key), broadcast to both enrichment
+    // joins so the edge frame never shuffles on its way to orientation.
+    // MATERIALIZED (localCheckpoint) so the two broadcast builds
+    // collapse to one: exchange reuse needs canonically-equal build
+    // subtrees, which (a) renamed projections (the old ka/kb columns)
+    // and (b) TableCacheQueryStage wrappers around persisted sources
+    // both defeat — a checkpointed LogicalRDD + alias-only
+    // disambiguation is the shape AQE actually reuses (probed on this
+    // Spark: persisted source ⇒ 2 independent BroadcastQueryStages,
+    // checkpointed ⇒ ReusedExchange).
     val ord = deg.select(col("v"), (col("d") * lit(4294967296L) + col("v")).as("k"))
-    // ord is |V| rows (node -> order key) — broadcast both enrichment
-    // joins so the edge frame never shuffles on its way to orientation
+      .localCheckpoint(true)
     val dir = e
-      .join(broadcast(ord.withColumnRenamed("v", "a").withColumnRenamed("k", "ka")), "a")
-      .join(broadcast(ord.withColumnRenamed("v", "b").withColumnRenamed("k", "kb")), "b")
+      .join(broadcast(ord).as("o1"), col("a") === col("o1.v"))
+      .join(broadcast(ord).as("o2"), col("b") === col("o2.v"))
       .select(
-        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
-        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"))
+        when(col("o1.k") < col("o2.k"), col("a")).otherwise(col("b")).as("u"),
+        when(col("o1.k") < col("o2.k"), col("b")).otherwise(col("a")).as("v"))
       .persist()
     // out-neighbor arrays (order-capped by orientation); element order
-    // is irrelevant to the hashed intersection
-    val adjRaw = dir.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
-      .persist() // two probe joins below — build the arrays once
-    val adj = if (e.count() <= GraphConf.broadcastMaxEdges(e)) broadcast(adjRaw) else adjRaw
+    // is irrelevant to the hashed intersection. localCheckpoint (not
+    // persist) for the same reuse reason as `ord`: the arrays are
+    // aggregated once here, and the closing joins below then share ONE
+    // broadcast build of the materialized frame — the round-10 shape
+    // (persist + renamed projections) built and broadcast this largest
+    // frame twice per run, a measured ~40% of q107/q122 task time.
+    val adjChk = dir.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+      .localCheckpoint(true)
+    val adj = if (e.count() <= GraphConf.broadcastMaxEdges(e)) broadcast(adjChk) else adjChk
+    // both probe sides join the IDENTICAL adjacency subplan (alias-only
+    // disambiguation, no renamed projections) so the second hash build
+    // becomes a ReusedExchange instead of a second build+broadcast (and
+    // on the over-budget shuffle path, a reused shuffle instead of a
+    // second adjacency exchange).
     val closed = dir.select(col("u").as("a"), col("v").as("b"))
-      .join(adj.select(col("u").as("a"), col("nbrs").as("na")), "a")
-      .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), "b")
+      .join(adj.as("n1"), col("a") === col("n1.u"))
+      .join(adj.as("n2"), col("b") === col("n2.u"))
       .select(col("a").as("u"), col("b").as("x"),
-        explode(array_intersect(col("na"), col("nb"))).as("y"))
+        explode(array_intersect(col("n1.nbrs"), col("n2.nbrs"))).as("y"))
     val cleanup = () => {
-      e.unpersist(); deg.unpersist(); dir.unpersist(); adjRaw.unpersist(); ()
+      e.unpersist(); deg.unpersist(); dir.unpersist(); ()
     }
     (e, deg, closed, cleanup)
   }

@@ -327,7 +327,7 @@ object Dashboards {
     */
   def q70Gated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft-q70")
+    val path = PipelineQueries.tempDir("graft-q70")
       .resolve("user_sketches").toString
     val ev = Tables.events(s, dir)
     writeCardinalitySketchTable(ev, "user_id",

@@ -29,6 +29,20 @@ object StageProfile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_PLANDUMP=<dir>: write every action's EXECUTED plan
+    // (post-AQE, ReusedExchange visible) to <dir>/<query>_planN.txt —
+    // eager/iterative operators' real plans never show in the
+    // top-level explain, so this is the auditable evidence for
+    // internal plan-shape claims.
+    val planDump = sys.env.get("SPARK_GRAFT_PLANDUMP")
+    planDump.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    val planBuf = new ConcurrentLinkedQueue[String]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (planDump.isDefined) { planBuf.add(s"== action: $funcName (${durationNs / 1000000} ms) ==\n" + qe.executedPlan.toString); () }
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
+
     val stages = new ConcurrentLinkedQueue[StageRow]()
     var jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
@@ -47,7 +61,7 @@ object StageProfile {
 
     names.foreach { n =>
       for (pass <- 1 to 2) {
-        stages.clear(); jobs.set(0)
+        stages.clear(); jobs.set(0); planBuf.clear()
         val t0 = System.nanoTime()
         val cnt = graft.SparkEntry.queries(n)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -64,6 +78,12 @@ object StageProfile {
           f"stages=${rows.size} tasks=$nTasks tasktime=$taskTime%.1f s " +
           f"shufW=$shufW%.1f MB spill=$spill%.1f MB rows=$cnt")
         if (pass == 2) {
+          planDump.foreach { d =>
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(d, s"${n}_actions.txt"),
+              planBuf.asScala.mkString("\n\n"))
+          }
           rows.sortBy(-_.taskTimeMs).take(12).foreach { r =>
             println(f"[stageprofile]   stage ${r.stageId}%5d tasks=${r.tasks}%4d " +
               f"time=${r.taskTimeMs / 1e3}%6.2f s shufW=${r.shufWriteB / 1e6}%8.2f MB " +

@@ -218,10 +218,16 @@ object Dedup {
     // only candidate rows ever need them (computed inline at verify
     // time), so the cached artifact stays narrow — at char-n-gram
     // granularity the full shingle arrays are ~the corpus size again.
+    // localCheckpoint, not persist: same eager materialization, but the
+    // downstream consumers exchange this table several times with
+    // canonically-equal subtrees, and AQE only deduplicates exchanges
+    // over checkpointed (LogicalRDD) sources — a persisted source wraps
+    // each in TableCacheQueryStage, which defeats reuse (probed; see
+    // Triangles).
     val withSig = spread
       .withColumn("__sig", graft.plans.GraftFunctions.minhash(mkHashes(col(textCol)), p))
       .select(col(idCol), col(textCol), col("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cands = lshCandidatePairs(withSig, idCol, "__sig", bands, rows, maxBucketSize)
     val side = withSig.select(col(idCol).as("__jid"), col(textCol).as("__jtxt"), col("__sig"))
     // Verification staging: the signature-agreement estimate (p long
@@ -232,14 +238,17 @@ object Dedup {
     // while j<0.3 noise (≥6σ below the floor) still ~never reaches the
     // exact verify. Precision stays exact (jaccard is recomputed).
     val estFloor = math.max(0.0, threshold - 0.3)
-    val shA = mkShingles(col("txt_a"))
-    val shB = mkShingles(col("txt_b"))
+    val shA = mkShingles(col("sa.__jtxt"))
+    val shB = mkShingles(col("sb.__jtxt"))
+    // both verify sides join the IDENTICAL projection of the signature
+    // table (alias-only disambiguation, renames deferred to the final
+    // select): the old per-side renamed projections exchanged the
+    // signature table twice; with canonically-equal subtrees the second
+    // exchange/build is reused.
     cands
-      .join(side.withColumnRenamed("__jtxt", "txt_a").withColumnRenamed("__sig", "sig_a"),
-        cands("id_a") === side("__jid")).drop("__jid")
-      .join(side.withColumnRenamed("__jtxt", "txt_b").withColumnRenamed("__sig", "sig_b"),
-        cands("id_b") === side("__jid")).drop("__jid")
-      .filter(signatureAgreement(col("sig_a"), col("sig_b")) >= estFloor &&
+      .join(side.as("sa"), cands("id_a") === col("sa.__jid"))
+      .join(side.as("sb"), cands("id_b") === col("sb.__jid"))
+      .filter(signatureAgreement(col("sa.__sig"), col("sb.__sig")) >= estFloor &&
         jaccard(shA, shB) >= threshold)
       // shingles + jaccard intentionally computed HERE, for est-passing
       // candidates and survivors only (a handful of rows): hoisting them
@@ -497,8 +506,6 @@ object Dedup {
       .select(col(idCol).as("id"), col(sigCol).as("sig"),
         simhashBandKeys(col(sigCol), bands, bits).as("bk"))
       .select(col("id"), col("sig"), explode(comboKeys).as("bucket"))
-    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     // PIN the join strategy: the exploded sides inherit the signature
     // frame's sizeInBytes (Generate doesn't inflate stats), so once the
     // input is a materialized cache — which simhashNearDupPairsAuto's
@@ -507,9 +514,17 @@ object Dedup {
     // driver (observed at sf10: 33M rows, 1 GB collect, maxResultSize
     // abort). Shuffled-hash on uniformly-hashed bucket keys is the
     // right plan at every N; never let stats pick broadcast here.
-    a.hint("shuffle_hash").join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hammingDist(col("sig_a"), col("sig_b")).as("hamming"))
+    // Alias-only self-join (renames deferred to the select): both sides
+    // are the IDENTICAL exploded subtree, so the combo-key exchange is
+    // computed once and reused by the probe side — the old renamed
+    // projections (id_a/sig_a vs id_b/sig_b) ran the explode+exchange
+    // twice (over a checkpointed signature frame; a persisted one
+    // blocks the reuse entirely, see the neardupPairs note).
+    keyed.as("ka").hint("shuffle_hash")
+      .join(keyed.as("kb"), col("ka.bucket") === col("kb.bucket"))
+      .filter(col("ka.id") < col("kb.id"))
+      .select(col("ka.id").as("id_a"), col("kb.id").as("id_b"),
+        hammingDist(col("ka.sig"), col("kb.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

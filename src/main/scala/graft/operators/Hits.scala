@@ -32,6 +32,15 @@ object Hits {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // score frames are |V|-bounded (≤ 2|E| entries, ~16 B each): under
+    // the graph broadcast budget, broadcast them into every half-round
+    // join so the edge frame never shuffles or sorts — the planner
+    // can't see this (chained agg stats are unknown ⇒ SortMergeJoin of
+    // the edge side each half-round); above the budget the joins
+    // degrade to the old shuffle form (the only option when |V| rows
+    // exceed executor memory).
+    val bc: DataFrame => DataFrame =
+      if (e.count() <= GraphConf.broadcastMaxEdges(e)) broadcast _ else identity _
     // Intermediate frames are NOT zero-filled against the node set: a
     // node missing from a score frame contributes exactly the 0 the
     // zero-filled row would — only the final output needs the fill.
@@ -40,21 +49,21 @@ object Hits {
     // every-other-round truncation this is the LabelProp constant-
     // factor lesson applied to HITS.
     var auths = e.groupBy(col("v").as("node")).agg(count(lit(1)).as("a"))
-    var hubs = e.join(auths.withColumnRenamed("node", "v"), "v")
+    var hubs = e.join(bc(auths.withColumnRenamed("node", "v")), "v")
       .groupBy(col("u").as("node")).agg(sum(col("a")).as("h"))
     for (r <- 2 to rounds) {
       if (r % 2 == 0) hubs = truncate(hubs)
-      val a = e.join(hubs.withColumnRenamed("node", "u"), "u")
+      val a = e.join(bc(hubs.withColumnRenamed("node", "u")), "u")
         .groupBy(col("v").as("node")).agg(sum(col("h")).as("a"))
       auths = a
-      hubs = e.join(a.withColumnRenamed("node", "v"), "v")
+      hubs = e.join(bc(a.withColumnRenamed("node", "v")), "v")
         .groupBy(col("u").as("node")).agg(sum(col("a")).as("h"))
     }
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v"))).distinct()
     val out = nodes
-      .join(hubs, Seq("node"), "left")
-      .join(auths, Seq("node"), "left")
+      .join(bc(hubs), Seq("node"), "left")
+      .join(bc(auths), Seq("node"), "left")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
         coalesce(col("a"), lit(0L)).as("auth"))
     e.unpersist()

@@ -652,21 +652,29 @@ object ExtendedQueries {
     val e = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey",
       graft.operators.Edges.orderGroupCap)
       .persist() // LPA + m + e_c + degrees all read it
-    // persisted: referenced three times (both e_c endpoint joins + the
-    // degree join) — unpersisted, each reference re-runs the 2 LPA rounds
+    // LabelProp already returns an eagerly-materialized (checkpointed)
+    // frame — a persist() on top added nothing but a cache layer that
+    // BLOCKS exchange reuse (TableCacheQueryStage). The label frame is
+    // |V|-bounded, so under the graph broadcast budget it broadcasts
+    // into both endpoint joins (alias-only disambiguation ⇒ the second
+    // build is a ReusedExchange) and the persisted edge frame never
+    // shuffles or sorts; above the budget the joins degrade to the old
+    // shuffle form.
     val labels = graft.operators.LabelProp.propagate(
       e.select($"a".as("src"), $"b".as("dst")), "src", "dst", rounds = 2,
       distinctCanonicalEdges = true) // coOccurrence emits distinct a<b
-      .persist()
     val m = e.count() // one driver scalar
+    val lb =
+      if (m <= graft.operators.GraphConf.broadcastMaxEdges(e)) broadcast(labels)
+      else labels
     val ec = e
-      .join(labels.select($"node".as("a"), $"label".as("la")), Seq("a"))
-      .join(labels.select($"node".as("b"), $"label".as("lb")), Seq("b"))
-      .filter($"la" === $"lb")
-      .groupBy($"la".as("label")).agg(count(lit(1)).as("e_c"))
+      .join(lb.as("l1"), $"a" === col("l1.node"))
+      .join(lb.as("l2"), $"b" === col("l2.node"))
+      .filter(col("l1.label") === col("l2.label"))
+      .groupBy(col("l1.label").as("label")).agg(count(lit(1)).as("e_c"))
     val dc = e.select($"a".as("node")).unionAll(e.select($"b"))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
-      .join(labels, Seq("node"))
+      .join(lb, Seq("node"))
       .groupBy($"label").agg(sum($"deg").as("d_c"))
     dc.join(ec, Seq("label"), "left")
       // term in DECIMAL(38,0) cross-multiplication (the q272 rule):

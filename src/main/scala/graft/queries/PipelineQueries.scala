@@ -122,8 +122,10 @@ object PipelineQueries {
       .repartition(s.sparkContext.defaultParallelism) // parallelize sig compute (1-file input)
       .select($"doc_id",
         Dedup.simhashOf(Dedup.shingles($"text", 3), Dedup.md5Hash60, 60).as("sig"))
-      // materialized once — both sides of the band join consume it
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialized once (localCheckpoint: both sides of the band join
+      // consume it, and exchange reuse — which collapses the two band
+      // explodes to one — only fires over checkpointed sources)
+      .localCheckpoint(true)
     // intactBands derived from the ACTUAL corpus size (sf10 lesson —
     // the static r = 2 that fixed sf3 went 7.7× on 3.33× data at sf10,
     // exactly the C(bands,r)·2^(−r·bits/bands)·C(N,2) quadratic term at

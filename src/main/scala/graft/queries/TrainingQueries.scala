@@ -591,7 +591,11 @@ object TrainingQueries {
       .select($"vec_id".as("id"), $"label".cast("long").as("label"),
         Similarity.toDoubleVec($"embedding").as("__v"))
       .withColumn("__sig", Similarity.srpSignature($"__v", planes))
-      .persist()
+      // localCheckpoint: referenced by the band join and both verify
+      // sides — exchange reuse across those references only fires over
+      // checkpointed sources (persisted ones wrap in
+      // TableCacheQueryStage, which AQE won't deduplicate)
+      .localCheckpoint(true)
     // auto-banded (r from the corpus size): r=1's 6-bit bands admit
     // 6.25% of all pairs — fine at test scale, quadratic at 100×; the
     // output is r-independent (pigeonhole recall + exact verify)

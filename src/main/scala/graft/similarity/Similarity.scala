@@ -226,24 +226,31 @@ object Similarity {
         "recallCosine with the similarity whose E[hamming] the ball must cover")
     val d = if (dim > 0) dim else dimOf(embeddings, vecCol)
     val planes = hyperplanes(bits, d)
+    // localCheckpoint, not persist: the verify joins below exchange this
+    // table twice with canonically-equal subtrees, and AQE only reuses
+    // exchanges over checkpointed (LogicalRDD) sources (the Triangles
+    // probe) — a persisted source defeats the dedup
     val sigged = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("__v"))
       .withColumn("__sig", srpSignature(col("__v"), planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // intactBands auto-derived from the corpus size (the volume-side
     // twin of the recall require above): the banding choice never
     // changes the OUTPUT — pigeonhole recall holds at every r and the
     // cosine filter below re-verifies exactly — only the candidate cost
     val cands = graft.dedup.Dedup.simhashNearDupPairsAuto(
       sigged, "id", "__sig", maxHamming, bits)
+    // alias-only disambiguation (renames deferred): both verify sides
+    // join the identical projection so the second signature-table
+    // exchange is reused instead of re-run
     val side = sigged.select(col("id").as("__jid"), col("__v"))
     cands
-      .join(side.withColumnRenamed("__v", "v_a"), cands("id_a") === side("__jid")).drop("__jid")
-      .join(side.withColumnRenamed("__v", "v_b"), cands("id_b") === side("__jid")).drop("__jid")
-      .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+      .join(side.as("va"), cands("id_a") === col("va.__jid"))
+      .join(side.as("vb"), cands("id_b") === col("vb.__jid"))
+      .filter(cosine(col("va.__v"), col("vb.__v")) >= threshold)
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+        round(cosine(col("va.__v"), col("vb.__v")), 6).as("cos"))
   }
 
   /** THE 100 TB shape: write the embedding table PARTITIONED BY its SRP

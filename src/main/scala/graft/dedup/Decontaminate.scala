@@ -39,8 +39,16 @@ object Decontaminate {
     // over a NULL token list is NULL); Spark's shingle pipeline would emit
     // a degenerate '' gram instead — filter it out so a NULL doc can never
     // be flagged
+    // Spread the tokenize+explode work first: a small source file
+    // arrives as ONE input partition, which serializes the (CPU-heavy)
+    // shingle pipeline onto a single core ahead of the gram exchange —
+    // measured as a 3.5 s single-task stage owning most of q58's wall.
+    // The round-robin exchange moves raw doc rows (cheap); at cluster
+    // scale the input already has many splits and this is a near-no-op
+    // rebalance (the neardupPairs `spread` pattern).
     def grams(df: DataFrame, as: String): DataFrame = df
       .filter(col(textCol).isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as(as),
         explode(Dedup.shingles(col(textCol), shingleK)).as("gram"))
     val corpusGrams = grams(corpus, "corpus_id")

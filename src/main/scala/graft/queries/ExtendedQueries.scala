@@ -546,13 +546,25 @@ object ExtendedQueries {
     val w = graft.operators.Edges
       .coOccurrenceCounts(li, "l_orderkey", "l_partkey")
       .persist() // degrees + the scored pairs both read it
-    val deg = w.select($"a".as("node"), $"w")
+    // degrees materialized ONCE (localCheckpoint, the exchange-reuse
+    // shape) and joined onto both endpoints alias-only — the renamed
+    // node→a / node→b projections made the two build subtrees
+    // canonically unequal, so the |V|-row aggregation ran twice per
+    // run. The checkpointed frame has no size stats, so the broadcast
+    // is explicit (budget-gated like the other graph operators); above
+    // the budget the joins degrade to the shuffle form.
+    val degChk = w.select($"a".as("node"), $"w")
       .unionAll(w.select($"b".as("node"), $"w"))
       .groupBy($"node").agg(sum($"w").as("deg"))
-    w.join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
-      .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
+      .localCheckpoint(true)
+    val deg =
+      if (degChk.count() <= graft.operators.GraphConf.broadcastMaxEdges(w))
+        broadcast(degChk)
+      else degChk
+    w.join(deg.as("dA"), $"a" === col("dA.node"))
+      .join(deg.as("dB"), $"b" === col("dB.node"))
       .select($"a", $"b", $"w",
-        expr("w * w * 1000000 div (da * db)").as("cos2_ppm"))
+        expr("w * w * 1000000 div (dA.deg * dB.deg)").as("cos2_ppm"))
       .orderBy($"cos2_ppm".desc, $"a", $"b")
       .limit(20)
   }
@@ -579,9 +591,13 @@ object ExtendedQueries {
       .select($"node", (-$"m.negn").as("predicted"))
     val items = li.distinct()
       .persist() // seeds agg + the membership semi-join both read it
+    // materialized ONCE: the eval join and the n_orders scalar both
+    // read the seeds frame — lazily each reference re-ran the groupBy
+    // over the cached items
     val seeds = items.groupBy($"l_orderkey")
       .agg(min($"l_partkey").as("seed"), count(lit(1)).as("n_items"))
       .filter($"n_items" >= 2L)
+      .localCheckpoint(true)
     seeds
       .join(best, $"seed" === $"node")
       .join(items.select($"l_orderkey", $"l_partkey".as("predicted")),
@@ -607,13 +623,24 @@ object ExtendedQueries {
     val e = graft.operators.Edges.coOccurrence(li, "l_orderkey", "l_partkey",
       graft.operators.Edges.orderGroupCap)
       .persist() // degree agg + the stats pass
-    val deg = e.select($"a".as("node")).unionAll(e.select($"b"))
+    // joined onto both endpoints: localCheckpoint (not persist) +
+    // alias-only joins so the second endpoint join reuses the first
+    // build instead of exchanging the cached frame again. Explicit
+    // budget-gated broadcast — the checkpointed LogicalRDD has no size
+    // stats, so without the hint the planner shuffle-joins the
+    // edge-scale pairs union against the |V|-row degree frame.
+    val degChk = e.select($"a".as("node")).unionAll(e.select($"b"))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
-      .persist() // joined onto both endpoints
+      .localCheckpoint(true)
+    val deg =
+      if (degChk.count() <= graft.operators.GraphConf.broadcastMaxEdges(e))
+        broadcast(degChk)
+      else degChk
     // symmetrize so the correlation is over unordered endpoint pairs
     val pairs = e.unionAll(e.select($"b".as("a"), $"a".as("b")))
-      .join(deg.select($"node".as("a"), $"deg".as("dx")), Seq("a"))
-      .join(deg.select($"node".as("b"), $"deg".as("dy")), Seq("b"))
+      .join(deg.as("dX"), $"a" === col("dX.node"))
+      .join(deg.as("dY"), $"b" === col("dY.node"))
+      .select($"a", $"b", col("dX.deg").as("dx"), col("dY.deg").as("dy"))
     val dec = "DECIMAL(38,0)"
     pairs.agg(
         count(lit(1)).as("m"),

@@ -38,11 +38,19 @@ object AssociationRules {
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupItem)
       .persist()
+    // materialized ONCE and self-joined alias-only: the old renamed
+    // item→item_a / item→item_b projections made the two join-side
+    // subtrees canonically unequal, so the semi-join ran and the
+    // surviving (tx, item) frame exchanged TWICE per run; a
+    // checkpointed frame joined through .as() aliases shares one
+    // exchange (ReusedExchange — the simhash band self-join lesson)
     val frequent = items.join(itemSup.select("item"), "item", "left_semi")
-    val pairs = frequent.select(col("tx"), col("item").as("item_a"))
-      .join(frequent.select(col("tx"), col("item").as("item_b")), "tx")
-      .filter(col("item_a") < col("item_b"))
-    val pairSup = pairs.groupBy(col("item_a"), col("item_b"))
+      .localCheckpoint(true)
+    val pairs = frequent.as("fa")
+      .join(frequent.as("fb"), col("fa.tx") === col("fb.tx"))
+      .filter(col("fa.item") < col("fb.item"))
+    val pairSup = pairs
+      .groupBy(col("fa.item").as("item_a"), col("fb.item").as("item_b"))
       .agg(count(lit(1)).as("sup_ab"))
       .filter(col("sup_ab") >= minSupPair)
     val nTx = items.select(col("tx")).distinct()

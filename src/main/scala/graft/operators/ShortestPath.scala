@@ -45,8 +45,17 @@ object ShortestPath {
     var dist = truncate(
       seeds.select(col(seedCol).as("node")).distinct()
         .withColumn("dist", lit(0L)))
+    val budget = GraphConf.broadcastMaxEdges(edges)
     for (_ <- 1 to rounds) {
-      val relaxed = dist.withColumnRenamed("node", "u")
+      // the distance frame is a checkpointed LogicalRDD with NO size
+      // stats, so without the hint the planner re-exchanges the FULL
+      // cached adjacency by u every round (measured 35 MB/round on the
+      // sf0.1 line-pair graph). |dist| ≤ |V|: broadcast under the
+      // GraphConf budget (exact count is a cheap scan of the
+      // materialized RDD); above it, degrade to the shuffle join.
+      val dSel = dist.withColumnRenamed("node", "u")
+      val probe = if (dist.count() <= budget) broadcast(dSel) else dSel
+      val relaxed = probe
         .join(adj, "u")
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.union(relaxed)

@@ -169,8 +169,15 @@ object CorpusQueries {
       .withColumn("cix", expr(s"(u * 2654435761 + i * 97) % $n + 1"))
       .join(idx.select($"ix".as("cix"), $"node".as("v")), "cix")
       .filter($"u" =!= $"v")
+    // true-edge rejection: broadcast the canonical edge set under the
+    // graph budget (same envelope as the Triangles adjacency) so the
+    // anti-join needs NO exchange or sort of either side — the SMJ
+    // form exchanged+sorted both; above the budget it degrades back
+    val edgeSide =
+      if (edges.count() <= graft.operators.GraphConf.broadcastMaxEdges(edges))
+        broadcast(edges) else edges
     val rejected = cands
-      .join(edges,
+      .join(edgeSide,
         least($"u", $"v") === $"a" && greatest($"u", $"v") === $"b",
         "left_anti")
     val w = org.apache.spark.sql.expressions.Window

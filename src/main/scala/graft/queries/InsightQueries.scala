@@ -210,7 +210,8 @@ object InsightQueries {
       .select($"a".as("src"), $"b".as("dst"))
     val seeds = Tables.part(s, dir).filter($"p_partkey" <= 5)
     graft.operators.Bfs.hops(edges, "src", "dst", seeds, "p_partkey",
-        maxHops = 2)
+        maxHops = 2,
+        distinctCanonicalEdges = true) // coOccurrence emits distinct a<b
       .orderBy($"node")
   }
 

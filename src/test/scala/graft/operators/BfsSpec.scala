@@ -44,4 +44,37 @@ class BfsSpec extends SparkTestBase {
   test("maxHops = 0 returns exactly the seed set") {
     assert(run(Seq((1L, 2L)), Seq(1L), 0) == Map(1L -> 0L))
   }
+
+  test("distinctCanonicalEdges flag is result-identical on canonical input") {
+    val rnd = new scala.util.Random(421)
+    for (_ <- 1 to 5) {
+      val n = 2 + rnd.nextInt(12)
+      val raw = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // canonical distinct a<b — the Edges.coOccurrence output contract
+      val canon = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      val seeds = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(n).toLong).distinct
+      val base = Bfs.hops(canon.toDF("s", "d"), "s", "d",
+        seeds.toDF("n"), "n", maxHops = 3).as[(Long, Long)].collect().toMap
+      val flagged = Bfs.hops(canon.toDF("s", "d"), "s", "d",
+        seeds.toDF("n"), "n", maxHops = 3, distinctCanonicalEdges = true)
+        .as[(Long, Long)].collect().toMap
+      assert(flagged == base)
+    }
+  }
+
+  test("broadcast budget 0 (forced shuffle path) is result-identical") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
+    val old = spark.conf.getOption(GraphConf.BroadcastMaxEdgesKey)
+    spark.conf.set(GraphConf.BroadcastMaxEdgesKey, "0")
+    try {
+      assert(run(edges, Seq(1L), 2) ==
+        Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(GraphConf.BroadcastMaxEdgesKey, v)
+        case None => spark.conf.unset(GraphConf.BroadcastMaxEdgesKey)
+      }
+    }
+  }
 }

@@ -59,10 +59,19 @@ object ConnectedComponents {
     // before the data does — caching shrinks execution, not the plan.
     // The probe is then a tiny second job over the materialized blocks.
     var prev: (Long, Option[java.math.BigDecimal]) = (-1L, None)
+    // the star rounds join node-scale min frames against the 2|E|
+    // neighbor frame; everything derives from a checkpointed LogicalRDD
+    // with no size stats, so unhinted the planner sort-merges — two
+    // exchanges + two sorts of edge-scale data per star. The min frames
+    // broadcast under the graph budget, gated by the PREVIOUS round's
+    // convergence-probe count (free) — node count ≤ 2·|e| bounds them.
+    val budget = GraphConf.broadcastMaxEdges(edges)
+    var eRows = e.count() // checkpointed RDD: a cheap scan
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      e = truncate(smallStar(largeStar(e)))
+      val bcast = 2 * eRows <= budget
+      e = truncate(smallStar(largeStar(e, bcast), bcast))
       // decimal sum: a Long sum of 64-bit hashes would overflow ANSI math
       val probe = e.agg(count(lit(1)),
         sum(xxhash64(col("a"), col("b")).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
@@ -70,6 +79,7 @@ object ConnectedComponents {
       val cur = (probe.getLong(0), Option(probe.getDecimal(1)))
       done = cur == prev
       prev = cur
+      eRows = cur._1
       round += 1
     }
     require(done, s"connected components did not converge in $maxRounds rounds")
@@ -84,12 +94,12 @@ object ConnectedComponents {
     * the minimum of its closed neighborhood. Keeps (a < b) orientation
     * because the new endpoint is a neighborhood minimum.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private def largeStar(e: DataFrame, broadcastMins: Boolean): DataFrame = {
     val nbrs = e.union(e.select(col("b"), col("a")))
       .toDF("u", "v")
     val mins = nbrs.groupBy("u")
       .agg(least(min(col("v")), col("u")).as("m"))
-    nbrs.join(mins, "u")
+    nbrs.join(if (broadcastMins) broadcast(mins) else mins, "u")
       .filter(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("m").as("a"), col("v").as("b"))
       .distinct()
@@ -98,9 +108,10 @@ object ConnectedComponents {
   /** Small-star: every node connects its SMALLER neighbors (and itself)
     * to the minimum among them.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private def smallStar(e: DataFrame, broadcastMins: Boolean): DataFrame = {
     // canonical (a < b) ⇒ smaller-neighbor list of b is exactly the a's
-    val mins = e.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+    val minsRaw = e.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+    val mins = if (broadcastMins) broadcast(minsRaw) else minsRaw
     e.join(mins, e("b") === mins("u"))
       .select(col("m").as("a"), col("a").as("b"))
       .filter(col("a") =!= col("b"))

@@ -58,12 +58,23 @@ object LabelProp {
     val adj = (if (distinctCanonicalEdges) sym
                else sym.filter(col("u") =!= col("v")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |adj| gates the per-round label broadcast below; the count also
+    // fills the cache once, before the first aggregation reads it
+    val adjRows = adj.count()
+    val budget = GraphConf.broadcastMaxEdges(edges)
     // round 1: identity labels ⇒ all vote counts are 1 ⇒ the
     // (count, −label) argmax is exactly the smallest neighbor id
     var labels = adj.groupBy(col("v").as("node")).agg(min(col("u")).as("label"))
     for (r <- 2 to rounds) {
+      // the label frame (|V| rows ≤ |adj|) broadcasts under the graph
+      // budget: its plan carries no usable size stats (agg estimate /
+      // checkpointed LogicalRDD), so the planner otherwise re-exchanges
+      // the FULL cached adjacency by u every round (measured 26.4
+      // MB/round on the sf0.1 co-purchase graph); above the budget the
+      // join degrades to the shuffle form
+      val lSide = labels.withColumnRenamed("node", "u")
       val votes = adj
-        .join(labels.withColumnRenamed("node", "u"), "u")
+        .join(if (adjRows <= budget) broadcast(lSide) else lSide, "u")
         .groupBy(col("v").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
       // argmax by (n, −label): max count wins, smallest label on ties

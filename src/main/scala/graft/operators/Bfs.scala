@@ -79,8 +79,14 @@ object Bfs {
         .join(adj, "u").select(col("v").as("node")).distinct()
         .join(vSide, Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
+      val prevFrontier = frontier
+      val prevVisited = visited
       frontier = truncate(next)
       visited = truncate(visited.union(frontier))
+      // free superseded checkpoint blocks (localCheckpoint persists
+      // each round's frame until explicitly released — see Lineage)
+      Lineage.releaseSuperseded(prevVisited, visited)
+      if (prevFrontier ne prevVisited) Lineage.releaseSuperseded(prevFrontier, visited)
     }
     adj.unpersist()
     visited

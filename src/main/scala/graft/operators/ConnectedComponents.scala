@@ -38,7 +38,11 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 50,
-      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+      // serialized checkpoint storage for the same reason as [[KCore]]:
+      // early star rounds hold edge-scale frames, and deserialized
+      // unroll copies are the 8 GB-heap OOM path at 30× scale
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)): DataFrame = {
     // canonical undirected form: a < b, one row per edge. Truncated
     // BEFORE the loop: each star round references the edge set several
     // times, and an expensive upstream (a whole MinHash-LSH pipeline)
@@ -71,7 +75,12 @@ object ConnectedComponents {
     var done = false
     while (!done && round < maxRounds) {
       val bcast = 2 * eRows <= budget
+      val prevE = e
       e = truncate(smallStar(largeStar(e, bcast), bcast))
+      // free the superseded round's checkpoint blocks (Lineage): the
+      // early star rounds hold edge-scale frames, and localCheckpoint
+      // persists each one until explicitly released
+      Lineage.releaseSuperseded(prevE, e)
       // decimal sum: a Long sum of 64-bit hashes would overflow ANSI math
       val probe = e.agg(count(lit(1)),
         sum(xxhash64(col("a"), col("b")).cast(org.apache.spark.sql.types.DecimalType(38, 0))))

@@ -55,6 +55,7 @@ object Hierarchy {
       // inner join: every unresolved anc must itself appear as a node —
       // a dangling pointer silently drops its row here, which the
       // row-count guard below converts into a loud failure
+      val prevState = state
       state = truncate(
         state.filter(col("done")).union(
           state.filter(!col("done"))
@@ -62,6 +63,8 @@ object Hierarchy {
             .select(col("node"), col("j_anc").as("anc"),
               (col("depth") + col("j_depth")).as("depth"),
               col("j_done").as("done"))))
+      // free the superseded round's checkpoint blocks (see Lineage)
+      Lineage.releaseSuperseded(prevState, state)
       remaining = state.filter(!col("done")).limit(1).count()
       round += 1
     }

@@ -37,7 +37,15 @@ object KCore {
       dstCol: String,
       k: Int,
       maxRounds: Int = 40,
-      truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+      // SERIALIZED checkpoint storage: the per-round survivor frame is
+      // edge-scale, and the default deserialized level unrolls one
+      // UnsafeRow COPY per row into the memory store — 32 concurrent
+      // unroll tasks of a 45M-row round transiently blew an 8 GB heap
+      // at 30× scale (round-10's alternating persist scheme kept
+      // compact columnar caches between checkpoints, which is why it
+      // fit). Serialized batches account tightly and spill cleanly.
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)): DataFrame = {
     require(k >= 1, "k must be >= 1")
     var e = truncate(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -76,7 +84,12 @@ object KCore {
       // not deduplicate, re-running the degree aggregation twice. One
       // checkpoint job per round (degree agg + one broadcast + the
       // filter joins) plus a block-local count is the round floor.
+      // Each round FREES the blocks it supersedes (Lineage): the peel
+      // holds edge-scale survivors for many rounds, and unreleased
+      // checkpoint block sets OOMed an 8 GB heap at 30× scale.
+      val prevE = e
       e = truncate(joined)
+      Lineage.releaseSuperseded(prevE, e)
       prev = cur
       cur = e.count()
       round += 1

@@ -82,7 +82,15 @@ object LabelProp {
         .groupBy(col("node"))
         .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-      labels = if (r % 2 == 0 && r < rounds) truncate(next) else next
+      labels = if (r % 2 == 0 && r < rounds) {
+        val prevLabels = labels
+        val t = truncate(next)
+        // free the superseded checkpoint blocks (see Lineage); a lazy
+        // in-between round's plan still references the prior
+        // checkpoint and is left alone by the ancestry guard
+        Lineage.releaseSuperseded(prevLabels, t)
+        t
+      } else next
     }
     // materialize the final (node, label) frame — it is node-sized, tiny
     // next to the edge work — so the adjacency cache can be released

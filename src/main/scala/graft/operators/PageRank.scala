@@ -98,7 +98,12 @@ object PageRank {
           (lit(base) + expr(
             s"($dampNum * (coalesce(contrib, 0L) + (dang div $n))) div $dampDen"))
             .as("r"))
-      if (it % truncateEvery == 0 && it < iterations) ranks = truncate(ranks)
+      if (it % truncateEvery == 0 && it < iterations) {
+        val prevRanks = ranks
+        ranks = truncate(ranks)
+        // free the superseded checkpoint blocks (see Lineage)
+        Lineage.releaseSuperseded(prevRanks, ranks)
+      }
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
@@ -168,7 +173,12 @@ object PageRank {
             s"($dampNum * (coalesce(contrib, 0L) + " +
               s"(CASE WHEN seed = 1 THEN dang div $nS ELSE 0 END))) div $dampDen"))
             .as("r"))
-      if (it % truncateEvery == 0 && it < iterations) ranks = truncate(ranks)
+      if (it % truncateEvery == 0 && it < iterations) {
+        val prevRanks = ranks
+        ranks = truncate(ranks)
+        // free the superseded checkpoint blocks (see Lineage)
+        Lineage.releaseSuperseded(prevRanks, ranks)
+      }
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
@@ -244,7 +254,12 @@ object PageRank {
           (lit(base) + expr(
             s"($dampNum * (coalesce(contrib, 0L) + (dang div $n))) div $dampDen"))
             .as("r"))
-      if (it % truncateEvery == 0 && it < iterations) ranks = truncate(ranks)
+      if (it % truncateEvery == 0 && it < iterations) {
+        val prevRanks = ranks
+        ranks = truncate(ranks)
+        // free the superseded checkpoint blocks (see Lineage)
+        Lineage.releaseSuperseded(prevRanks, ranks)
+      }
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
@@ -311,7 +326,12 @@ object PageRank {
             s"($dampNum * (coalesce(contrib, 0L) + " +
               s"(CASE WHEN seed = 1 THEN dang div $nS ELSE 0 END))) div $dampDen"))
             .as("r"))
-      if (it % truncateEvery == 0 && it < iterations) ranks = truncate(ranks)
+      if (it % truncateEvery == 0 && it < iterations) {
+        val prevRanks = ranks
+        ranks = truncate(ranks)
+        // free the superseded checkpoint blocks (see Lineage)
+        Lineage.releaseSuperseded(prevRanks, ranks)
+      }
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

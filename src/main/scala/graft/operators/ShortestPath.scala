@@ -60,7 +60,10 @@ object ShortestPath {
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val prevDist = dist
       dist = truncate(next)
+      // free the superseded round's checkpoint blocks (see Lineage)
+      Lineage.releaseSuperseded(prevDist, dist)
     }
     adj.unpersist()
     dist

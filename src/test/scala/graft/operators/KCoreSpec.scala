@@ -50,4 +50,21 @@ class KCoreSpec extends SparkTestBase {
   test("everything peels away to an empty core when k exceeds max degree") {
     assert(run(Seq((1L, 2L), (2L, 3L)), 5).isEmpty)
   }
+
+  test("superseded per-round checkpoint blocks are released, not accumulated") {
+    // a long pendant chain off a triangle peels ONE edge per round:
+    // ~28 rounds, each localCheckpoint-ing the survivor frame. Without
+    // the Lineage release every round's blocks stay persisted until
+    // GC (the 8 GB OOM at 30× scale); with it the persistent-RDD set
+    // stays bounded by a small constant.
+    val chain = (3L to 30L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++ chain
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(run(edges, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 3,
+      s"per-round checkpoint blocks leaked: ${leaked.size} persistent " +
+        "RDDs left behind by one KCore.core call (expected <= 3: the " +
+        "final round's frame survives, intermediates must not)")
+  }
 }

@@ -81,6 +81,18 @@ object Bench {
         catch { case e: Throwable => Left(sanitize(e)) }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // release per-query persisted sig tables
+      // UNTIMED inter-query JVM hygiene (round-12, measurement-isolation
+      // fix): clearCache only drops CacheManager entries — localCheckpoint
+      // block sets and driver-built broadcast hash relations are freed
+      // only when ContextCleaner notices the dead references after a GC.
+      // Round 11 proved cross-query contamination inside a group JVM
+      // (untouched q123 ran 0.72 s at 8 cores vs 15.5 s at 32 in q122's
+      // group). Reap leftover RDD blocks explicitly and give the cleaner
+      // its GC so every query starts from a clean heap; timing of the
+      // query itself is untouched.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => { r.unpersist(blocking = false); () })
+      System.gc()
       // attribute guard fires to this query: the listener rides the
       // async bus, so flush it (untimed) before reading the counters
       graft.operators.GuardMetrics.drainListenerBus(spark)

@@ -21,15 +21,19 @@ import org.apache.spark.storage.StorageLevel
   * flat, same discipline as [[KCore]]/[[ConnectedComponents]]. A
   * frontier that goes empty short-circuits the remaining rounds.
   *
-  * Per-round exchanges: the frontier and visited frames are
-  * checkpointed LogicalRDDs with NO size statistics, so without an
-  * explicit hint the planner shuffle-joins the cached adjacency
-  * against them — re-exchanging the FULL edge set every hop (measured
-  * 22.5 MB/hop on the sf0.1 co-purchase graph). Both probe sides are
-  * therefore broadcast under the [[GraphConf]] budget (their exact
-  * row counts are free to take — the frames are materialized); above
-  * the budget the joins degrade to the shuffle form, the only option
-  * when the wave itself is beyond executor memory.
+  * Per-round exchanges: the adjacency is hash-partitioned on the probe
+  * key ONCE (repartition before persist), so every round's frontier
+  * join reuses the cached layout and only the node-scale frontier is
+  * (at most) exchanged — the checkpointed probe frames carry their own
+  * hash partitioning, so in the common case a round is exchange-free
+  * up to the dedup aggregation. The probe sides carry SHUFFLE_HASH
+  * hints: the frames are stats-less checkpointed LogicalRDDs, and
+  * unhinted the planner sort-merges, re-sorting the full cached
+  * adjacency every hop. No per-round driver action is involved beyond
+  * the emptiness probe — the round-11 count-gated explicit broadcasts
+  * built one driver-collected hash relation per round, which are only
+  * freed by ContextCleaner GC and anti-scaled with core count on the
+  * contract host (see OPTIMIZATION_r12.md).
   */
 object Bfs {
 
@@ -54,13 +58,20 @@ object Bfs {
       distinctCanonicalEdges: Boolean = false,
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    // symmetric adjacency once: frontier joins probe a single table
+    // symmetric adjacency once, hash-partitioned on the probe key `u`
+    // and cached in that layout: every round's frontier join then
+    // satisfies its distribution requirement from the cache, and only
+    // the node-scale probe side can ever need an exchange
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     val sym = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-    val adj = (if (distinctCanonicalEdges) sym
-               else sym.filter(col("u") =!= col("v")).distinct())
+    // repartition FIRST, dedup after: HashPartitioning(u) satisfies the
+    // distinct's (u, v) clustering, so the dedup runs partition-local on
+    // the already-final layout — one 2|E| exchange total instead of a
+    // dedup exchange plus a repartition exchange
+    val adj = (if (distinctCanonicalEdges) sym.repartition(col("u"))
+               else sym.filter(col("u") =!= col("v"))
+                 .repartition(col("u")).distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val budget = GraphConf.broadcastMaxEdges(edges)
 
     var visited = truncate(
       seeds.select(col(seedCol).as("node")).distinct()
@@ -69,15 +80,13 @@ object Bfs {
     var hop = 0L
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      // counts are cheap scans of materialized checkpoint RDDs — they
-      // buy the broadcast decision the stats-less plans can't make
-      val fSel = frontier.select(col("node").as("u"))
-      val probe = if (frontier.count() <= budget) broadcast(fSel) else fSel
-      val vSel = visited.select("node")
-      val vSide = if (visited.count() <= budget) broadcast(vSel) else vSel
-      val next = probe
+      // SHUFFLE_HASH on the node-scale sides: no per-round sort of the
+      // cached adjacency (stats-less probe plans otherwise plan SMJ),
+      // no driver-built broadcast relation — the per-partition hash map
+      // is execution memory, freed with the task
+      val next = frontier.select(col("node").as("u")).hint("shuffle_hash")
         .join(adj, "u").select(col("v").as("node")).distinct()
-        .join(vSide, Seq("node"), "left_anti")
+        .join(visited.select("node").hint("shuffle_hash"), Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
       val prevFrontier = frontier
       val prevVisited = visited

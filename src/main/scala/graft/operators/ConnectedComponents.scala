@@ -66,17 +66,18 @@ object ConnectedComponents {
     // the star rounds join node-scale min frames against the 2|E|
     // neighbor frame; everything derives from a checkpointed LogicalRDD
     // with no size stats, so unhinted the planner sort-merges — two
-    // exchanges + two sorts of edge-scale data per star. The min frames
-    // broadcast under the graph budget, gated by the PREVIOUS round's
-    // convergence-probe count (free) — node count ≤ 2·|e| bounds them.
-    val budget = GraphConf.broadcastMaxEdges(edges)
-    var eRows = e.count() // checkpointed RDD: a cheap scan
+    // exchanges + two SORTS of edge-scale data per star. The min frames
+    // carry SHUFFLE_HASH hints instead: they are the per-partition hash
+    // build side (already hash-partitioned by their groupBy), the
+    // edge-scale side is exchanged but never sorted, and no per-round
+    // driver-built broadcast relation accumulates in the heap (the
+    // round-11 budget-gated broadcasts anti-scaled with core count on
+    // the contract host — see OPTIMIZATION_r12.md).
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val bcast = 2 * eRows <= budget
       val prevE = e
-      e = truncate(smallStar(largeStar(e, bcast), bcast))
+      e = truncate(smallStar(largeStar(e)))
       // free the superseded round's checkpoint blocks (Lineage): the
       // early star rounds hold edge-scale frames, and localCheckpoint
       // persists each one until explicitly released
@@ -88,7 +89,6 @@ object ConnectedComponents {
       val cur = (probe.getLong(0), Option(probe.getDecimal(1)))
       done = cur == prev
       prev = cur
-      eRows = cur._1
       round += 1
     }
     require(done, s"connected components did not converge in $maxRounds rounds")
@@ -103,12 +103,12 @@ object ConnectedComponents {
     * the minimum of its closed neighborhood. Keeps (a < b) orientation
     * because the new endpoint is a neighborhood minimum.
     */
-  private def largeStar(e: DataFrame, broadcastMins: Boolean): DataFrame = {
+  private def largeStar(e: DataFrame): DataFrame = {
     val nbrs = e.union(e.select(col("b"), col("a")))
       .toDF("u", "v")
     val mins = nbrs.groupBy("u")
       .agg(least(min(col("v")), col("u")).as("m"))
-    nbrs.join(if (broadcastMins) broadcast(mins) else mins, "u")
+    nbrs.join(mins.hint("shuffle_hash"), "u")
       .filter(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("m").as("a"), col("v").as("b"))
       .distinct()
@@ -117,11 +117,10 @@ object ConnectedComponents {
   /** Small-star: every node connects its SMALLER neighbors (and itself)
     * to the minimum among them.
     */
-  private def smallStar(e: DataFrame, broadcastMins: Boolean): DataFrame = {
+  private def smallStar(e: DataFrame): DataFrame = {
     // canonical (a < b) ⇒ smaller-neighbor list of b is exactly the a's
-    val minsRaw = e.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
-    val mins = if (broadcastMins) broadcast(minsRaw) else minsRaw
-    e.join(mins, e("b") === mins("u"))
+    val mins = e.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+    e.join(mins.hint("shuffle_hash"), e("b") === mins("u"))
       .select(col("m").as("a"), col("a").as("b"))
       .filter(col("a") =!= col("b"))
       .union(mins.select(col("m").as("a"), col("u").as("b")))

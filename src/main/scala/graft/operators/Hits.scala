@@ -29,44 +29,49 @@ object Hits {
       rounds: Int,
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .distinct()
+    // the edge set is cached TWICE, hash-partitioned on each half-
+    // round's join key (u for the hub→auth pass, v for auth→hub): every
+    // half-round join then satisfies its distribution from the cache
+    // and only the node-scale score frame moves. The dedup runs
+    // partition-local on the by-`u` layout (HashPartitioning(u)
+    // satisfies the (u, v) clustering); the by-`v` copy re-reads the
+    // first cache, not the source. No per-round broadcasts or count
+    // gates — see [[Bfs]] for why the round-11 broadcast machinery was
+    // removed; the score sides carry SHUFFLE_HASH hints because their
+    // stats-less plans (chained aggs / checkpoints) otherwise plan
+    // SortMergeJoin, re-sorting the cached edge frame each half-round.
+    val eU = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .repartition(col("u")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // score frames are |V|-bounded (≤ 2|E| entries, ~16 B each): under
-    // the graph broadcast budget, broadcast them into every half-round
-    // join so the edge frame never shuffles or sorts — the planner
-    // can't see this (chained agg stats are unknown ⇒ SortMergeJoin of
-    // the edge side each half-round); above the budget the joins
-    // degrade to the old shuffle form (the only option when |V| rows
-    // exceed executor memory).
-    val bc: DataFrame => DataFrame =
-      if (e.count() <= GraphConf.broadcastMaxEdges(e)) broadcast _ else identity _
+    val eV = eU.repartition(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh: DataFrame => DataFrame = _.hint("shuffle_hash")
     // Intermediate frames are NOT zero-filled against the node set: a
     // node missing from a score frame contributes exactly the 0 the
     // zero-filled row would — only the final output needs the fill.
     // Round 1's authority pass is algebraic (h0 = 1 everywhere makes
-    // a1 = in-degree: one aggregation, no join). Together with
-    // every-other-round truncation this is the LabelProp constant-
-    // factor lesson applied to HITS.
-    var auths = e.groupBy(col("v").as("node")).agg(count(lit(1)).as("a"))
-    var hubs = e.join(bc(auths.withColumnRenamed("node", "v")), "v")
+    // a1 = in-degree: one aggregation, no join — and exchange-free on
+    // the by-`v` layout). Together with every-other-round truncation
+    // this is the LabelProp constant-factor lesson applied to HITS.
+    var auths = eV.groupBy(col("v").as("node")).agg(count(lit(1)).as("a"))
+    var hubs = eV.join(sh(auths.withColumnRenamed("node", "v")), "v")
       .groupBy(col("u").as("node")).agg(sum(col("a")).as("h"))
     for (r <- 2 to rounds) {
       if (r % 2 == 0) hubs = truncate(hubs)
-      val a = e.join(bc(hubs.withColumnRenamed("node", "u")), "u")
+      val a = eU.join(sh(hubs.withColumnRenamed("node", "u")), "u")
         .groupBy(col("v").as("node")).agg(sum(col("h")).as("a"))
       auths = a
-      hubs = e.join(bc(a.withColumnRenamed("node", "v")), "v")
+      hubs = eV.join(sh(a.withColumnRenamed("node", "v")), "v")
         .groupBy(col("u").as("node")).agg(sum(col("a")).as("h"))
     }
-    val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v"))).distinct()
+    val nodes = eU.select(col("u").as("node"))
+      .union(eU.select(col("v"))).distinct()
     val out = nodes
-      .join(bc(hubs), Seq("node"), "left")
-      .join(bc(auths), Seq("node"), "left")
+      .join(sh(hubs), Seq("node"), "left")
+      .join(sh(auths), Seq("node"), "left")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
         coalesce(col("a"), lit(0L)).as("auth"))
-    e.unpersist()
+    eU.unpersist(); eV.unpersist()
     out
   }
 }

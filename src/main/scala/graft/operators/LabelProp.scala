@@ -53,28 +53,31 @@ object LabelProp {
     // DISTINCT a < b edges (what
     // Edges.coOccurrence emits): the mirrored union is then already the
     // exact symmetric adjacency, and the dedup pass below would be one
-    // redundant full-edge exchange per call
+    // redundant full-edge exchange per call.
+    // The adjacency is hash-partitioned on the vote-join key `u` ONCE
+    // and cached in that layout (dedup, when needed, runs partition-
+    // local on it — HashPartitioning(u) satisfies the (u, v)
+    // clustering), so no round re-exchanges the edge set; only the
+    // node-scale label frame moves per round. No per-round broadcasts
+    // or count gates — see [[Bfs]] for why the round-11 broadcast
+    // machinery was removed.
     val sym = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-    val adj = (if (distinctCanonicalEdges) sym
-               else sym.filter(col("u") =!= col("v")).distinct())
+    val adj = (if (distinctCanonicalEdges) sym.repartition(col("u"))
+               else sym.filter(col("u") =!= col("v"))
+                 .repartition(col("u")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // |adj| gates the per-round label broadcast below; the count also
-    // fills the cache once, before the first aggregation reads it
-    val adjRows = adj.count()
-    val budget = GraphConf.broadcastMaxEdges(edges)
     // round 1: identity labels ⇒ all vote counts are 1 ⇒ the
     // (count, −label) argmax is exactly the smallest neighbor id
     var labels = adj.groupBy(col("v").as("node")).agg(min(col("u")).as("label"))
     for (r <- 2 to rounds) {
-      // the label frame (|V| rows ≤ |adj|) broadcasts under the graph
-      // budget: its plan carries no usable size stats (agg estimate /
-      // checkpointed LogicalRDD), so the planner otherwise re-exchanges
-      // the FULL cached adjacency by u every round (measured 26.4
-      // MB/round on the sf0.1 co-purchase graph); above the budget the
-      // join degrades to the shuffle form
-      val lSide = labels.withColumnRenamed("node", "u")
+      // the label frame is node-scale and stats-less (agg estimate /
+      // checkpointed LogicalRDD): hint SHUFFLE_HASH so the vote join
+      // hash-builds it per partition against the cached by-`u`
+      // adjacency layout instead of sort-merging (which re-sorted the
+      // FULL cached adjacency every round)
+      val lSide = labels.withColumnRenamed("node", "u").hint("shuffle_hash")
       val votes = adj
-        .join(if (adjRows <= budget) broadcast(lSide) else lSide, "u")
+        .join(lSide, "u")
         .groupBy(col("v").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
       // argmax by (n, −label): max count wins, smallest label on ties

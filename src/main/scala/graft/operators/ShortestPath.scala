@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * Bellman-Ford must re-relax every labeled node each round (a longer
   * path found later may still be cheaper), so the join carries the
   * full distance frame; the hop bound keeps that cost deterministic.
+  *
+  * The adjacency is hash-partitioned on the probe key `u` once and
+  * cached in that layout, so no round re-exchanges the edge set; the
+  * node-scale distance frame carries a SHUFFLE_HASH hint (stats-less
+  * checkpointed plans otherwise sort-merge, re-sorting the cached
+  * adjacency every round). No per-round counts or broadcasts — see
+  * [[Bfs]] for why the round-11 broadcast machinery was removed.
   */
 object ShortestPath {
 
@@ -32,30 +39,29 @@ object ShortestPath {
     // halves the aggregation shuffle vs symmetrize-then-group, and the
     // mirror union after the agg is exchange-free. Identical adjacency:
     // min over both directions either way.
+    // symmetrize FIRST, then repartition on the probe key and collapse
+    // parallel edges partition-locally: HashPartitioning(u) satisfies
+    // the (u, v) min-groupBy's clustering, so the whole adjacency build
+    // is ONE 2|E| exchange and the cached layout is the per-round probe
+    // layout (min over both directions ≡ the canonical min mirrored)
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
         col(wCol).cast("long").as("w"))
       .filter(col("u") =!= col("v"))
-    val canon = fwd
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"), col("w"))
+    val adj = fwd
+      .union(fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("u"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
-    val adj = canon
-      .union(canon.select(col("v").as("u"), col("u").as("v"), col("w")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = truncate(
       seeds.select(col(seedCol).as("node")).distinct()
         .withColumn("dist", lit(0L)))
-    val budget = GraphConf.broadcastMaxEdges(edges)
     for (_ <- 1 to rounds) {
-      // the distance frame is a checkpointed LogicalRDD with NO size
-      // stats, so without the hint the planner re-exchanges the FULL
-      // cached adjacency by u every round (measured 35 MB/round on the
-      // sf0.1 line-pair graph). |dist| ≤ |V|: broadcast under the
-      // GraphConf budget (exact count is a cheap scan of the
-      // materialized RDD); above it, degrade to the shuffle join.
-      val dSel = dist.withColumnRenamed("node", "u")
-      val probe = if (dist.count() <= budget) broadcast(dSel) else dSel
-      val relaxed = probe
+      // the distance frame is node-scale and stats-less (checkpointed
+      // LogicalRDD); hint SHUFFLE_HASH so the relax join hash-builds
+      // the small side per partition against the cached by-`u`
+      // adjacency layout instead of sort-merging (which re-sorted the
+      // FULL edge set every round), and nothing is driver-collected
+      val relaxed = dist.withColumnRenamed("node", "u").hint("shuffle_hash")
         .join(adj, "u")
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.union(relaxed)

@@ -113,7 +113,8 @@ object Triangles {
     // Spark: persisted source ⇒ 2 independent BroadcastQueryStages,
     // checkpointed ⇒ ReusedExchange).
     val ord = deg.select(col("v"), (col("d") * lit(4294967296L) + col("v")).as("k"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val dir = e
       .join(broadcast(ord).as("o1"), col("a") === col("o1.v"))
       .join(broadcast(ord).as("o2"), col("b") === col("o2.v"))
@@ -128,8 +129,13 @@ object Triangles {
     // broadcast build of the materialized frame — the round-10 shape
     // (persist + renamed projections) built and broadcast this largest
     // frame twice per run, a measured ~40% of q107/q122 task time.
+    // SERIALIZED checkpoint storage (the KCore lesson): the adjacency
+    // arrays are the operator's largest frame, and deserialized unroll
+    // copies of array rows are the 8 GB-heap pressure path — serialized
+    // batches account tightly and spill cleanly
     val adjChk = dir.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val adj = if (e.count() <= GraphConf.broadcastMaxEdges(e)) broadcast(adjChk) else adjChk
     // both probe sides join the IDENTICAL adjacency subplan (alias-only
     // disambiguation, no renamed projections) so the second hash build

@@ -63,18 +63,32 @@ class BfsSpec extends SparkTestBase {
     }
   }
 
-  test("broadcast budget 0 (forced shuffle path) is result-identical") {
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
-    val old = spark.conf.getOption(GraphConf.BroadcastMaxEdgesKey)
-    spark.conf.set(GraphConf.BroadcastMaxEdgesKey, "0")
+  test("loop builds no broadcast relations and hash-joins the adjacency") {
+    // heap-discipline anchor: the round-11 per-round broadcast()/count()
+    // machinery accumulated driver-built hash relations (freed only by
+    // ContextCleaner GC) and anti-scaled with core count on the contract
+    // host — the loop must stay broadcast-free, with the frontier joins
+    // planned as ShuffledHashJoin against the cached by-`u` adjacency
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        plans.synchronized { plans += qe.executedPlan.toString }; ()
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
     try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
       assert(run(edges, Seq(1L), 2) ==
         Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
-    } finally {
-      old match {
-        case Some(v) => spark.conf.set(GraphConf.BroadcastMaxEdgesKey, v)
-        case None => spark.conf.unset(GraphConf.BroadcastMaxEdgesKey)
-      }
-    }
+      graft.operators.GuardMetrics.drainListenerBus(spark, 10000)
+      val all = plans.synchronized(plans.mkString("\n"))
+      assert(!all.contains("BroadcastExchange"),
+        s"BFS loop must not build broadcast relations:\n$all")
+      assert(all.contains("ShuffledHashJoin"),
+        s"expected ShuffledHashJoin frontier probes:\n$all")
+    } finally spark.listenerManager.unregister(l)
   }
 }

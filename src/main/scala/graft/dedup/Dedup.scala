@@ -502,10 +502,34 @@ object Dedup {
       xxhash64((lit(ci) +: c.map(bandIdx =>
         element_at(col("bk"), bandIdx + 1))): _*)
     }: _*)
-    val keyed = df
+    val keyedBase = df
       .select(col(idCol).as("id"), col(sigCol).as("sig"),
         simhashBandKeys(col(sigCol), bands, bits).as("bk"))
       .select(col("id"), col("sig"), explode(comboKeys).as("bucket"))
+    // SCALE-ADAPTIVE partitioning for the pinned shuffled-hash join: a
+    // shuffled-hash build side cannot spill, and the exploded frame is
+    // n·C(bands,r) rows — at the session's fixed shuffle.partitions a
+    // build partition grows linearly with the corpus until the hashed
+    // relation no longer fits a task's execution-memory share (q19 at
+    // the sf10 point, 33M exploded rows over 32 partitions, died with
+    // "Can't acquire 134217728 bytes to build hash relation"). When the
+    // caller supplies the corpus size, repartition the exploded frame
+    // by bucket so each build stays ~128k rows (~16 MB hashed): both
+    // self-join sides are the identical subtree, so this is still ONE
+    // exchange (reused), now sized to the data instead of the machine.
+    val buildRowsPerPartition = 131072L
+    val keyed = estimatedRows.filter(_ > 1) match {
+      case Some(n) =>
+        val exploded = n * combos.size
+        val sessionParts = df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        val parts = math.max(sessionParts.toLong,
+          (exploded + buildRowsPerPartition - 1) / buildRowsPerPartition)
+        if (parts > sessionParts)
+          keyedBase.repartition(parts.toInt, col("bucket"))
+        else keyedBase
+      case None => keyedBase
+    }
     // PIN the join strategy: the exploded sides inherit the signature
     // frame's sizeInBytes (Generate doesn't inflate stats), so once the
     // input is a materialized cache — which simhashNearDupPairsAuto's
